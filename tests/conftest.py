@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend, 8 virtual devices, x64 enabled.
+
+Linear-algebra correctness tests need float64 (reference tolerances of
+1e-10/1e-12) and multi-device tests need a virtual mesh; both are CPU-side.
+Environment must be set before the first jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
