@@ -7,10 +7,13 @@ stack with hand-derived backward passes (custom_vjp), culminating in a
 character-level GPT trained on TinyShakespeare.
 
 Public linear-algebra API mirrors the reference's ``linalg/__init__.py``
-(/root/reference/linalg/__init__.py:41-96). The NN stack lives in
-``linalg_tpu.nn`` and models in ``linalg_tpu.models``.
+(/root/reference/linalg/__init__.py:41-96), with ``rref`` and ``pca``
+additionally re-exported (public-and-tested in the reference's submodules
+but left out of its ``__init__``). The NN stack lives in ``linalg_tpu.nn``
+and models in ``linalg_tpu.models``.
 """
 
+from .ops.eigen import matrix_power_binary, matrix_power_eig, power_iteration
 from .ops.elimination import (
     back_substitute,
     forward_eliminate,
@@ -19,6 +22,15 @@ from .ops.elimination import (
     rank_elimination,
     rref,
 )
+from .ops.matrix_functions import adj, det, rank_numpy
+from .ops.projections import project_onto_colspace
+from .ops.qr import (
+    householder_qr,
+    least_squares_householder_qr,
+    least_squares_qr,
+    qr,
+)
+from .ops.svd import pca, svd
 from .utils.numerics import (
     EPS,
     permutation_sign,
@@ -28,13 +40,31 @@ from .utils.numerics import (
 )
 
 __all__ = [
-    # linear systems / elimination
+    # decompositions
+    "qr",
+    "householder_qr",
+    "svd",
+    "pca",
+    # matrix utilities
+    "det",
+    "adj",
+    "rank_numpy",
+    "matrix_power_eig",
+    "matrix_power_binary",
+    # linear systems
+    "gaussian_solve",
+    "least_squares_qr",
+    "least_squares_householder_qr",
     "forward_eliminate",
     "back_substitute",
-    "gaussian_solve",
-    "rref",
+    # iterative methods
+    "power_iteration",
+    # rank / null-space tools
     "rank_elimination",
     "nullspace_basis_elimination",
+    "rref",
+    # projections
+    "project_onto_colspace",
     # utils
     "EPS",
     "scale_tol",

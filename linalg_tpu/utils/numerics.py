@@ -93,5 +93,5 @@ def random_nonsingular_qr(n: int, seed=None) -> np.ndarray:
     """
     rng = np.random.default_rng(seed)
     Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
-    scales = np.logspace(0, 2, n)
+    scales = rng.uniform(0.5, 10.0, size=n)
     return np.asarray(Q * scales[None, :])

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and overwrites
+# jax_platforms at interpreter start, so the env var alone is not enough —
+# the config update below is what actually pins tests to CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
