@@ -1,0 +1,145 @@
+"""KV caching for autoregressive decode.
+
+Reference: /root/reference/ai_comps/cache.py:11-123 — ``KVCache`` /
+``LayerKVCache`` / ``apply_kv_cache`` with the same shapes ((B, h, T, d)),
+overflow error and reset semantics. The reference built these but never
+wired them into a model; here the GPT sampler actually decodes through them.
+
+Two forms:
+
+- The stateful classes below (host-level, reference API parity): buffers are
+  jnp arrays updated via ``lax.dynamic_update_slice``, ``update`` returns
+  views truncated to the live length.
+- A functional pytree form (``FKVCache`` helpers) for fully-jitted decode:
+  the cache is a dict of fixed-shape arrays plus a traced ``length``; the
+  attention mask handles truncation instead of dynamic shapes, so one
+  compiled decode step serves every position.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "KVCache",
+    "LayerKVCache",
+    "apply_kv_cache",
+    "fkv_init",
+    "fkv_update",
+]
+
+
+class KVCache:
+    """KV cache for one attention layer; buffers shaped (B, h, max_T, d)."""
+
+    def __init__(self, batch_size: int, n_heads: int, max_seq_len: int,
+                 d_head: int, dtype=jnp.float32) -> None:
+        self.batch_size = batch_size
+        self.n_heads = n_heads
+        self.max_seq_len = max_seq_len
+        self.d_head = d_head
+        self.dtype = dtype
+        shape = (batch_size, n_heads, max_seq_len, d_head)
+        self.k_cache = jnp.zeros(shape, dtype=dtype)
+        self.v_cache = jnp.zeros(shape, dtype=dtype)
+        self.seq_len = 0
+
+    def update(self, k_new, v_new) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Append new K/V along the time axis; return the live prefix."""
+        k_new = jnp.asarray(k_new)
+        v_new = jnp.asarray(v_new)
+        new_tokens = k_new.shape[2]
+        new_len = self.seq_len + new_tokens
+        if new_len > self.max_seq_len:
+            raise ValueError(
+                f"Cache overflow: {new_len} > max_seq_len {self.max_seq_len}"
+            )
+        at = (0, 0, self.seq_len, 0)
+        self.k_cache = lax.dynamic_update_slice(self.k_cache, k_new, at)
+        self.v_cache = lax.dynamic_update_slice(self.v_cache, v_new, at)
+        self.seq_len = new_len
+        return self.get()
+
+    def get(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return (
+            self.k_cache[:, :, : self.seq_len, :],
+            self.v_cache[:, :, : self.seq_len, :],
+        )
+
+    def reset(self) -> None:
+        self.seq_len = 0
+        self.k_cache = jnp.zeros_like(self.k_cache)
+        self.v_cache = jnp.zeros_like(self.v_cache)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.seq_len == 0
+
+
+class LayerKVCache:
+    """Per-layer list of KVCaches with shared length."""
+
+    def __init__(self, n_layers: int, batch_size: int, n_heads: int,
+                 max_seq_len: int, d_head: int, dtype=jnp.float32) -> None:
+        self.n_layers = n_layers
+        self.caches: List[KVCache] = [
+            KVCache(batch_size, n_heads, max_seq_len, d_head, dtype)
+            for _ in range(n_layers)
+        ]
+
+    def __getitem__(self, layer_idx: int) -> KVCache:
+        return self.caches[layer_idx]
+
+    def reset(self) -> None:
+        for c in self.caches:
+            c.reset()
+
+    @property
+    def seq_len(self) -> int:
+        return self.caches[0].seq_len if self.caches else 0
+
+
+def apply_kv_cache(k, v, cache: Optional[KVCache]):
+    """None-cache passthrough helper (reference cache.py:115-123)."""
+    if cache is None:
+        return k, v
+    return cache.update(k, v)
+
+
+# ---------------------------------------------------------------------------
+# functional (jit-safe) cache
+# ---------------------------------------------------------------------------
+
+
+def fkv_init(n_layers: int, batch: int, n_heads: int, max_seq_len: int,
+             d_head: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Fixed-shape cache pytree: k/v (L, B, h, max_T, d) plus traced length."""
+    shape = (n_layers, batch, n_heads, max_seq_len, d_head)
+    return {
+        "k": jnp.zeros(shape, dtype=dtype),
+        "v": jnp.zeros(shape, dtype=dtype),
+        "length": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def fkv_update(cache: Dict[str, jnp.ndarray], layer: int, k_new, v_new):
+    """Write k_new/v_new (B, h, t, d) for one layer at the current length.
+
+    Returns (cache', k_full, v_full) where k_full/v_full are the FULL
+    fixed-shape buffers (B, h, max_T, d); attention must mask positions
+    >= length + t. The global ``length`` is advanced separately with
+    ``fkv_advance`` once all layers have written.
+    """
+    zero = jnp.zeros((), dtype=cache["length"].dtype)
+    at = (zero, zero, cache["length"], zero)
+    k = lax.dynamic_update_slice(cache["k"][layer], k_new, at)
+    v = lax.dynamic_update_slice(cache["v"][layer], v_new, at)
+    cache = dict(cache, k=cache["k"].at[layer].set(k), v=cache["v"].at[layer].set(v))
+    return cache, k, v
+
+
+def fkv_advance(cache: Dict[str, jnp.ndarray], n_tokens) -> Dict[str, jnp.ndarray]:
+    return dict(cache, length=cache["length"] + jnp.asarray(n_tokens, jnp.int32))

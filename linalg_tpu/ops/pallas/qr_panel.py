@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: Householder panel factorization in VMEM.
+
+The bottleneck of blocked Householder QR is the sequential per-column
+reflector sweep over each (m, b) panel: expressed in XLA it round-trips the
+panel through HBM every column (~10 MB of traffic per reflector). This
+kernel keeps the whole panel resident in VMEM for all b steps, so each
+reflector is pure VPU/MXU work on on-chip data.
+
+Layout: everything is TRANSPOSED. The panel is stored as ``St (b, m)`` —
+"column" j of the panel is row j of St — because TPU handles dynamic
+indexing on the second-to-last (sublane) axis well, while dynamic lane
+indexing is slow. Outputs follow the same convention:
+
+- ``St_out (b, m)``: transformed panel (rows hold R rows of this panel)
+- ``Vt (b, m)``: unit-norm reflectors, row j zero left of its pivot column
+- ``Tt (b, b)``: the TRANSPOSE of the compact-WY triangular factor, i.e.
+  H_0 H_1 ... H_{b-1} = I - V T V^T with T = Tt^T and tau = 2 (unit-norm
+  reflectors, reference convention /root/reference/linalg/qr.py:77-91).
+
+The caller (ops/qr.py) does the trailing-matrix updates and economy-Q
+back-accumulation as large MXU matmuls in plain XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.numerics import eps_for
+
+
+def _panel_kernel(k_ref, s_in_ref, s_ref, vt_ref, tt_ref, *, block: int, eps: float):
+    # s_in_ref may alias s_ref (input_output_aliases); the copy is then a
+    # no-op, but guarantees s_ref holds the input either way.
+    s_ref[:] = s_in_ref[:]
+    b, m = s_ref.shape
+    vt_ref[:] = jnp.zeros_like(vt_ref)
+    tt_ref[:] = jnp.zeros_like(tt_ref)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    brow = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    rows = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    k = k_ref[0]
+
+    # No dynamic sublane indexing anywhere: Mosaic lowers pl.ds row
+    # reads/writes very slowly, so row selection is a masked reduce and row
+    # writes are masked full-array selects — all plain VPU passes. The
+    # skinny matvecs are VPU multiply+reduce in full f32 (an MXU dot would
+    # truncate operands to bf16, ~1e-3 relative error per reflector).
+    def body(jl, _):
+        jg = k + jl
+        S = s_ref[:]
+        row_sel = rows == jl  # (b, 1)
+        x_row = jnp.sum(jnp.where(row_sel, S, 0.0), axis=0, keepdims=True)  # (1, m)
+        live = lane >= jg
+        x = jnp.where(live, x_row, 0.0)
+        nrm2 = jnp.sum(x * x)
+        nrm = jnp.sqrt(nrm2)
+        has = nrm >= eps
+        x0 = jnp.sum(jnp.where(lane == jg, x, 0.0))
+        alpha = jnp.where(x0 >= 0, nrm, -nrm)
+        w_un = x + jnp.where(lane == jg, alpha, 0.0)
+        # ||x + alpha e||^2 = ||x||^2 + 2 alpha x0 + alpha^2, analytically.
+        wn2 = nrm2 + 2.0 * alpha * x0 + alpha * alpha
+        inv = lax.rsqrt(jnp.where(wn2 == 0, 1.0, wn2))
+        w = jnp.where(has, w_un * inv, 0.0)  # (1, m)
+
+        # Apply H = I - 2 w w^T to every panel column: S -= 2 (S w^T) w.
+        y = jnp.sum(S * w, axis=1, keepdims=True)  # (b, 1)
+        s_ref[:] = S - 2.0 * y * w
+        V = jnp.where(row_sel, w, vt_ref[:])
+        vt_ref[:] = V
+
+        # Compact-WY update (transposed): Tt[jl, :jl] = -2 (z^T Tt)[:jl],
+        # Tt[jl, jl] = 2, with z = V^T w (entry jl excluded).
+        z = jnp.sum(V * w, axis=1, keepdims=True)  # (b, 1)
+        z_col = jnp.where(row_sel, 0.0, z)
+        t_row = -2.0 * jnp.sum(z_col * tt_ref[:], axis=0, keepdims=True)  # (1, b)
+        t_row = jnp.where(brow == jl, jnp.where(has, 2.0, 0.0), t_row)
+        tt_ref[:] = jnp.where(row_sel, t_row, tt_ref[:])
+        return 0
+
+    lax.fori_loop(0, block, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def factor_panel(St, k, block: int):
+    """Factor a transposed panel St (b, m) with pivot columns starting at k.
+
+    Returns (St_out, Vt, Tt) as described in the module docstring.
+    """
+    b, m = St.shape
+    assert b == block
+    eps = eps_for(St.dtype)
+    kernel = functools.partial(_panel_kernel, block=block, eps=float(eps))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m), St.dtype),
+            jax.ShapeDtypeStruct((b, m), St.dtype),
+            jax.ShapeDtypeStruct((b, b), St.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )(jnp.asarray([k], dtype=jnp.int32), St)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def householder_qr_pallas(A, block: int = 128):
+    """Blocked economy Householder QR with the Pallas panel kernel.
+
+    A must be (m, n) float32 with n % block == 0 and m >= n (the public
+    wrapper in ops/qr.py pads/validates). Works entirely in the transposed
+    layout; the only materialized transposes are on input and output.
+    """
+    m, n = A.shape
+    dtype = A.dtype
+    At = A.T  # (n, m): row j is column j
+
+    panels = []
+    for k in range(0, n, block):
+        St, Vt, Tt = factor_panel(lax.dynamic_slice(At, (k, 0), (block, m)), k, block)
+        At = lax.dynamic_update_slice(At, St, (k, 0))
+        if k + block < n:
+            # Trailing update (rows k+block.. of At are untouched columns):
+            # C_new^T = Ct - ((Ct V) T) V^T  with V = Vt^T, T = Tt^T.
+            Ct = At[k + block :, :]
+            G = jax.lax.dot_general(
+                Ct, Vt, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
+            )  # (nt, b)
+            # H = G @ T = G @ Tt^T (contract both dim-1s).
+            H = jax.lax.dot_general(
+                G, Tt, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
+            )
+            At = At.at[k + block :, :].set(
+                Ct - jnp.dot(H, Vt, precision=lax.Precision.HIGHEST,
+                             preferred_element_type=dtype)
+            )
+        panels.append((k, Vt, Tt))
+
+    # Economy Q (transposed): Qt = E^T; X := Q_p X in reverse panel order,
+    # touching only rows >= k_p of Qt.
+    Qt = jnp.eye(n, m, dtype=dtype)
+    for k, Vt, Tt in reversed(panels):
+        Xt = Qt[k:, :]
+        G = jax.lax.dot_general(
+            Xt, Vt, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
+        )
+        H = jnp.dot(G, Tt, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=dtype)
+        Qt = Qt.at[k:, :].set(
+            Xt - jnp.dot(H, Vt, precision=lax.Precision.HIGHEST,
+                         preferred_element_type=dtype)
+        )
+
+    R = jnp.triu(At[:, :n].T)
+    return Qt.T, R

@@ -197,6 +197,15 @@ def householder_qr(A, block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if m < n:
         raise ValueError(f"householder_qr requires m >= n, got {A.shape}")
     b = max(1, min(block, _next_pow2(n)))
+    # TPU float32 path: Pallas panel kernel (VMEM-resident reflector sweep).
+    # The panel buffers are (b, m) so m is capped by VMEM; everything else
+    # (f64 correctness tests on CPU, huge m) uses the lax core.
+    use_pallas = (
+        A.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and n >= 2 * b
+        and m <= 16384
+    )
     n_pad = -(-n // b) * b
     if n_pad != n:
         # Zero-padding columns is safe: their reflectors are skipped
@@ -204,7 +213,12 @@ def householder_qr(A, block: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
         A_p = jnp.concatenate([A, jnp.zeros((m, n_pad - n), A.dtype)], axis=1)
     else:
         A_p = A
-    Q, R = _householder_core(A_p, b)
+    if use_pallas:
+        from .pallas.qr_panel import householder_qr_pallas
+
+        Q, R = householder_qr_pallas(A_p, block=b)
+    else:
+        Q, R = _householder_core(A_p, b)
     return Q[:, :n], R[:n, :n]
 
 
