@@ -1,0 +1,81 @@
+"""char-GPT CLI: train on TinyShakespeare and/or run a sampling REPL.
+
+Flag-for-flag parity with the reference entry point
+(/root/reference/gpt.py:578-609). Run as ``python -m linalg_tpu.apps.gpt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--repl", action="store_true")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--ctx_len", type=int, default=256)
+    ap.add_argument("--d_model", type=int, default=256)
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--eval_every", type=int, default=200)
+    ap.add_argument("--lr_model", type=float, default=3e-4)
+    ap.add_argument("--lr_embed", type=float, default=3e-4)
+    ap.add_argument("--lr_head", type=float, default=3e-4)
+    ap.add_argument("--weight_decay", type=float, default=0.01)
+    ap.add_argument("--ckpt_dir", type=str, default="checkpoints_np")
+    ap.add_argument("--gen_tokens", type=int, default=200)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--data", type=str, default=None,
+                    help="path to a local corpus text file (optional)")
+    return ap
+
+
+def repl(args) -> None:
+    from ..train.checkpoint import load_ckpt
+    from ..train.trainer import sample
+
+    params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+    print("\nREPL — type a prompt, Ctrl+C to exit.\n")
+    while True:
+        try:
+            s = input("> ")
+        except (KeyboardInterrupt, EOFError):
+            print("\nbye")
+            break
+        if not s.strip():
+            continue
+        ctx = np.asarray([stoi[c] for c in s if c in stoi], dtype=np.int32)
+        if ctx.size == 0:
+            print("(no known characters in prompt)")
+            continue
+        for ch in sample(
+            params, cfg, ctx, itos,
+            steps=args.gen_tokens,
+            temperature=args.temperature,
+            top_k=args.top_k,
+            seed=args.seed,
+        ):
+            print(ch, end="", flush=True)
+        print()
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    if args.train:
+        from ..train.trainer import train
+
+        train(args)
+    if args.repl:
+        repl(args)
+    if not args.train and not args.repl:
+        print("Nothing to do. Pass --train and/or --repl.")
+
+
+if __name__ == "__main__":
+    main()

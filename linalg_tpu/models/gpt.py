@@ -1,0 +1,232 @@
+"""Decoder-only char-GPT: functional, jit-first, KV-cached decode.
+
+Capability parity with the reference's ``gpt.py`` model stack
+(/root/reference/gpt.py:154-215): pre-LN DecoderOnlyLayers (masked
+self-attention + ReLU FFN, residuals), sinusoidal positions added at the
+embedding, weight-tied output head (``head.W = tok.W^T``, gpt.py:362-364),
+fused softmax-CE loss with ``dZ=(P-onehot)/N`` semantics.
+
+TPU-first design:
+
+- Parameters are a pytree with layers STACKED on a leading axis; the forward
+  is a ``lax.scan`` over layers — one compiled layer body regardless of
+  depth, MXU-shaped matmuls throughout.
+- Gradients come from ``jax.grad`` flowing through the hand-derived
+  ``custom_vjp`` closed forms of layer_norm/relu/sdpa (nn.functional) — the
+  reference's manual backprop, as the actual autodiff rule.
+- Decode uses the functional KV cache (fixed shapes, traced length): one
+  compiled step serves every position — the capability the reference built
+  but never wired in (its sampler recomputes the full forward per token,
+  gpt.py:522-546).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..nn.functional import causal_mask, layer_norm, relu, sdpa, sinusoidal_encoding
+
+__all__ = [
+    "GPTConfig",
+    "init_gpt_params",
+    "gpt_apply",
+    "gpt_loss",
+    "gpt_prefill",
+    "gpt_decode_step",
+    "sample_token",
+]
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    vocab_size: int
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 4
+    d_ff: Optional[int] = None
+    ctx_len: int = 256
+
+    @property
+    def dff(self) -> int:
+        return self.d_ff if self.d_ff is not None else 4 * self.d_model
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def init_gpt_params(cfg: GPTConfig, seed: int = 123) -> Params:
+    """He-init attention/FFN weights, N(0, 0.02) embeddings, zero biases."""
+    rng = np.random.default_rng(seed)
+    D, F, L, V = cfg.d_model, cfg.dff, cfg.n_layers, cfg.vocab_size
+
+    def he(fan_in, shape):
+        return jnp.asarray(
+            rng.normal(0.0, math.sqrt(2.0 / fan_in), size=shape), jnp.float32
+        )
+
+    layers = {
+        "ln1_g": jnp.ones((L, D), jnp.float32),
+        "ln1_b": jnp.zeros((L, D), jnp.float32),
+        "Wq": he(D, (L, D, D)),
+        "Wk": he(D, (L, D, D)),
+        "Wv": he(D, (L, D, D)),
+        "Wo": he(D, (L, D, D)),
+        "ln2_g": jnp.ones((L, D), jnp.float32),
+        "ln2_b": jnp.zeros((L, D), jnp.float32),
+        "W1": he(D, (L, D, F)),
+        "b1": jnp.zeros((L, F), jnp.float32),
+        "W2": he(F, (L, F, D)),
+        "b2": jnp.zeros((L, D), jnp.float32),
+    }
+    return {
+        "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
+        "head_b": jnp.zeros((V,), jnp.float32),
+        "layers": layers,
+    }
+
+
+def _heads(x, h: int):
+    B, T, D = x.shape
+    return x.reshape(B, T, h, D // h).transpose(0, 2, 1, 3)
+
+
+def _unheads(x):
+    B, h, T, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, h * d)
+
+
+def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable):
+    """One pre-LN decoder block (reference gpt.py:161-169)."""
+    xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+    q = _heads(xn @ lp["Wq"], n_heads)
+    k = _heads(xn @ lp["Wk"], n_heads)
+    v = _heads(xn @ lp["Wv"], n_heads)
+    a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    h1 = h_in + a
+    x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+    f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+    return h1 + f, (k, v)
+
+
+def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
+              attn_fn: Callable = sdpa) -> jnp.ndarray:
+    """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head."""
+    T = x_ids.shape[-1]
+    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+    h = params["tok_W"][x_ids] + pe[None]
+    mask = causal_mask(T, dtype=h.dtype)
+
+    def body(carry, lp):
+        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn)
+        return out, None
+
+    h, _ = lax.scan(body, h, params["layers"])
+    return h @ params["tok_W"].T + params["head_b"]
+
+
+def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
+             attn_fn: Callable = sdpa) -> jnp.ndarray:
+    """Mean softmax cross-entropy over all positions (reference
+    transformer.py:876-893 fused loss semantics)."""
+    logits = gpt_apply(params, x_ids, cfg, attn_fn)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, y_ids[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - gold)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode
+# ---------------------------------------------------------------------------
+
+
+def init_decode_cache(cfg: GPTConfig, batch: int = 1) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len, cfg.d_head)
+    return {
+        "k": jnp.zeros(shape, jnp.float32),
+        "v": jnp.zeros(shape, jnp.float32),
+        "length": jnp.zeros((), jnp.int32),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gpt_prefill(params: Params, x_ids, cfg: GPTConfig):
+    """Run the full prompt, returning (last-position logits, filled cache).
+
+    x_ids is (B, T) with T <= ctx_len; cache K/V buffers are ctx_len-sized.
+    """
+    B, T = x_ids.shape
+    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+    h = params["tok_W"][x_ids] + pe[None]
+    mask = causal_mask(T, dtype=h.dtype)
+
+    def body(carry, lp):
+        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa)
+        return out, (k, v)
+
+    h, (K, V) = lax.scan(body, h, params["layers"])
+    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+
+    pad = cfg.ctx_len - T
+    K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cache = {"k": K, "v": V, "length": jnp.asarray(T, jnp.int32)}
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
+    """One incremental decode step: token (B,) -> (logits (B, V), cache').
+
+    Attention reads the fixed-shape cache masked beyond the live length —
+    O(T) per token instead of the reference sampler's O(T^2 L) full forward.
+    """
+    B = token.shape[0]
+    pos = cache["length"]
+    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
+    h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+
+    t_ids = jnp.arange(cfg.ctx_len)
+    # position p attends to cache slots <= pos (itself included at slot pos)
+    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9)[None, None, None, :]
+    zero = jnp.zeros((), jnp.int32)
+
+    def body(carry, xs):
+        h_in = carry
+        lp, k_l, v_l = xs
+        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+        q = _heads(xn @ lp["Wq"], cfg.n_heads)
+        k = _heads(xn @ lp["Wk"], cfg.n_heads)
+        v = _heads(xn @ lp["Wv"], cfg.n_heads)
+        k_l = lax.dynamic_update_slice(k_l, k, (zero, zero, pos, zero))
+        v_l = lax.dynamic_update_slice(v_l, v, (zero, zero, pos, zero))
+        a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+        h1 = h_in + a
+        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        return h1 + f, (k_l, v_l)
+
+    h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    new_cache = {"k": K, "v": V, "length": pos + 1}
+    return logits, new_cache
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_token(key, logits, temperature=1.0, top_k: int = 0):
+    """Temperature + top-k categorical sampling (reference gpt.py:535-541)."""
+    z = logits / jnp.maximum(1e-6, temperature)
+    if top_k > 0:
+        kth = lax.top_k(z, top_k)[0][..., -1:]
+        z = jnp.where(z < kth, -1e9, z)
+    return jax.random.categorical(key, z, axis=-1)

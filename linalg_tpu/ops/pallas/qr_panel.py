@@ -117,8 +117,9 @@ def factor_panel(St, k, block: int):
     )(jnp.asarray([k], dtype=jnp.int32), St)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def householder_qr_pallas(A, block: int = 128):
+@functools.partial(jax.jit, static_argnames=("block", "precision"))
+def householder_qr_pallas(A, block: int = 128,
+                          precision=lax.Precision.HIGHEST):
     """Blocked economy Householder QR with the Pallas panel kernel.
 
     A must be (m, n) float32 with n % block == 0 and m >= n (the public
@@ -127,46 +128,72 @@ def householder_qr_pallas(A, block: int = 128):
     """
     m, n = A.shape
     dtype = A.dtype
-    At = A.T  # (n, m): row j is column j
 
-    panels = []
-    for k in range(0, n, block):
-        St, Vt, Tt = factor_panel(lax.dynamic_slice(At, (k, 0), (block, m)), k, block)
-        At = lax.dynamic_update_slice(At, St, (k, 0))
-        if k + block < n:
-            # Trailing update (rows k+block.. of At are untouched columns):
-            # C_new^T = Ct - ((Ct V) T) V^T  with V = Vt^T, T = Tt^T.
-            Ct = At[k + block :, :]
-            G = jax.lax.dot_general(
-                Ct, Vt, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
-            )  # (nt, b)
+    def block_apply(Xt, Vt, Tt, transpose_t: bool):
+        """Xt := Xt (I - V T V^T)^T-ish: the transposed-layout block update.
+
+        transpose_t False applies (I - V T^T V^T) (= Q_panel^T, trailing
+        update); True applies (I - V T V^T) (= Q_panel, Q accumulation).
+        """
+        G = jax.lax.dot_general(
+            Xt, Vt, (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=dtype,
+        )  # (rows, b)
+        if transpose_t:
+            H = jnp.dot(G, Tt, precision=precision,
+                        preferred_element_type=dtype)
+        else:
             # H = G @ T = G @ Tt^T (contract both dim-1s).
             H = jax.lax.dot_general(
                 G, Tt, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
+                precision=precision, preferred_element_type=dtype,
             )
-            At = At.at[k + block :, :].set(
-                Ct - jnp.dot(H, Vt, precision=lax.Precision.HIGHEST,
-                             preferred_element_type=dtype)
-            )
+        return Xt - jnp.dot(H, Vt, precision=precision,
+                            preferred_element_type=dtype)
+
+    # Factorization: carry only the SHRINKING trailing block (no functional
+    # updates of the full matrix — those cost a 64 MB copy per panel at
+    # n = 4096). Processed R rows accumulate in a list, concatenated once.
+    trail = A.T  # (n - k, m): row j is column k + j
+    done = []
+    panels = []
+    for k in range(0, n, block):
+        St, Vt, Tt = factor_panel(trail[:block, :], k, block)
+        done.append(St)
+        rest = trail[block:, :]
+        if rest.shape[0]:
+            rest = block_apply(rest, Vt, Tt, transpose_t=False)
         panels.append((k, Vt, Tt))
+        trail = rest
 
-    # Economy Q (transposed): Qt = E^T; X := Q_p X in reverse panel order,
-    # touching only rows >= k_p of Qt.
-    Qt = jnp.eye(n, m, dtype=dtype)
+    Rt = done[0] if len(done) == 1 else jnp.concatenate(done, axis=0)
+
+    # Economy Q (transposed), reverse accumulation with a GROWING block:
+    # before panel p touches them, rows [k_p, k_p + b) of Qt are still
+    # identity rows. Structure exploited: for X = [E_b; X_prev], the identity
+    # block's contribution to G = X V^T is just a slice of Vt (no matmul),
+    # so the big dot only reads the previously-accumulated rows.
+    Xt = None
     for k, Vt, Tt in reversed(panels):
-        Xt = Qt[k:, :]
-        G = jax.lax.dot_general(
-            Xt, Vt, (((1,), (1,)), ((), ())),
-            precision=lax.Precision.HIGHEST, preferred_element_type=dtype,
-        )
-        H = jnp.dot(G, Tt, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=dtype)
-        Qt = Qt.at[k:, :].set(
-            Xt - jnp.dot(H, Vt, precision=lax.Precision.HIGHEST,
-                         preferred_element_type=dtype)
-        )
+        G_top = Vt[:, k : k + block].T  # E_b V^T  — (b, b) slice, free
+        H_top = jnp.dot(G_top, Tt, precision=precision,
+                        preferred_element_type=dtype)
+        e_rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + k
+        e_block = (e_rows == jnp.arange(m)[None, :]).astype(dtype)  # E[k:k+b]
+        top = e_block - jnp.dot(H_top, Vt, precision=precision,
+                                preferred_element_type=dtype)
+        if Xt is None:
+            Xt = top
+        else:
+            G_bot = jax.lax.dot_general(
+                Xt, Vt, (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=dtype,
+            )
+            H_bot = jnp.dot(G_bot, Tt, precision=precision,
+                            preferred_element_type=dtype)
+            bot = Xt - jnp.dot(H_bot, Vt, precision=precision,
+                               preferred_element_type=dtype)
+            Xt = jnp.concatenate([top, bot], axis=0)
 
-    R = jnp.triu(At[:, :n].T)
-    return Qt.T, R
+    R = jnp.triu(Rt[:, :n].T)
+    return Xt.T, R

@@ -1,0 +1,89 @@
+"""Checkpointing: npz archive + JSON meta sidecar, reference-compatible.
+
+Save/load uses the reference's exact key naming (``tok_W``, ``head_W``,
+``head_b``, ``l{i}_Wq`` ... ``l{i}_ln2_b`` — /root/reference/gpt.py:438-476)
+so checkpoints interoperate both ways: this framework can resume from a
+reference-produced archive and vice versa. The meta sidecar carries the
+tokenizer (stoi/itos) and architecture hyperparameters.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gpt import GPTConfig, Params, init_gpt_params
+
+__all__ = ["save_ckpt", "load_ckpt", "CKPT_NAME", "META_NAME"]
+
+CKPT_NAME = "chars_gpt_best.npz"
+META_NAME = "chars_gpt_meta.json"
+
+
+def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
+              stoi: Dict[str, int], itos: Dict[int, str]) -> pathlib.Path:
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    lay = {k: np.asarray(v) for k, v in params["layers"].items()}
+    tok_W = np.asarray(params["tok_W"])
+    arrays = {
+        "tok_W": tok_W,
+        "head_W": tok_W.T,  # tied head, stored for reference compatibility
+        "head_b": np.asarray(params["head_b"]),
+    }
+    name_map = {
+        "Wq": "Wq", "Wk": "Wk", "Wv": "Wv", "Wo": "Wo",
+        "W1": "W1", "b1": "b1", "W2": "W2", "b2": "b2",
+        "ln1_g": "ln1_g", "ln1_b": "ln1_b", "ln2_g": "ln2_g", "ln2_b": "ln2_b",
+    }
+    for i in range(cfg.n_layers):
+        for ours, theirs in name_map.items():
+            arrays[f"l{i}_{theirs}"] = lay[ours][i]
+    path = ckpt_dir / CKPT_NAME
+    np.savez_compressed(path, **arrays)
+    meta = {
+        "stoi": stoi,
+        "itos": {str(k): v for k, v in itos.items()},
+        "d_model": cfg.d_model,
+        "heads": cfg.n_heads,
+        "layers": cfg.n_layers,
+        "ctx_len": cfg.ctx_len,
+    }
+    (ckpt_dir / META_NAME).write_text(json.dumps(meta))
+    return path
+
+
+def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, str]]:
+    """Rebuild (params, cfg, stoi, itos) from an archive + meta sidecar.
+
+    Raises on any missing/corrupt file — callers implement the reference's
+    resume-or-init semantics by catching (gpt.py:264-273).
+    """
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    z = np.load(ckpt_dir / CKPT_NAME)
+    meta = json.loads((ckpt_dir / META_NAME).read_text())
+    stoi = meta["stoi"]
+    itos = {int(k): v for k, v in meta["itos"].items()}
+    cfg = GPTConfig(
+        vocab_size=len(stoi),
+        d_model=meta["d_model"],
+        n_heads=meta["heads"],
+        n_layers=meta["layers"],
+        ctx_len=meta["ctx_len"],
+    )
+    params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
+    lay = {}
+    for ours in params["layers"]:
+        lay[ours] = jnp.asarray(
+            np.stack([z[f"l{i}_{ours}"] for i in range(cfg.n_layers)], axis=0)
+        )
+    params = {
+        "tok_W": jnp.asarray(z["tok_W"]),
+        "head_b": jnp.asarray(z["head_b"]),
+        "layers": lay,
+    }
+    return params, cfg, stoi, itos
