@@ -119,10 +119,30 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable):
     return h1 + f, (k, v)
 
 
+def _pick_attn(T: int, d_head: int):
+    """Fused Pallas attention on TPU when the tile fits VMEM, else sdpa."""
+    try:
+        if jax.default_backend() == "tpu" and T % 128 == 0 and d_head >= 8:
+            from ..nn.flash import FLASH_MAX_T, flash_attention
+
+            if T <= FLASH_MAX_T:
+                return lambda q, k, v, mask: flash_attention(q, k, v, True)
+    except Exception:
+        pass
+    return sdpa
+
+
 def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
-              attn_fn: Callable = sdpa) -> jnp.ndarray:
-    """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head."""
+              attn_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head.
+
+    ``attn_fn`` defaults to the fused Pallas flash kernel on TPU (causal) and
+    the einsum sdpa elsewhere; pass ``sdpa`` explicitly to force the naive
+    path.
+    """
     T = x_ids.shape[-1]
+    if attn_fn is None:
+        attn_fn = _pick_attn(T, cfg.d_head)
     pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
     h = params["tok_W"][x_ids] + pe[None]
     mask = causal_mask(T, dtype=h.dtype)
@@ -136,7 +156,7 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
 
 
 def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
-             attn_fn: Callable = sdpa) -> jnp.ndarray:
+             attn_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Mean softmax cross-entropy over all positions (reference
     transformer.py:876-893 fused loss semantics)."""
     logits = gpt_apply(params, x_ids, cfg, attn_fn)

@@ -69,8 +69,14 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
 
     opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
 
+    from ..nn.functional import sdpa
+
     def step(params, opt_state, x, y):
-        loss, grads = jax.value_and_grad(gpt_loss)(params, x, y, cfg)
+        # explicit sdpa: the einsum path partitions cleanly under GSPMD
+        # (a Pallas kernel would need shard_map plumbing)
+        loss, grads = jax.value_and_grad(
+            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=sdpa)
+        )(params, x, y)
         wd_tree = gpt_wd_mask(params, weight_decay)
         params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree)
         return params, opt_state, loss

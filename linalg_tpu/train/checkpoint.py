@@ -26,14 +26,17 @@ META_NAME = "chars_gpt_meta.json"
 
 def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
               stoi: Dict[str, int], itos: Dict[int, str]) -> pathlib.Path:
+    from ..utils.transfer import pull_pytree
+
     ckpt_dir = pathlib.Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    lay = {k: np.asarray(v) for k, v in params["layers"].items()}
-    tok_W = np.asarray(params["tok_W"])
+    host = pull_pytree(params)  # single device->host transfer
+    lay = {k: np.asarray(v) for k, v in host["layers"].items()}
+    tok_W = np.asarray(host["tok_W"])
     arrays = {
         "tok_W": tok_W,
         "head_W": tok_W.T,  # tied head, stored for reference compatibility
-        "head_b": np.asarray(params["head_b"]),
+        "head_b": np.asarray(host["head_b"]),
     }
     name_map = {
         "Wq": "Wq", "Wk": "Wk", "Wv": "Wv", "Wo": "Wo",
@@ -75,15 +78,17 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         n_layers=meta["layers"],
         ctx_len=meta["ctx_len"],
     )
+    from ..utils.transfer import push_pytree
+
     params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
     lay = {}
     for ours in params["layers"]:
-        lay[ours] = jnp.asarray(
-            np.stack([z[f"l{i}_{ours}"] for i in range(cfg.n_layers)], axis=0)
+        lay[ours] = np.stack(
+            [z[f"l{i}_{ours}"] for i in range(cfg.n_layers)], axis=0
         )
-    params = {
-        "tok_W": jnp.asarray(z["tok_W"]),
-        "head_b": jnp.asarray(z["head_b"]),
+    host = {
+        "tok_W": np.asarray(z["tok_W"]),
+        "head_b": np.asarray(z["head_b"]),
         "layers": lay,
     }
-    return params, cfg, stoi, itos
+    return push_pytree(host), cfg, stoi, itos

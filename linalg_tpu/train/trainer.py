@@ -31,7 +31,7 @@ from ..models.gpt import (
 )
 from ..nn.tokenizers import CharTokenizer
 from .checkpoint import load_ckpt, save_ckpt
-from .data import batch_stream, build_char_vocab, encode, load_text
+from .data import build_char_vocab, encode, load_text
 from .optim import adamw_init, adamw_update, gpt_wd_mask, warmup_cosine
 
 __all__ = ["train", "sample", "make_train_step", "eval_avg"]
@@ -53,6 +53,39 @@ def make_train_step(cfg: GPTConfig, *, base_lr: float, min_lr: float,
     return train_step
 
 
+def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
+                           min_lr: float, warmup: int, max_steps: int,
+                           weight_decay: float):
+    """Fully device-resident step: batch windows are SAMPLED ON DEVICE.
+
+    The corpus token array is uploaded once; each step draws random windows
+    with jax.random + a gather inside the jit. This removes the per-step
+    host->device transfer, which costs ~40 ms of round-trip latency on this
+    runtime — 20x the actual compute of a step at the published config.
+    """
+    B = batch_size
+    T = cfg.ctx_len
+
+    @jax.jit
+    def train_step(params, opt_state, data_ids, key):
+        key, sub = jax.random.split(key)  # RNG advances on device
+        L = data_ids.shape[0]
+        ix = jax.random.randint(sub, (B,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = data_ids[offs]
+        y = data_ids[offs + 1]
+        loss, grads = jax.value_and_grad(gpt_loss)(params, x, y, cfg)
+        # the AdamW state's own step counter drives the schedule — no
+        # per-step host scalar crosses the tunnel
+        lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
+                           warmup=warmup, max_steps=max_steps)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree)
+        return params, opt_state, key, loss
+
+    return train_step
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _eval_loss(params, x, y, cfg: GPTConfig):
     return gpt_loss(params, x, y, cfg)
@@ -66,9 +99,27 @@ def eval_avg(params, cfg: GPTConfig, it: Iterator, batches: int = 10) -> float:
     return float(np.mean(losses))
 
 
+@partial(jax.jit, static_argnames=("cfg", "batch", "batches"))
+def _eval_device(params, val_ids, key, cfg: GPTConfig, batch: int, batches: int):
+    """Mean val loss over ``batches`` randomly-windowed device batches —
+    one jit call, one scalar readback."""
+    T = cfg.ctx_len
+    L = val_ids.shape[0]
+
+    def body(carry, k):
+        ix = jax.random.randint(k, (batch,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = val_ids[offs]
+        y = val_ids[offs + 1]
+        return carry + gpt_loss(params, x, y, cfg), None
+
+    keys = jax.random.split(key, batches)
+    total, _ = jax.lax.scan(body, jnp.float32(0), keys)
+    return total / batches
+
+
 def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     """Run the training loop; returns (params, cfg, stoi, itos)."""
-    rng = np.random.default_rng(args.seed)
     text = load_text(getattr(args, "data", None))
 
     try:
@@ -88,12 +139,13 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
     ids = encode(text, stoi)
     split = int(0.9 * len(ids))
-    train_iter = batch_stream(ids[:split], args.batch_size, cfg.ctx_len, rng)
-    val_iter = batch_stream(ids[split:], args.batch_size, cfg.ctx_len, rng)
+    train_ids = jnp.asarray(ids[:split])  # whole corpus on device, once
+    val_ids = jnp.asarray(ids[split:])
 
     opt_state = adamw_init(params)
-    train_step = make_train_step(
+    train_step = make_device_train_step(
         cfg,
+        args.batch_size,
         base_lr=args.lr_model,
         min_lr=args.lr_model / 10,
         warmup=200,
@@ -104,16 +156,20 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     best = 1e9
     t0 = time.time()
     tokens_per_step = args.batch_size * cfg.ctx_len
+    key = jax.random.PRNGKey(args.seed)
     for step in range(1, args.steps + 1):
-        x, y = next(train_iter)
-        params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(x), jnp.asarray(y),
-            jnp.asarray(step, jnp.int32),
+        params, opt_state, key, loss = train_step(
+            params, opt_state, train_ids, key,
         )
+        # Printing every 20 steps is the only host sync; it also caps the
+        # async dispatch queue (deep queues degrade badly on this runtime).
         if step % 20 == 0 or step == 1:
             print(f"step {step:6d}  loss {float(loss):.4f}")
         if step % args.eval_every == 0:
-            val_loss = eval_avg(params, cfg, val_iter, batches=20)
+            key, sub = jax.random.split(key)
+            val_loss = float(
+                _eval_device(params, val_ids, sub, cfg, args.batch_size, 20)
+            )
             print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
             if val_loss < best:
                 best = val_loss
