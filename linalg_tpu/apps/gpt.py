@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--data", type=str, default=None,
                     help="path to a local corpus text file (optional)")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace of training into DIR")
     return ap
 
 

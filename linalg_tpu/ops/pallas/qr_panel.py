@@ -175,7 +175,15 @@ def householder_qr_pallas(A, block: int = 128,
     # so the big dot only reads the previously-accumulated rows.
     Xt = None
     for k, Vt, Tt in reversed(panels):
-        G_top = Vt[:, k : k + block].T  # E_b V^T  — (b, b) slice, free
+        # E_b V^T is just a slice of Vt — (b, b), no matmul. Rows of E at
+        # global index >= m are zero (column-padded inputs), so the slice
+        # is zero-padded to the panel width.
+        hi = min(k + block, m)
+        G_top = Vt[:, k:hi].T
+        if hi - k < block:
+            G_top = jnp.concatenate(
+                [G_top, jnp.zeros((block - (hi - k), block), dtype)], axis=0
+            )
         H_top = jnp.dot(G_top, Tt, precision=precision,
                         preferred_element_type=dtype)
         e_rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + k

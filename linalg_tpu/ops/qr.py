@@ -229,12 +229,13 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-def _as_float(A) -> jnp.ndarray:
+def _as_float(A, allow_batched: bool = False) -> jnp.ndarray:
     A = jnp.asarray(A)
     if not jnp.issubdtype(A.dtype, jnp.floating):
         A = A.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    if A.ndim != 2:
-        raise ValueError("A must be 2-D")
+    want = 3 if allow_batched else 2
+    if A.ndim != want:
+        raise ValueError(f"A must be {want}-D")
     return A
 
 

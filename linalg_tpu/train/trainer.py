@@ -153,10 +153,14 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
         weight_decay=args.weight_decay,
     )
 
+    from ..utils.profiling import trace
+
     best = 1e9
     t0 = time.time()
     tokens_per_step = args.batch_size * cfg.ctx_len
     key = jax.random.PRNGKey(args.seed)
+    profile_ctx = trace(getattr(args, "profile", None))
+    profile_ctx.__enter__()
     for step in range(1, args.steps + 1):
         params, opt_state, key, loss = train_step(
             params, opt_state, train_ids, key,
@@ -175,6 +179,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
                 best = val_loss
                 path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos)
                 print(f"  saved best -> {path}  (val {best:.4f})")
+    profile_ctx.__exit__(None, None, None)
     dt = time.time() - t0
     print(
         f"done in {dt:.1f}s  "

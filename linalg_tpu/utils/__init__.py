@@ -1,3 +1,5 @@
+from .profiling import StepTimer, trace
+from .transfer import pull_pytree, push_pytree
 from .numerics import (
     EPS,
     eps_for,
@@ -8,6 +10,10 @@ from .numerics import (
 )
 
 __all__ = [
+    "trace",
+    "StepTimer",
+    "pull_pytree",
+    "push_pytree",
     "EPS",
     "eps_for",
     "permutation_sign",
