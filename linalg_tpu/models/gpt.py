@@ -122,11 +122,14 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable):
 def _pick_attn(T: int, d_head: int):
     """Fused Pallas attention on TPU when the tile fits VMEM, else sdpa."""
     try:
-        if jax.default_backend() == "tpu" and T % 128 == 0 and d_head >= 8:
+        if jax.default_backend() == "tpu" and T % 256 == 0 and d_head >= 8:
             from ..nn.flash import FLASH_MAX_T, flash_attention
+            from ..nn.flash_long import LONG_MAX_T, flash_attention_long
 
             if T <= FLASH_MAX_T:
                 return lambda q, k, v, mask: flash_attention(q, k, v, True)
+            if T <= LONG_MAX_T:
+                return lambda q, k, v, mask: flash_attention_long(q, k, v, True)
     except Exception:
         pass
     return sdpa

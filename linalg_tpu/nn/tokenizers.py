@@ -49,11 +49,9 @@ class CharTokenizer(BaseTokenizer):
         return tok
 
     def encode(self, text: str, drop_unknown: bool = True) -> np.ndarray:
-        if drop_unknown:
-            ids = [self.stoi[ch] for ch in text if ch in self.stoi]
-        else:
-            ids = [self.stoi[ch] for ch in text]
-        return np.asarray(ids, dtype=np.int32)
+        from ..native import encode_chars
+
+        return encode_chars(text, self.stoi, drop_unknown=drop_unknown)
 
     def decode(self, ids) -> str:
         return "".join(self.itos[int(i)] for i in np.asarray(ids).ravel())

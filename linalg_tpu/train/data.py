@@ -133,7 +133,9 @@ def build_char_vocab(text: str) -> Tuple[Dict[str, int], Dict[int, str]]:
 
 
 def encode(text: str, stoi: Dict[str, int]) -> np.ndarray:
-    return np.asarray([stoi[c] for c in text], dtype=np.int32)
+    from ..native import encode_chars
+
+    return encode_chars(text, stoi, drop_unknown=True)
 
 
 def decode(ids, itos: Dict[int, str]) -> str:
@@ -143,10 +145,14 @@ def decode(ids, itos: Dict[int, str]) -> str:
 def batch_stream(
     data_ids: np.ndarray, B: int, T: int, rng: np.random.Generator
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Random windows (x, y = x shifted by one) forever (gpt.py:245-251)."""
+    """Random windows (x, y = x shifted by one) forever (gpt.py:245-251).
+
+    The window gather runs through the native C kernel when available.
+    """
+    from ..native import gather_windows
+
+    data_ids = np.ascontiguousarray(data_ids, dtype=np.int32)
     L = len(data_ids)
     while True:
         ix = rng.integers(0, L - T - 1, size=B)
-        x = np.stack([data_ids[i : i + T] for i in ix], axis=0)
-        y = np.stack([data_ids[i + 1 : i + T + 1] for i in ix], axis=0)
-        yield x, y
+        yield gather_windows(data_ids, ix, T)

@@ -1,0 +1,77 @@
+"""Flash/fused attention kernel tests (interpreter mode on CPU).
+
+Both kernels must match the exact einsum sdpa — forward and the custom_vjp
+backward — in float32 interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from linalg_tpu.nn.flash import flash_attention
+from linalg_tpu.nn.flash_long import flash_attention_long
+from linalg_tpu.nn.functional import causal_mask, sdpa
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), jnp.float32
+    )
+
+
+@pytest.mark.parametrize(
+    "fn,T",
+    [(flash_attention, 64), (flash_attention, 128), (flash_attention_long, 512)],
+)
+class TestFlashKernels:
+    def test_forward_matches_sdpa(self, fn, T):
+        B, h, d = 2, 2, 32
+        q, k, v = _rand((B, h, T, d), 0), _rand((B, h, T, d), 1), _rand((B, h, T, d), 2)
+        with pltpu.force_tpu_interpret_mode():
+            o = fn(q, k, v, True)
+            ref = sdpa(q, k, v, causal_mask(T))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
+
+    def test_backward_matches_sdpa(self, fn, T):
+        B, h, d = 1, 2, 16
+        q, k, v = _rand((B, h, T, d), 3), _rand((B, h, T, d), 4), _rand((B, h, T, d), 5)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(
+                lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v, True))),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+            g2 = jax.grad(
+                lambda q, k, v: jnp.sum(jnp.sin(sdpa(q, k, v, causal_mask(T)))),
+                argnums=(0, 1, 2),
+            )(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_causality(self, fn, T):
+        # output at position t must ignore positions > t
+        B, h, d = 1, 1, 16
+        q = _rand((B, h, T, d), 6)
+        k = _rand((B, h, T, d), 7)
+        v = _rand((B, h, T, d), 8)
+        k2 = k.at[:, :, T // 2 :].set(99.0)
+        v2 = v.at[:, :, T // 2 :].set(99.0)
+        with pltpu.force_tpu_interpret_mode():
+            o1 = fn(q, k, v, True)
+            o2 = fn(q, k2, v2, True)
+        np.testing.assert_allclose(
+            np.asarray(o1)[:, :, : T // 2],
+            np.asarray(o2)[:, :, : T // 2],
+            atol=1e-5,
+        )
+
+
+class TestNonCausal:
+    def test_full_attention(self):
+        T = 64
+        q, k, v = _rand((1, 2, T, 16), 9), _rand((1, 2, T, 16), 10), _rand((1, 2, T, 16), 11)
+        with pltpu.force_tpu_interpret_mode():
+            o = flash_attention(q, k, v, False)
+            ref = sdpa(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
