@@ -34,6 +34,8 @@ from .cache import (
     fkv_init,
     fkv_update,
 )
+from .flash import flash_attention
+from .flash_long import flash_attention_long
 from .functional import layer_norm, rms_norm, rope_rotate, sdpa, sinusoidal_encoding
 from .normalization import LayerNorm, RMSNorm, get_norm
 from .positional import (
@@ -72,6 +74,8 @@ __all__ = [
     "Attention",
     "he_init",
     "sdpa",
+    "flash_attention",
+    "flash_attention_long",
     "mha_init",
     "mha_apply",
     # tokenizers
