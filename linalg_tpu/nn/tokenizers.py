@@ -1,8 +1,10 @@
 """Tokenizers: character-level, plus the declared BPE placeholder.
 
-Reference: /root/reference/ai_comps/tokenizers.py:32-107 — same API
-(``encode``/``decode``/``vocab_size``/``save``/``load``/``from_pretrained``/
-``__contains__``); host-side pure Python (tokenization is not device work).
+API parity with the reference tokenizer surface
+(/root/reference/ai_comps/tokenizers.py:32-107): ``encode`` / ``decode`` /
+``vocab_size`` / ``save`` / ``load`` / ``from_pretrained`` /
+``__contains__``. Host-side pure Python; the byte fast path routes through
+the native C kernel (linalg_tpu/native).
 """
 
 from __future__ import annotations
@@ -16,37 +18,68 @@ __all__ = ["BaseTokenizer", "CharTokenizer", "BPETokenizer"]
 
 
 class BaseTokenizer(ABC):
-    @abstractmethod
-    def encode(self, text: str) -> np.ndarray: ...
+    """Minimal tokenizer interface."""
 
     @abstractmethod
-    def decode(self, ids) -> str: ...
+    def encode(self, text: str) -> np.ndarray:
+        """Text -> int32 token-id array."""
+
+    @abstractmethod
+    def decode(self, ids) -> str:
+        """Token ids -> text."""
 
     @property
     @abstractmethod
-    def vocab_size(self) -> int: ...
+    def vocab_size(self) -> int:
+        """Number of distinct tokens."""
 
 
 class CharTokenizer(BaseTokenizer):
-    """Character vocabulary from sorted unique chars of a corpus."""
+    """Character vocabulary, ordered by sorted unique characters.
+
+    Internally keeps only the ordered vocabulary list; the stoi/itos dicts
+    are derived views kept for reference-API compatibility.
+    """
 
     def __init__(self, text: Optional[str] = None,
                  vocab: Optional[List[str]] = None):
-        if vocab is not None:
-            chars = list(vocab)
-        elif text is not None:
-            chars = sorted(set(text))
-        else:
+        if vocab is None and text is None:
             raise ValueError("Must provide either text or vocab")
-        self.stoi: Dict[str, int] = {ch: i for i, ch in enumerate(chars)}
-        self.itos: Dict[int, str] = {i: ch for ch, i in self.stoi.items()}
+        self._set_vocab(list(vocab) if vocab is not None else sorted(set(text)))
+
+    def _set_vocab(self, chars: List[str]) -> None:
+        self._vocab = chars
+        self.stoi = {}
+        self.itos = {}
+        for i, ch in enumerate(chars):
+            self.stoi[ch] = i
+            self.itos[i] = ch
+
+    # -- construction from serialized state ---------------------------------
 
     @classmethod
     def from_pretrained(cls, stoi: Dict[str, int], itos: Dict) -> "CharTokenizer":
         tok = cls.__new__(cls)
+        ordered = [None] * len(itos)
+        for k, v in itos.items():
+            ordered[int(k)] = v
+        tok._set_vocab(ordered)
+        # honor any non-contiguous custom stoi the caller supplied
         tok.stoi = dict(stoi)
-        tok.itos = {int(k): v for k, v in itos.items()}
         return tok
+
+    @classmethod
+    def load(cls, data: Dict) -> "CharTokenizer":
+        return cls.from_pretrained(data["stoi"], data["itos"])
+
+    def save(self) -> Dict:
+        """JSON-safe state (itos keys stringified)."""
+        itos_json = {}
+        for i, ch in self.itos.items():
+            itos_json[str(i)] = ch
+        return {"stoi": dict(self.stoi), "itos": itos_json}
+
+    # -- core API ------------------------------------------------------------
 
     def encode(self, text: str, drop_unknown: bool = True) -> np.ndarray:
         from ..native import encode_chars
@@ -54,7 +87,8 @@ class CharTokenizer(BaseTokenizer):
         return encode_chars(text, self.stoi, drop_unknown=drop_unknown)
 
     def decode(self, ids) -> str:
-        return "".join(self.itos[int(i)] for i in np.asarray(ids).ravel())
+        flat = np.asarray(ids).ravel()
+        return "".join(self.itos[int(i)] for i in flat)
 
     @property
     def vocab_size(self) -> int:
@@ -63,21 +97,13 @@ class CharTokenizer(BaseTokenizer):
     def __contains__(self, char: str) -> bool:
         return char in self.stoi
 
-    def save(self) -> Dict:
-        """JSON-safe state dict (str keys for itos)."""
-        return {
-            "stoi": self.stoi,
-            "itos": {str(k): v for k, v in self.itos.items()},
-        }
-
-    @classmethod
-    def load(cls, data: Dict) -> "CharTokenizer":
-        return cls.from_pretrained(data["stoi"], data["itos"])
+    def __repr__(self) -> str:
+        return f"CharTokenizer(vocab_size={self.vocab_size})"
 
 
 class BPETokenizer(BaseTokenizer):
-    """Byte-pair encoding placeholder — intentionally unimplemented, matching
-    the reference's declared stub (tokenizers.py:90-107)."""
+    """Byte-pair encoding placeholder — intentionally unimplemented, the
+    same declared stub as the reference (tokenizers.py:90-107)."""
 
     def __init__(self):
         raise NotImplementedError("BPE tokenizer not yet implemented.")
