@@ -22,7 +22,7 @@ import numpy as np
 
 N = 4096
 REPS = 8
-TRIALS = 4
+TRIALS = 7
 
 
 def main():

@@ -253,3 +253,24 @@ def sample_token(key, logits, temperature=1.0, top_k: int = 0):
         kth = lax.top_k(z, top_k)[0][..., -1:]
         z = jnp.where(z < kth, -1e9, z)
     return jax.random.categorical(key, z, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
+def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
+                     n_tokens: int, temperature=1.0, top_k: int = 0):
+    """Sample ``n_tokens`` autoregressively in ONE device computation.
+
+    Each host dispatch costs a ~40 ms round trip on this runtime, so the
+    sample -> decode-step loop runs as a lax.scan on device; only the final
+    (tokens, logits, cache) cross the host boundary per chunk.
+    """
+
+    def body(carry, k):
+        logits, cache = carry
+        tok = sample_token(k, logits, temperature, top_k)
+        new_logits, cache = gpt_decode_step(params, cache, tok, cfg)
+        return (new_logits, cache), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (logits, cache), toks = lax.scan(body, (logits, cache), keys)
+    return toks.T, logits, cache  # (B, n_tokens)

@@ -189,29 +189,39 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
-           temperature: float = 1.0, top_k: int = 0, seed: int = 0):
+           temperature: float = 1.0, top_k: int = 0, seed: int = 0,
+           chunk: int = 32):
     """Streaming generator of characters — KV-cached incremental decode.
 
     Unlike the reference sampler (full O(T^2 L) forward per token,
-    gpt.py:518-546), this prefills the prompt once and then runs one jitted
-    O(T) decode step per generated token.
+    gpt.py:518-546), this prefills the prompt once and then samples
+    ``chunk`` tokens per device dispatch (the whole sample->step loop runs
+    as a lax.scan on device — one host round trip per chunk instead of two
+    per character).
     """
+    from ..models.gpt import gpt_decode_chunk
+
     key = jax.random.PRNGKey(seed)
-    ids = list(np.asarray(ctx_ids).ravel())
+    ids = list(int(i) for i in np.asarray(ctx_ids).ravel())
     if len(ids) > cfg.ctx_len - 1:
         ids = ids[-(cfg.ctx_len - 1):]
     x = jnp.asarray(np.asarray(ids, dtype=np.int32)[None, :])
     logits, cache = gpt_prefill(params, x, cfg)
-    for _ in range(steps):
-        key, sub = jax.random.split(key)
-        nxt = sample_token(sub, logits, temperature, top_k)
-        tok_id = int(nxt[0])
-        yield itos[tok_id]
-        if int(cache["length"]) >= cfg.ctx_len:
+    remaining = steps
+    while remaining > 0:
+        room = cfg.ctx_len - int(cache["length"])
+        if room <= 0:
             # context full: re-prefill on the trailing window
-            ids = (ids + [tok_id])[-(cfg.ctx_len - 1):]
+            ids = ids[-(cfg.ctx_len - 1):]
             x = jnp.asarray(np.asarray(ids, dtype=np.int32)[None, :])
             logits, cache = gpt_prefill(params, x, cfg)
-        else:
-            ids.append(tok_id)
-            logits, cache = gpt_decode_step(params, cache, nxt, cfg)
+            room = cfg.ctx_len - int(cache["length"])
+        n = min(chunk, remaining, room)
+        key, sub = jax.random.split(key)
+        toks, logits, cache = gpt_decode_chunk(
+            params, cache, logits, sub, cfg, n, temperature, top_k
+        )
+        for t in np.asarray(toks[0]):
+            ids.append(int(t))
+            yield itos[int(t)]
+        remaining -= n
