@@ -128,15 +128,25 @@ def householder_qr_pallas(A, block: int = 128,
     """
     m, n = A.shape
     dtype = A.dtype
+    # Reflectors of panel k are ZERO in lanes < k, so every block update
+    # only reads/writes lanes >= k — slicing the live lanes cuts ~1/3 of
+    # all trailing/Q matmul flops for square inputs. k is quantized to
+    # multiples of LQ to bound the number of distinct compiled shapes.
+    LQ = 256
 
-    def block_apply(Xt, Vt, Tt, transpose_t: bool):
-        """Xt := Xt (I - V T V^T)^T-ish: the transposed-layout block update.
+    def kq_of(k: int) -> int:
+        return min((k // LQ) * LQ, max(m - LQ, 0))
 
-        transpose_t False applies (I - V T^T V^T) (= Q_panel^T, trailing
-        update); True applies (I - V T V^T) (= Q_panel, Q accumulation).
+    def block_apply(Xt, Vl, Tt, kq: int, transpose_t: bool):
+        """Xt := Xt Q_panel^(T): the transposed-layout block update.
+
+        ``Vl`` is the live-lane slice Vt[:, kq:]. transpose_t False applies
+        (I - V T^T V^T) (trailing update); True applies (I - V T V^T)
+        (Q accumulation). Lanes < kq of Xt pass through untouched.
         """
+        Xl = Xt[:, kq:]
         G = jax.lax.dot_general(
-            Xt, Vt, (((1,), (1,)), ((), ())),
+            Xl, Vl, (((1,), (1,)), ((), ())),
             precision=precision, preferred_element_type=dtype,
         )  # (rows, b)
         if transpose_t:
@@ -148,8 +158,11 @@ def householder_qr_pallas(A, block: int = 128,
                 G, Tt, (((1,), (1,)), ((), ())),
                 precision=precision, preferred_element_type=dtype,
             )
-        return Xt - jnp.dot(H, Vt, precision=precision,
-                            preferred_element_type=dtype)
+        new_live = Xl - jnp.dot(H, Vl, precision=precision,
+                                preferred_element_type=dtype)
+        if kq == 0:
+            return new_live
+        return jnp.concatenate([Xt[:, :kq], new_live], axis=1)
 
     # Factorization: carry only the SHRINKING trailing block (no functional
     # updates of the full matrix — those cost a 64 MB copy per panel at
@@ -162,7 +175,8 @@ def householder_qr_pallas(A, block: int = 128,
         done.append(St)
         rest = trail[block:, :]
         if rest.shape[0]:
-            rest = block_apply(rest, Vt, Tt, transpose_t=False)
+            kq = kq_of(k)
+            rest = block_apply(rest, Vt[:, kq:], Tt, kq, transpose_t=False)
         panels.append((k, Vt, Tt))
         trail = rest
 
@@ -175,33 +189,32 @@ def householder_qr_pallas(A, block: int = 128,
     # so the big dot only reads the previously-accumulated rows.
     Xt = None
     for k, Vt, Tt in reversed(panels):
+        kq = kq_of(k)
+        Vl = Vt[:, kq:]
         # E_b V^T is just a slice of Vt — (b, b), no matmul. Rows of E at
         # global index >= m are zero (column-padded inputs), so the slice
         # is zero-padded to the panel width.
         hi = min(k + block, m)
-        G_top = Vt[:, k:hi].T
+        G_top = Vl[:, k - kq : hi - kq].T
         if hi - k < block:
             G_top = jnp.concatenate(
                 [G_top, jnp.zeros((block - (hi - k), block), dtype)], axis=0
             )
         H_top = jnp.dot(G_top, Tt, precision=precision,
                         preferred_element_type=dtype)
+        # E-block rows have their 1s at lanes k..k+b >= kq: the untouched
+        # lanes < kq are exactly zero.
         e_rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + k
-        e_block = (e_rows == jnp.arange(m)[None, :]).astype(dtype)  # E[k:k+b]
-        top = e_block - jnp.dot(H_top, Vt, precision=precision,
-                                preferred_element_type=dtype)
+        e_live = (e_rows == jnp.arange(kq, m)[None, :]).astype(dtype)
+        top_live = e_live - jnp.dot(H_top, Vl, precision=precision,
+                                    preferred_element_type=dtype)
+        top = (top_live if kq == 0 else jnp.concatenate(
+            [jnp.zeros((block, kq), dtype), top_live], axis=1))
         if Xt is None:
             Xt = top
         else:
-            G_bot = jax.lax.dot_general(
-                Xt, Vt, (((1,), (1,)), ((), ())),
-                precision=precision, preferred_element_type=dtype,
-            )
-            H_bot = jnp.dot(G_bot, Tt, precision=precision,
-                            preferred_element_type=dtype)
-            bot = Xt - jnp.dot(H_bot, Vt, precision=precision,
-                               preferred_element_type=dtype)
-            Xt = jnp.concatenate([top, bot], axis=0)
+            Xt = block_apply(Xt, Vl, Tt, kq, transpose_t=True)
+            Xt = jnp.concatenate([top, Xt], axis=0)
 
     R = jnp.triu(Rt[:, :n].T)
     return Xt.T, R
