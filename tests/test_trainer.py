@@ -1,0 +1,53 @@
+"""Trainer integration tests (CPU, tiny configs): train, checkpoint-best,
+resume-or-init semantics."""
+
+import numpy as np
+import pytest
+
+from linalg_tpu.apps.gpt import build_parser
+from linalg_tpu.train.trainer import sample, train
+
+
+def _args(tmp_path, steps=30, **over):
+    base = [
+        "--train", "--steps", str(steps), "--eval_every", "15",
+        "--batch_size", "4", "--ctx_len", "32", "--d_model", "32",
+        "--heads", "2", "--layers", "1", "--ckpt_dir", str(tmp_path),
+        "--lr_model", "1e-3",
+    ]
+    args = build_parser().parse_args(base)
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+class TestTrainer:
+    def test_train_saves_and_resumes(self, tmp_path, capsys):
+        params, cfg, stoi, itos = train(_args(tmp_path))
+        out = capsys.readouterr().out
+        assert "starting from scratch" in out
+        assert "saved best" in out
+        assert (tmp_path / "chars_gpt_best.npz").exists()
+        assert (tmp_path / "chars_gpt_meta.json").exists()
+
+        # second run must RESUME (and ignore mismatched arch flags: the
+        # checkpoint's architecture wins, reference semantics)
+        params2, cfg2, _, _ = train(_args(tmp_path, steps=5, d_model=64))
+        out = capsys.readouterr().out
+        assert "resumed from" in out
+        assert cfg2 == cfg  # checkpoint architecture, not the CLI flags
+
+    def test_sampler_runs_from_training_output(self, tmp_path):
+        params, cfg, stoi, itos = train(_args(tmp_path, steps=10))
+        some_char = next(iter(stoi))
+        ctx = np.asarray([stoi[some_char]], dtype=np.int32)
+        text = "".join(sample(params, cfg, ctx, itos, steps=20, seed=0))
+        assert len(text) == 20
+        assert all(ch in stoi for ch in text)
+
+    def test_corrupt_checkpoint_falls_back(self, tmp_path, capsys):
+        (tmp_path / "chars_gpt_best.npz").write_bytes(b"not-a-checkpoint")
+        (tmp_path / "chars_gpt_meta.json").write_text("{broken")
+        train(_args(tmp_path, steps=5))
+        out = capsys.readouterr().out
+        assert "starting from scratch" in out
