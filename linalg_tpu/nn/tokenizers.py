@@ -102,18 +102,100 @@ class CharTokenizer(BaseTokenizer):
 
 
 class BPETokenizer(BaseTokenizer):
-    """Byte-pair encoding placeholder — intentionally unimplemented, the
-    same declared stub as the reference (tokenizers.py:90-107)."""
+    """Byte-level byte-pair encoding — implemented (the reference only
+    declares a NotImplementedError stub, tokenizers.py:90-107).
 
-    def __init__(self):
-        raise NotImplementedError("BPE tokenizer not yet implemented.")
+    Tokens 0..255 are raw bytes; learned merges extend the vocabulary.
+    Construct via ``BPETokenizer.train(text, vocab_size)`` or ``load``;
+    the bare constructor raises (there is no untrained BPE), matching the
+    spirit of the reference stub.
+    """
 
-    def encode(self, text: str) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError
+    def __init__(self, merges: Optional[List[tuple]] = None):
+        if merges is None:
+            raise NotImplementedError(
+                "BPETokenizer has no untrained form: use "
+                "BPETokenizer.train(text, vocab_size) or BPETokenizer.load()."
+            )
+        self.merges: List[tuple] = [tuple(m) for m in merges]
+        # pair -> merged token id, in training order (rank = priority)
+        self.ranks: Dict[tuple, int] = {
+            pair: 256 + i for i, pair in enumerate(self.merges)
+        }
 
-    def decode(self, ids) -> str:  # pragma: no cover
-        raise NotImplementedError
+    # -- training -------------------------------------------------------------
+
+    @classmethod
+    def train(cls, text: str, vocab_size: int = 512) -> "BPETokenizer":
+        """Learn merges by repeatedly fusing the most frequent adjacent pair."""
+        assert vocab_size >= 256, "byte-level BPE needs vocab_size >= 256"
+        ids = list(text.encode("utf-8"))
+        merges: List[tuple] = []
+        next_id = 256
+        while next_id < vocab_size and len(ids) > 1:
+            counts: Dict[tuple, int] = {}
+            for a, b in zip(ids, ids[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            pair, freq = max(counts.items(), key=lambda kv: (kv[1], -kv[0][0]))
+            if freq < 2:
+                break
+            ids = cls._merge(ids, pair, next_id)
+            merges.append(pair)
+            next_id += 1
+        return cls(merges)
+
+    @staticmethod
+    def _merge(ids: List[int], pair: tuple, new_id: int) -> List[int]:
+        out = []
+        i = 0
+        n = len(ids)
+        while i < n:
+            if i + 1 < n and ids[i] == pair[0] and ids[i + 1] == pair[1]:
+                out.append(new_id)
+                i += 2
+            else:
+                out.append(ids[i])
+                i += 1
+        return out
+
+    # -- core API --------------------------------------------------------------
+
+    def encode(self, text: str) -> np.ndarray:
+        ids = list(text.encode("utf-8"))
+        while len(ids) > 1:
+            # lowest-rank (earliest-learned) applicable pair merges first
+            best = None
+            best_rank = None
+            for a, b in zip(ids, ids[1:]):
+                r = self.ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (a, b), r
+            if best is None:
+                break
+            ids = self._merge(ids, best, best_rank)
+        return np.asarray(ids, dtype=np.int32)
+
+    def decode(self, ids) -> str:
+        expand: Dict[int, bytes] = {}
+
+        def to_bytes(i: int) -> bytes:
+            if i < 256:
+                return bytes([i])
+            if i not in expand:
+                a, b = self.merges[i - 256]
+                expand[i] = to_bytes(a) + to_bytes(b)
+            return expand[i]
+
+        data = b"".join(to_bytes(int(i)) for i in np.asarray(ids).ravel())
+        return data.decode("utf-8", errors="replace")
 
     @property
-    def vocab_size(self) -> int:  # pragma: no cover
-        raise NotImplementedError
+    def vocab_size(self) -> int:
+        return 256 + len(self.merges)
+
+    def save(self) -> Dict:
+        return {"merges": [list(m) for m in self.merges]}
+
+    @classmethod
+    def load(cls, data: Dict) -> "BPETokenizer":
+        return cls(merges=[tuple(m) for m in data["merges"]])

@@ -244,9 +244,28 @@ class TestTokenizers:
         assert tok2.decode(tok2.encode("shake")) == "shake"
         assert tok2.vocab_size == tok.vocab_size
 
-    def test_bpe_placeholder(self):
+    def test_bpe_untrained_raises(self):
         with pytest.raises(NotImplementedError):
             nn.BPETokenizer()
+
+    def test_bpe_roundtrip(self):
+        corpus = "the theatre is the theme of the thesis " * 20
+        bpe = nn.BPETokenizer.train(corpus, vocab_size=300)
+        assert 256 < bpe.vocab_size <= 300
+        for s in ["the theme", "thesis!", "日本語 text", "a"]:
+            assert bpe.decode(bpe.encode(s)) == s
+        # merges compress: "the" should take far fewer tokens than bytes
+        assert len(bpe.encode(corpus)) < 0.6 * len(corpus.encode())
+
+    def test_bpe_save_load(self):
+        import json
+
+        bpe = nn.BPETokenizer.train("banana bandana banana " * 10, vocab_size=280)
+        data = json.loads(json.dumps(bpe.save()))
+        bpe2 = nn.BPETokenizer.load(data)
+        s = "banana bandana"
+        np.testing.assert_array_equal(bpe.encode(s), bpe2.encode(s))
+        assert bpe2.decode(bpe2.encode(s)) == s
 
     def test_sinusoidal_matches_formula(self):
         pe = np.asarray(nn.sinusoidal_encoding(6, 8))
