@@ -154,11 +154,12 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
         out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn)
         return out, None
 
-    # Rematerialize per-layer activations in the backward pass: the train
-    # step is HBM-bandwidth-bound (~6 GB accessed vs 314 GFLOP at the
-    # published config), so trading recompute for stored activations is a
-    # straight win (~5% step time) and linear memory in depth.
-    h, _ = lax.scan(jax.checkpoint(body), h, params["layers"])
+    # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
+    # HBM-bandwidth-bound: ~6 GB accessed vs 314 GFLOP at the published
+    # config) but blows the train-step compile from ~6 s to ~250 s on this
+    # runtime (remat of a scan body containing a Pallas custom_vjp), so it
+    # is deliberately NOT applied.
+    h, _ = lax.scan(body, h, params["layers"])
     return h @ params["tok_W"].T + params["head_b"]
 
 
