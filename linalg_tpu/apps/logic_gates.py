@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..train.optim import adamw_init  # noqa: F401  (re-exported convenience)
-
 __all__ = ["GateMLP", "train_gate", "gate_apply", "gate_reduce",
             "XOR_TABLE", "OR_TABLE"]
 

@@ -15,7 +15,7 @@ TPU training path of the same architecture see ``models/seq2seq.py``.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,14 +19,13 @@ TPU-first design:
 from __future__ import annotations
 
 import logging
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .elimination import _forward_eliminate_core
-from .qr import _as_float, _dot, qr
+from .qr import _as_float, qr
 
 logger = logging.getLogger(__name__)
 

@@ -13,7 +13,6 @@ import json
 import pathlib
 from typing import Dict, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.gpt import GPTConfig, Params, init_gpt_params

@@ -15,21 +15,13 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.gpt import (
-    GPTConfig,
-    gpt_decode_step,
-    gpt_loss,
-    gpt_prefill,
-    init_gpt_params,
-    sample_token,
-)
-from ..nn.tokenizers import CharTokenizer
+from ..models.gpt import GPTConfig, gpt_loss, gpt_prefill, init_gpt_params
 from .checkpoint import load_ckpt, save_ckpt
 from .data import build_char_vocab, encode, load_text
 from .optim import adamw_init, adamw_update, gpt_wd_mask, warmup_cosine
