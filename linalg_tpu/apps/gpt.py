@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="path to a local corpus text file (optional)")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace of training into DIR")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel mesh axis (multi-device training)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh axis (heads/FFN sharding)")
     return ap
 
 

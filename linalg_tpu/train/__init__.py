@@ -1,7 +1,14 @@
 from .checkpoint import load_ckpt, save_ckpt
 from .data import batch_stream, build_char_vocab, decode, encode, load_text
 from .optim import adamw_init, adamw_update, gpt_wd_mask, warmup_cosine
-from .trainer import eval_avg, make_device_train_step, make_train_step, sample, train
+from .trainer import (
+    eval_avg,
+    make_device_train_step,
+    make_train_step,
+    sample,
+    train,
+    train_sharded,
+)
 
 __all__ = [
     "load_ckpt",
@@ -16,6 +23,7 @@ __all__ = [
     "gpt_wd_mask",
     "warmup_cosine",
     "train",
+    "train_sharded",
     "sample",
     "make_train_step",
     "make_device_train_step",

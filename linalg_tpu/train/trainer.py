@@ -26,7 +26,7 @@ from .checkpoint import load_ckpt, save_ckpt
 from .data import build_char_vocab, encode, load_text
 from .optim import adamw_init, adamw_update, gpt_wd_mask, warmup_cosine
 
-__all__ = ["train", "sample", "make_train_step", "eval_avg"]
+__all__ = ["train", "train_sharded", "sample", "make_train_step", "eval_avg"]
 
 
 def make_train_step(cfg: GPTConfig, *, base_lr: float, min_lr: float,
@@ -110,8 +110,82 @@ def _eval_device(params, val_ids, key, cfg: GPTConfig, batch: int, batches: int)
     return total / batches
 
 
+def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
+    """Multi-device training over a dp x tp mesh (GSPMD shardings).
+
+    Same loop semantics as ``train``; parameters/optimizer are sharded per
+    ``parallel.gpt_param_specs`` and batches are dp-sharded. Requires
+    dp * tp <= len(jax.devices()) and batch_size % dp == 0.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharding import gpt_param_specs, make_sharded_train_step
+    from .data import batch_stream
+    from .optim import AdamWState
+
+    text = load_text(getattr(args, "data", None))
+    try:
+        params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+        print(f"resumed from {args.ckpt_dir}")
+    except Exception:
+        print("Error loading checkpoint, starting from scratch")
+        stoi, itos = build_char_vocab(text)
+        cfg = GPTConfig(vocab_size=len(stoi), d_model=args.d_model,
+                        n_heads=args.heads, n_layers=args.layers,
+                        ctx_len=args.ctx_len)
+        params = init_gpt_params(cfg, seed=123)
+    assert args.batch_size % dp == 0, "batch_size must divide by dp"
+    assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
+
+    mesh = make_mesh((dp, tp), ("dp", "tp"))
+    param_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), gpt_param_specs(None),
+        is_leaf=lambda v: isinstance(v, P),
+    )
+    params = jax.device_put(params, param_sh)
+    opt_state = jax.device_put(
+        adamw_init(params),
+        AdamWState(m=param_sh, v=param_sh, t=NamedSharding(mesh, P())),
+    )
+    batch_sh = NamedSharding(mesh, P("dp", None))
+
+    ids = encode(text, stoi)
+    split = int(0.9 * len(ids))
+    rng = np.random.default_rng(args.seed)
+    train_iter = batch_stream(ids[:split], args.batch_size, cfg.ctx_len, rng)
+    val_iter = batch_stream(ids[split:], args.batch_size, cfg.ctx_len, rng)
+
+    step_fn = make_sharded_train_step(cfg, mesh, lr=args.lr_model,
+                                      weight_decay=args.weight_decay)
+    best = 1e9
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        x, y = next(train_iter)
+        xs = jax.device_put(jnp.asarray(x), batch_sh)
+        ys = jax.device_put(jnp.asarray(y), batch_sh)
+        params, opt_state, loss = step_fn(params, opt_state, xs, ys)
+        if step % 20 == 0 or step == 1:
+            print(f"step {step:6d}  loss {float(loss):.4f}")
+        if step % args.eval_every == 0:
+            val_loss = eval_avg(params, cfg, val_iter, batches=10)
+            print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
+            if val_loss < best:
+                best = val_loss
+                path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos)
+                print(f"  saved best -> {path}  (val {best:.4f})")
+    dt = time.time() - t0
+    print(f"done in {dt:.1f}s  (mesh dp={dp} tp={tp}, "
+          f"{args.steps / dt:.2f} steps/s)")
+    return params, cfg, stoi, itos
+
+
 def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     """Run the training loop; returns (params, cfg, stoi, itos)."""
+    dp = int(getattr(args, "dp", 1) or 1)
+    tp = int(getattr(args, "tp", 1) or 1)
+    if dp * tp > 1:
+        return train_sharded(args, dp, tp)
     text = load_text(getattr(args, "data", None))
 
     try:

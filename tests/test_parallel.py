@@ -107,3 +107,18 @@ class TestShardedTraining:
             params, opt, loss = step(params, opt, x, y)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+class TestShardedCLI:
+    def test_train_sharded_via_cli_flags(self, tmp_path):
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "10", "--eval_every", "10",
+            "--batch_size", "8", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir", str(tmp_path),
+            "--dp", "2", "--tp", "4",
+        ])
+        params, cfg, stoi, itos = train(args)
+        assert (tmp_path / "chars_gpt_best.npz").exists()
