@@ -66,6 +66,7 @@ def repl(args) -> None:
             temperature=args.temperature,
             top_k=args.top_k,
             seed=args.seed,
+            chunk=min(max(args.gen_tokens, 1), 120),
         ):
             print(ch, end="", flush=True)
         print()

@@ -256,7 +256,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
            temperature: float = 1.0, top_k: int = 0, seed: int = 0,
-           chunk: int = 32):
+           chunk: int = 64):
     """Streaming generator of characters — KV-cached incremental decode.
 
     Unlike the reference sampler (full O(T^2 L) forward per token,
