@@ -36,6 +36,7 @@ from .cache import (
 )
 from .flash import flash_attention
 from .flash_long import flash_attention_long
+from .flash_stream import flash_attention_stream
 from .functional import layer_norm, rms_norm, rope_rotate, sdpa, sinusoidal_encoding
 from .normalization import LayerNorm, RMSNorm, get_norm
 from .positional import (
@@ -76,6 +77,7 @@ __all__ = [
     "sdpa",
     "flash_attention",
     "flash_attention_long",
+    "flash_attention_stream",
     "mha_init",
     "mha_apply",
     # tokenizers

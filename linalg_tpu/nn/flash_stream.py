@@ -1,0 +1,168 @@
+"""Streaming flash attention: online softmax over a key-block grid.
+
+The canonical TPU flash kernel: the grid's innermost dimension walks key
+blocks while VMEM scratch carries the running row-max ``m``, normalizer
+``l`` and output accumulator — so VMEM holds only (BQ, d) + (BK, d) blocks
+and the (BQ, BK) score tile, independent of sequence length. Pallas streams
+the K/V blocks HBM->VMEM via the BlockSpec pipeline (double-buffered by the
+Mosaic scheduler); O and the logsumexp L are written on the final key step.
+
+This removes the T <= 8192 VMEM ceiling of ``nn.flash_long``. The backward
+runs as an XLA-level chunked recomputation from (q, k, v, o, L): O(T * BK)
+memory, no stored probabilities.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention_stream"]
+
+_BQ = 256
+_BK = 256
+_NEG = -1e30
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_s, l_s, acc_s,
+                *, scale, causal, nk):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (BK, d)
+    v = v_ref[0]
+    BQ, BK = q.shape[0], k.shape[0]
+
+    run = True
+    if causal:
+        # block is fully masked when its first key index exceeds the
+        # q block's last row index
+        run = ki * BK <= qi * BQ + BQ - 1
+
+    @pl.when(run if causal else ki >= 0)
+    def _():
+        s = scale * lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + qi * BQ
+            cols = lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + ki * BK
+            s = jnp.where(cols <= rows, s, _NEG)
+        m_prev = m_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_s[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        denom = jnp.where(l_s[:] == 0, 1.0, l_s[:])
+        o_ref[0] = acc_s[:] / denom
+        L = (m_s[:] + jnp.log(denom))[:, 0]
+        l_ref[0] = jnp.broadcast_to(L[None, :], (8, L.shape[0]))
+
+
+def _fwd_call(q, k, v, scale, causal):
+    BH, T, d = q.shape
+    nq, nk = T // _BQ, T // _BK
+    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal, nk=nk)
+    qspec = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, _BK, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, 8, _BQ), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(BH, nq, nk),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, 8, T), jnp.float32),
+        ),
+        in_specs=[qspec, kspec, kspec],
+        out_specs=(ospec, lspec),
+        scratch_shapes=[
+            pltpu.VMEM((_BQ, 1), jnp.float32),
+            pltpu.VMEM((_BQ, 1), jnp.float32),
+            pltpu.VMEM((_BQ, d), jnp.float32),
+        ],
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_stream(q, k, v, causal: bool = True):
+    """Streaming fused attention for arbitrary T (multiple of 256)."""
+    return _fwd(q, k, v, causal)[0]
+
+
+def _fwd(q, k, v, causal):
+    B, h, T, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    rs = lambda x: x.reshape(B * h, T, d)
+    o, L = _fwd_call(rs(q), rs(k), rs(v), scale, causal)
+    o = o.reshape(B, h, T, d)
+    return o, (q, k, v, o, L.reshape(B, h, 8, T)[:, :, 0])
+
+
+def _vjp_fwd(q, k, v, causal):
+    return _fwd(q, k, v, causal)
+
+
+def _vjp_bwd(causal, res, do):
+    """Chunked XLA-level backward: recompute P strips from (q, k, L)."""
+    q, k, v, o, L = res  # L: (B, h, T)
+    B, h, T, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    delta = jnp.sum(do * o, axis=-1)  # (B, h, T)
+    nq = T // _BQ
+    nk = T // _BK
+
+    def strip(qc, Lc, deltac, doc, q0):
+        """dq for one q chunk + its (dk, dv) contribution."""
+        s = scale * jnp.einsum("bhtd,bhsd->bhts", qc, k)
+        if causal:
+            rows = q0 + jnp.arange(_BQ)[:, None]
+            cols = jnp.arange(T)[None, :]
+            s = jnp.where(cols <= rows, s, _NEG)
+        p = jnp.exp(s - Lc[..., None])
+        dp = jnp.einsum("bhtd,bhsd->bhts", doc, v)
+        ds = (dp - deltac[..., None]) * p
+        dq = scale * jnp.einsum("bhts,bhsd->bhtd", ds, k)
+        dk_c = scale * jnp.einsum("bhts,bhtd->bhsd", ds, qc)
+        dv_c = jnp.einsum("bhts,bhtd->bhsd", p, doc)
+        return dq, dk_c, dv_c
+
+    def body(carry, i):
+        dk, dv = carry
+        q0 = i * _BQ
+        sl = lambda x: lax.dynamic_slice_in_dim(x, q0, _BQ, axis=2)
+        dq_c, dk_c, dv_c = strip(sl(q), sl(L), sl(delta), sl(do), q0)
+        return (dk + dk_c, dv + dv_c), dq_c
+
+    (dk, dv), dq_chunks = lax.scan(
+        body, (jnp.zeros_like(k), jnp.zeros_like(v)), jnp.arange(nq)
+    )
+    dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, h, T, d)
+    return dq, dk, dv
+
+
+flash_attention_stream.defvjp(_vjp_fwd, _vjp_bwd)

@@ -12,6 +12,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from linalg_tpu.nn.flash import flash_attention
 from linalg_tpu.nn.flash_long import flash_attention_long
+from linalg_tpu.nn.flash_stream import flash_attention_stream
 from linalg_tpu.nn.functional import causal_mask, sdpa
 
 
@@ -23,7 +24,8 @@ def _rand(shape, seed):
 
 @pytest.mark.parametrize(
     "fn,T",
-    [(flash_attention, 64), (flash_attention, 128), (flash_attention_long, 512)],
+    [(flash_attention, 64), (flash_attention, 128),
+     (flash_attention_long, 512), (flash_attention_stream, 512)],
 )
 class TestFlashKernels:
     def test_forward_matches_sdpa(self, fn, T):
