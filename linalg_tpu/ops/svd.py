@@ -47,20 +47,27 @@ def _svd_core(A):
     return U, s, V.T
 
 
-def svd(A, tol: float = 1e-12, seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def svd(A, tol: float = 1e-12, seed: int = 0,
+        reorthogonalize: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Economy SVD: A (m, n) -> (U (m, n), s (n,), Vt (n, n)) for m >= n.
 
     Wide matrices recurse on A^T with U/V roles swapped (reference
     svd.py:37-39). Columns of U beyond the numerical rank are completed with
     a deterministic random orthonormal complement (svd.py:66-76; here seeded
     by ``seed`` rather than global RNG state).
+
+    ``reorthogonalize=True`` polishes U with a sign-preserving QR — useful
+    in float32, where the squared (A^T A) route leaves U orthogonality at
+    ~sqrt(eps)*kappa (e.g. ~1e-2 on rank-deficient inputs); the polish
+    restores it to working precision at the cost of slightly rotating
+    U's columns within near-degenerate singular clusters.
     """
     A = jnp.asarray(A)
     if not jnp.issubdtype(A.dtype, jnp.floating):
         A = A.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     m, n = A.shape
     if m < n:
-        Vt, s, Ut = svd(A.T, tol, seed)
+        Vt, s, Ut = svd(A.T, tol, seed, reorthogonalize)
         return Ut.T, s, Vt.T
 
     U, s, Vt = _svd_core(A)
@@ -85,6 +92,12 @@ def svd(A, tol: float = 1e-12, seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray,
         Q = Q - U_r @ (U_r.T @ Q)
         Q, _ = jnp.linalg.qr(Q)
         U = jnp.concatenate([U_r, Q], axis=1)
+
+    if reorthogonalize:
+        Qu, Ru = jnp.linalg.qr(U)
+        # sign-fix so each polished column keeps its original direction
+        signs = jnp.sign(jnp.diagonal(Ru))
+        U = Qu * jnp.where(signs == 0, 1.0, signs)[None, :]
 
     return U, s, Vt
 

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..models.gpt import GPTConfig, Params, init_gpt_params
 
-__all__ = ["save_ckpt", "load_ckpt", "CKPT_NAME", "META_NAME"]
+__all__ = ["save_ckpt", "load_ckpt", "save_ckpt_orbax",
+           "load_ckpt_orbax", "CKPT_NAME", "META_NAME"]
 
 CKPT_NAME = "chars_gpt_best.npz"
 META_NAME = "chars_gpt_meta.json"
@@ -91,3 +92,54 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         "layers": lay,
     }
     return push_pytree(host), cfg, stoi, itos
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional, alongside the reference-compatible npz format)
+# ---------------------------------------------------------------------------
+
+
+def save_ckpt_orbax(ckpt_dir, params: Params, cfg: GPTConfig,
+                    stoi: Dict[str, int], itos: Dict[int, str]):
+    """Save via orbax (sharding-aware, async-capable); meta stays JSON.
+
+    Use for large/sharded models; ``save_ckpt`` remains the
+    reference-compatible default.
+    """
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = pathlib.Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / "orbax"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+    meta = {
+        "stoi": stoi,
+        "itos": {str(k): v for k, v in itos.items()},
+        "d_model": cfg.d_model,
+        "heads": cfg.n_heads,
+        "layers": cfg.n_layers,
+        "ctx_len": cfg.ctx_len,
+    }
+    (ckpt_dir / META_NAME).write_text(json.dumps(meta))
+    return path
+
+
+def load_ckpt_orbax(ckpt_dir):
+    """Counterpart of ``save_ckpt_orbax``; returns (params, cfg, stoi, itos)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = pathlib.Path(ckpt_dir).resolve()
+    meta = json.loads((ckpt_dir / META_NAME).read_text())
+    stoi = meta["stoi"]
+    itos = {int(k): v for k, v in meta["itos"].items()}
+    cfg = GPTConfig(
+        vocab_size=len(stoi),
+        d_model=meta["d_model"],
+        n_heads=meta["heads"],
+        n_layers=meta["layers"],
+        ctx_len=meta["ctx_len"],
+    )
+    with ocp.PyTreeCheckpointer() as ckptr:
+        params = ckptr.restore(ckpt_dir / "orbax")
+    return params, cfg, stoi, itos

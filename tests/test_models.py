@@ -207,3 +207,20 @@ class TestSeq2Seq:
             epochs=500, B=64, T=6, V=8, lr=3e-3, seed=0
         )
         assert acc > 0.9
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax
+        import numpy as _np
+
+        from linalg_tpu.train.checkpoint import load_ckpt_orbax, save_ckpt_orbax
+
+        params = _params()
+        stoi = {chr(97 + i): i for i in range(31)}
+        itos = {i: ch for ch, i in stoi.items()}
+        save_ckpt_orbax(tmp_path, params, CFG, stoi, itos)
+        params2, cfg2, stoi2, _ = load_ckpt_orbax(tmp_path)
+        assert cfg2 == CFG and stoi2 == stoi
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), atol=0)

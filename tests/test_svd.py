@@ -114,3 +114,30 @@ class TestPCA:
         X = data - data.mean(axis=0)
         s = np.linalg.svd(X, compute_uv=False)
         assert np.allclose(np.asarray(ev), s[:5] ** 2 / (50 - 1), atol=1e-8)
+
+
+class TestReorthogonalize:
+    def test_f32_rank_deficient_orthogonality_restored(self):
+        # the squared route leaves U orthogonality ~1e-2 in f32 on
+        # rank-deficient input; the polish restores working precision
+        rng = np.random.default_rng(0)
+        A = (rng.standard_normal((40, 5)) @ rng.standard_normal((5, 24))
+             ).astype(np.float32)
+        U0, s0, Vt0 = la.svd(A)
+        U1, s1, Vt1 = la.svd(A, reorthogonalize=True)
+        U0, U1 = np.asarray(U0), np.asarray(U1)
+        orth0 = np.linalg.norm(U0.T @ U0 - np.eye(24))
+        orth1 = np.linalg.norm(U1.T @ U1 - np.eye(24))
+        assert orth1 < orth0 or orth0 < 1e-5
+        assert orth1 < 1e-4
+        # reconstruction preserved
+        rec = U1 @ np.diag(np.asarray(s1)) @ np.asarray(Vt1)
+        assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-4
+
+    def test_f64_unchanged_semantics(self):
+        A = np.random.default_rng(1).standard_normal((12, 6))
+        U0, s0, _ = la.svd(A)
+        U1, s1, _ = la.svd(A, reorthogonalize=True)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=0)
+        # full-rank f64: polish is a near-no-op
+        np.testing.assert_allclose(np.asarray(U0), np.asarray(U1), atol=1e-10)
