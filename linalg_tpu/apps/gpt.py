@@ -23,8 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--lr_model", type=float, default=3e-4)
-    ap.add_argument("--lr_embed", type=float, default=3e-4)
-    ap.add_argument("--lr_head", type=float, default=3e-4)
+    ap.add_argument("--lr_embed", type=float, default=3e-4,
+                    help="lr for the (tied) token embedding matrix")
+    ap.add_argument("--lr_head", type=float, default=3e-4,
+                    help="lr for the output-head bias (weights are tied)")
+    ap.add_argument("--pos", type=str, default="sinusoidal",
+                    choices=("sinusoidal", "rope"),
+                    help="positional encoding for a fresh model")
     ap.add_argument("--weight_decay", type=float, default=0.01)
     ap.add_argument("--ckpt_dir", type=str, default="checkpoints_np")
     ap.add_argument("--gen_tokens", type=int, default=200)

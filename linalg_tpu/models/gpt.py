@@ -32,7 +32,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..nn.functional import causal_mask, layer_norm, relu, sdpa, sinusoidal_encoding
+from ..nn.cache import fkv_advance, fkv_write
+from ..nn.functional import (
+    causal_mask,
+    layer_norm,
+    relu,
+    rope_rotate,
+    rope_tables,
+    sdpa,
+    sinusoidal_encoding,
+)
 
 __all__ = [
     "GPTConfig",
@@ -55,6 +64,13 @@ class GPTConfig:
     n_layers: int = 4
     d_ff: Optional[int] = None
     ctx_len: int = 256
+    pos: str = "sinusoidal"  # "sinusoidal" (additive PE) or "rope"
+
+    def __post_init__(self):
+        if self.pos not in ("sinusoidal", "rope"):
+            raise ValueError(f"Unknown positional encoding: {self.pos!r}")
+        if self.pos == "rope" and (self.d_model // self.n_heads) % 2 != 0:
+            raise ValueError("RoPE requires an even head dimension")
 
     @property
     def dff(self) -> int:
@@ -106,12 +122,20 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, h * d)
 
 
-def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable):
-    """One pre-LN decoder block (reference gpt.py:161-169)."""
+def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None):
+    """One pre-LN decoder block (reference gpt.py:161-169).
+
+    ``rope`` is an optional (cos, sin) pair of (T, d_head/2) tables; when
+    given, Q/K are rotated per position (RoPE replaces the additive PE).
+    """
     xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
     q = _heads(xn @ lp["Wq"], n_heads)
     k = _heads(xn @ lp["Wk"], n_heads)
     v = _heads(xn @ lp["Wv"], n_heads)
+    if rope is not None:
+        cos, sin = rope
+        q = rope_rotate(q, cos, sin)
+        k = rope_rotate(k, cos, sin)
     a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
@@ -137,6 +161,18 @@ def _pick_attn(T: int, d_head: int):
     return sdpa
 
 
+def _embed(params: Params, x_ids, cfg: GPTConfig, T: int):
+    """Token embedding plus positions: (h, rope_tables-or-None).
+
+    Sinusoidal PE is added to the embedding (reference gpt.py:362-364);
+    RoPE instead returns per-position Q/K rotation tables for the layers.
+    """
+    if cfg.pos == "rope":
+        return params["tok_W"][x_ids], rope_tables(cfg.d_head, jnp.arange(T))
+    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+    return params["tok_W"][x_ids] + pe[None], None
+
+
 def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
               attn_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head.
@@ -148,12 +184,11 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
     T = x_ids.shape[-1]
     if attn_fn is None:
         attn_fn = _pick_attn(T, cfg.d_head)
-    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
-    h = params["tok_W"][x_ids] + pe[None]
+    h, rope = _embed(params, x_ids, cfg, T)
     mask = causal_mask(T, dtype=h.dtype)
 
     def body(carry, lp):
-        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn)
+        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope)
         return out, None
 
     # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
@@ -181,12 +216,9 @@ def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
 
 
 def init_decode_cache(cfg: GPTConfig, batch: int = 1) -> Dict[str, jnp.ndarray]:
-    shape = (cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len, cfg.d_head)
-    return {
-        "k": jnp.zeros(shape, jnp.float32),
-        "v": jnp.zeros(shape, jnp.float32),
-        "length": jnp.zeros((), jnp.int32),
-    }
+    from ..nn.cache import fkv_init
+
+    return fkv_init(cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len, cfg.d_head)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -196,12 +228,11 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig):
     x_ids is (B, T) with T <= ctx_len; cache K/V buffers are ctx_len-sized.
     """
     B, T = x_ids.shape
-    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
-    h = params["tok_W"][x_ids] + pe[None]
+    h, rope = _embed(params, x_ids, cfg, T)
     mask = causal_mask(T, dtype=h.dtype)
 
     def body(carry, lp):
-        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa)
+        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, params["layers"])
@@ -223,13 +254,17 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     """
     B = token.shape[0]
     pos = cache["length"]
-    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
-    h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+    if cfg.pos == "rope":
+        h = params["tok_W"][token][:, None, :]
+        rope = rope_tables(cfg.d_head, pos[None])  # tables at the live slot
+    else:
+        pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
+        h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+        rope = None
 
     t_ids = jnp.arange(cfg.ctx_len)
     # position p attends to cache slots <= pos (itself included at slot pos)
     attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9)[None, None, None, :]
-    zero = jnp.zeros((), jnp.int32)
 
     def body(carry, xs):
         h_in = carry
@@ -238,8 +273,11 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         q = _heads(xn @ lp["Wq"], cfg.n_heads)
         k = _heads(xn @ lp["Wk"], cfg.n_heads)
         v = _heads(xn @ lp["Wv"], cfg.n_heads)
-        k_l = lax.dynamic_update_slice(k_l, k, (zero, zero, pos, zero))
-        v_l = lax.dynamic_update_slice(v_l, v, (zero, zero, pos, zero))
+        if rope is not None:
+            cos, sin = rope
+            q = rope_rotate(q, cos, sin)
+            k = rope_rotate(k, cos, sin)  # cached keys are stored rotated
+        k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
         a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
@@ -248,7 +286,7 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
 
     h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
     logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
-    new_cache = {"k": K, "v": V, "length": pos + 1}
+    new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
     return logits, new_cache
 
 

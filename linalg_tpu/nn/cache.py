@@ -28,7 +28,9 @@ __all__ = [
     "LayerKVCache",
     "apply_kv_cache",
     "fkv_init",
+    "fkv_write",
     "fkv_update",
+    "fkv_advance",
 ]
 
 
@@ -125,6 +127,21 @@ def fkv_init(n_layers: int, batch: int, n_heads: int, max_seq_len: int,
     }
 
 
+def fkv_write(k_buf, v_buf, length, k_new, v_new):
+    """The one cache-write primitive: insert k_new/v_new (B, h, t, d) into
+    fixed-shape buffers (B, h, max_T, d) at time offset ``length`` (traced).
+
+    Used both by ``fkv_update`` and by the GPT's scanned decode step
+    (models/gpt.py) so there is exactly one cache implementation.
+    """
+    zero = jnp.zeros((), dtype=jnp.asarray(length).dtype)
+    at = (zero, zero, length, zero)
+    return (
+        lax.dynamic_update_slice(k_buf, k_new, at),
+        lax.dynamic_update_slice(v_buf, v_new, at),
+    )
+
+
 def fkv_update(cache: Dict[str, jnp.ndarray], layer: int, k_new, v_new):
     """Write k_new/v_new (B, h, t, d) for one layer at the current length.
 
@@ -133,10 +150,8 @@ def fkv_update(cache: Dict[str, jnp.ndarray], layer: int, k_new, v_new):
     >= length + t. The global ``length`` is advanced separately with
     ``fkv_advance`` once all layers have written.
     """
-    zero = jnp.zeros((), dtype=cache["length"].dtype)
-    at = (zero, zero, cache["length"], zero)
-    k = lax.dynamic_update_slice(cache["k"][layer], k_new, at)
-    v = lax.dynamic_update_slice(cache["v"][layer], v_new, at)
+    k, v = fkv_write(cache["k"][layer], cache["v"][layer], cache["length"],
+                     k_new, v_new)
     cache = dict(cache, k=cache["k"].at[layer].set(k), v=cache["v"].at[layer].set(v))
     return cache, k, v
 

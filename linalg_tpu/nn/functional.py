@@ -30,6 +30,7 @@ __all__ = [
     "rms_norm",
     "sdpa",
     "rope_rotate",
+    "rope_tables",
     "sinusoidal_encoding",
     "he_init",
 ]
@@ -245,6 +246,22 @@ def sinusoidal_encoding(max_len: int, d_model: int, dtype=jnp.float32):
     angle = pos / (10000 ** (2 * (i // 2) / d_model)).astype(jnp.float32)
     pe = jnp.where(i % 2 == 0, jnp.sin(angle), jnp.cos(angle))
     return pe.astype(dtype)
+
+
+def rope_tables(d_head: int, positions, base: float = 10000.0,
+                dtype=jnp.float32):
+    """cos/sin tables of shape (T, d_head/2) for the given positions (T,).
+
+    ``positions`` may be a traced array (e.g. the live KV-cache length during
+    incremental decode), matching the reference RoPE's ``offset`` semantics
+    (/root/reference/ai_comps/positional.py:121-135) without a precomputed
+    cache bound.
+    """
+    inv_freq = 1.0 / (
+        base ** (jnp.arange(0, d_head, 2, dtype=jnp.float32) / d_head)
+    )
+    angles = jnp.asarray(positions, jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
 
 
 def rope_rotate(x, cos, sin):

@@ -2,8 +2,10 @@
 
 Reference: /root/reference/ai_comps/positional.py:11-186. RoPE keeps the
 ``offset`` parameter for KV-cache decode (positional.py:121-135) — and here
-it is actually used by the GPT sampler (the reference built it but never
-wired it in).
+it is actually wired into a model: ``GPTConfig(pos="rope")`` rotates Q/K in
+``gpt_apply``/``gpt_prefill`` and at the live cache position in
+``gpt_decode_step`` (models/gpt.py), the integration the reference built
+but never used.
 """
 
 from __future__ import annotations

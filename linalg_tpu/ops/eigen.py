@@ -99,7 +99,9 @@ def power_iteration(
     n = A.shape[0]
 
     if v0 is None:
-        v = np.random.randn(n)
+        # deterministic default start vector (the reference draws from the
+        # global np.random state, eigen.py:34-36 — a nondeterminism we fix)
+        v = np.random.default_rng(0).standard_normal(n)
     else:
         v = np.asarray(v0, dtype=float).copy()
         if v.shape != (n,):

@@ -55,6 +55,7 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         "heads": cfg.n_heads,
         "layers": cfg.n_layers,
         "ctx_len": cfg.ctx_len,
+        "pos": cfg.pos,
     }
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
@@ -77,18 +78,21 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         n_heads=meta["heads"],
         n_layers=meta["layers"],
         ctx_len=meta["ctx_len"],
+        pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
     )
     from ..utils.transfer import push_pytree
 
     params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
     lay = {}
     for ours in params["layers"]:
+        # astype: reference-produced archives are float64 (NumPy default,
+        # gpt.py:440-464); our compute dtype is float32
         lay[ours] = np.stack(
             [z[f"l{i}_{ours}"] for i in range(cfg.n_layers)], axis=0
-        )
+        ).astype(np.float32)
     host = {
-        "tok_W": np.asarray(z["tok_W"]),
-        "head_b": np.asarray(z["head_b"]),
+        "tok_W": np.asarray(z["tok_W"], dtype=np.float32),
+        "head_b": np.asarray(z["head_b"], dtype=np.float32),
         "layers": lay,
     }
     return push_pytree(host), cfg, stoi, itos
@@ -120,6 +124,7 @@ def save_ckpt_orbax(ckpt_dir, params: Params, cfg: GPTConfig,
         "heads": cfg.n_heads,
         "layers": cfg.n_layers,
         "ctx_len": cfg.ctx_len,
+        "pos": cfg.pos,
     }
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
@@ -139,6 +144,7 @@ def load_ckpt_orbax(ckpt_dir):
         n_heads=meta["heads"],
         n_layers=meta["layers"],
         ctx_len=meta["ctx_len"],
+        pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
     )
     with ocp.PyTreeCheckpointer() as ckptr:
         params = ckptr.restore(ckpt_dir / "orbax")

@@ -18,7 +18,8 @@ from typing import Any, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["AdamWState", "adamw_init", "adamw_update", "gpt_wd_mask", "warmup_cosine"]
+__all__ = ["AdamWState", "adamw_init", "adamw_update", "gpt_wd_mask",
+           "gpt_lr_scales", "warmup_cosine"]
 
 
 class AdamWState(NamedTuple):
@@ -42,21 +43,25 @@ def adamw_update(
     b1: float = 0.9,
     b2: float = 0.95,
     eps: float = 1e-8,
+    lr_scales=None,
 ) -> Tuple[Any, AdamWState]:
     """One AdamW step. ``wd_tree`` is a pytree of per-leaf weight-decay
-    coefficients (floats), same structure as params."""
+    coefficients (floats), same structure as params. ``lr_scales`` is an
+    optional pytree of per-leaf lr multipliers (param-group lr, reference
+    gpt.py's --lr_embed/--lr_head intent)."""
     t = state.t + 1
     tf = t.astype(jnp.float32)
     c1 = 1.0 - b1**tf
     c2 = 1.0 - b2**tf
 
-    def leaf(p, g, m, v, wd):
+    def leaf(p, g, m, v, wd, s):
+        lr_l = lr * s
         m = b1 * m + (1.0 - b1) * g
         v = b2 * v + (1.0 - b2) * (g * g)
         mhat = m / c1
         vhat = v / c2
-        p = p - lr * wd * p  # decoupled decay (no-op when wd == 0)
-        p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+        p = p - lr_l * wd * p  # decoupled decay (no-op when wd == 0)
+        p = p - lr_l * mhat / (jnp.sqrt(vhat) + eps)
         return p, m, v
 
     flat_p, treedef = jax.tree.flatten(params)
@@ -64,8 +69,11 @@ def adamw_update(
     flat_m = treedef.flatten_up_to(state.m)
     flat_v = treedef.flatten_up_to(state.v)
     flat_wd = treedef.flatten_up_to(wd_tree)
-    out = [leaf(p, g, m, v, wd)
-           for p, g, m, v, wd in zip(flat_p, flat_g, flat_m, flat_v, flat_wd)]
+    flat_s = ([1.0] * len(flat_p) if lr_scales is None
+              else treedef.flatten_up_to(lr_scales))
+    out = [leaf(p, g, m, v, wd, s)
+           for p, g, m, v, wd, s in zip(flat_p, flat_g, flat_m, flat_v,
+                                        flat_wd, flat_s)]
     new_p = treedef.unflatten([o[0] for o in out])
     new_m = treedef.unflatten([o[1] for o in out])
     new_v = treedef.unflatten([o[2] for o in out])
@@ -81,6 +89,24 @@ def gpt_wd_mask(params, wd: float):
     def build(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         return wd if name in decay_keys else 0.0
+
+    return jax.tree_util.tree_map_with_path(build, params)
+
+
+def gpt_lr_scales(params, *, embed: float = 1.0, head: float = 1.0):
+    """Per-leaf lr multipliers for the GPT pytree, honoring the reference
+    CLI's --lr_embed/--lr_head param groups (gpt.py:352-358 parsed but
+    ignored them; here they take effect). With the weight-tied head, the
+    embedding matrix carries BOTH roles, so ``embed`` scales ``tok_W`` and
+    ``head`` scales the head bias."""
+
+    def build(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "tok_W":
+            return embed
+        if name == "head_b":
+            return head
+        return 1.0
 
     return jax.tree_util.tree_map_with_path(build, params)
 

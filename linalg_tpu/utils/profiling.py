@@ -42,15 +42,22 @@ def trace(logdir: Optional[str]):
 
 
 class StepTimer:
-    """Running steps/s and tok/s over a sliding window of host timestamps."""
+    """Running steps/s and tok/s over a sliding window of host timestamps.
+
+    ``tick(n_steps)`` records that n_steps completed since the last tick, so
+    the trainer can tick once per sync point (every 20 steps) instead of
+    per step — per-step host timing would only measure async dispatch.
+    """
 
     def __init__(self, tokens_per_step: int, window: int = 100):
         self.tokens_per_step = tokens_per_step
         self.window = window
-        self._stamps = [time.perf_counter()]
+        self._stamps = [(time.perf_counter(), 0)]
+        self._total = 0
 
-    def tick(self) -> None:
-        self._stamps.append(time.perf_counter())
+    def tick(self, n_steps: int = 1) -> None:
+        self._total += n_steps
+        self._stamps.append((time.perf_counter(), self._total))
         if len(self._stamps) > self.window + 1:
             self._stamps.pop(0)
 
@@ -58,8 +65,9 @@ class StepTimer:
     def steps_per_sec(self) -> float:
         if len(self._stamps) < 2:
             return 0.0
-        dt = self._stamps[-1] - self._stamps[0]
-        return (len(self._stamps) - 1) / max(dt, 1e-9)
+        dt = self._stamps[-1][0] - self._stamps[0][0]
+        ds = self._stamps[-1][1] - self._stamps[0][1]
+        return ds / max(dt, 1e-9)
 
     @property
     def tokens_per_sec(self) -> float:

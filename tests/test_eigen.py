@@ -101,3 +101,16 @@ class TestPowerIteration:
     def test_zero_matrix(self):
         lam, v = la.power_iteration(np.zeros((4, 4)), v0=np.ones(4))
         assert lam == 0.0
+
+
+def test_power_iteration_default_v0_is_deterministic():
+    # v0=None seeds from a fixed rng, not global np.random state
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(6, 6))
+    A = A @ A.T
+    np.random.seed(1)
+    lam1, v1 = la.power_iteration(A)
+    np.random.seed(2)  # perturb global state: result must not change
+    lam2, v2 = la.power_iteration(A)
+    assert lam1 == lam2
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

@@ -224,3 +224,174 @@ class TestOrbaxCheckpoint:
         assert cfg2 == CFG and stoi2 == stoi
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
             _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), atol=0)
+
+
+RCFG = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                 ctx_len=16, pos="rope")
+
+
+class TestRoPEGPT:
+    """GPTConfig(pos='rope'): the RoPE integration the reference never did
+    (reference built RoPE with decode offsets, ai_comps/positional.py:92-157,
+    but its sampler is sinusoidal-only, gpt.py:522-546)."""
+
+    def _params(self):
+        return init_gpt_params(RCFG, seed=0)
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="positional"):
+            GPTConfig(vocab_size=8, pos="alibi")
+        with pytest.raises(ValueError, match="even"):
+            GPTConfig(vocab_size=8, d_model=9, n_heads=3, pos="rope")
+
+    def test_rope_changes_the_function(self):
+        # same params, different pos -> different logits (RoPE is live)
+        params = self._params()
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 31, (2, 16)))
+        l_rope = np.asarray(gpt_apply(params, x, RCFG))
+        l_sin = np.asarray(gpt_apply(params, x, CFG))
+        assert not np.allclose(l_rope, l_sin, atol=1e-3)
+
+    def test_causality(self):
+        params = self._params()
+        rng = np.random.default_rng(1)
+        x1 = rng.integers(0, 31, (1, 16))
+        x2 = x1.copy()
+        x2[0, 10:] = rng.integers(0, 31, 6)
+        l1 = np.asarray(gpt_apply(params, jnp.asarray(x1), RCFG))
+        l2 = np.asarray(gpt_apply(params, jnp.asarray(x2), RCFG))
+        np.testing.assert_allclose(l1[0, :10], l2[0, :10], atol=1e-5)
+
+    def test_decode_matches_full_forward(self):
+        # the decode step applies RoPE at the traced cache position; it must
+        # agree with the full forward's static position tables at every step
+        params = self._params()
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 31, (1, 9)).astype(np.int32)
+        logits_p, cache = gpt_prefill(params, jnp.asarray(ids[:, :5]), RCFG)
+        full = np.asarray(gpt_apply(params, jnp.asarray(ids[:, :5]), RCFG))
+        np.testing.assert_allclose(np.asarray(logits_p), full[:, -1], atol=2e-4)
+        for t in range(5, 9):
+            tok = jnp.asarray(ids[:, t])
+            logits_d, cache = gpt_decode_step(params, cache, tok, RCFG)
+            full = np.asarray(
+                gpt_apply(params, jnp.asarray(ids[:, : t + 1]), RCFG)
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits_d), full[:, -1], atol=2e-4
+            )
+
+    def test_loss_decreases_under_training(self):
+        params = self._params()
+        opt = adamw_init(params)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        y = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        wd = gpt_wd_mask(params, 0.01)
+
+        @jax.jit
+        def step(params, opt):
+            loss, g = jax.value_and_grad(gpt_loss)(params, x, y, RCFG)
+            params, opt = adamw_update(params, g, opt, 1e-2, wd)
+            return params, opt, loss
+
+        params, opt, l0 = step(params, opt)
+        for _ in range(20):
+            params, opt, l = step(params, opt)
+        assert float(l) < float(l0)
+
+    def test_ckpt_roundtrip_preserves_pos(self, tmp_path):
+        params = self._params()
+        stoi = {chr(97 + i): i for i in range(31)}
+        itos = {i: ch for ch, i in stoi.items()}
+        save_ckpt(tmp_path, params, RCFG, stoi, itos)
+        _, cfg2, _, _ = load_ckpt(tmp_path)
+        assert cfg2.pos == "rope"
+        assert cfg2 == RCFG
+
+
+class TestReferenceCkptInterop:
+    def test_loads_reference_produced_archive(self, tmp_path):
+        """Build an archive exactly the way the REFERENCE save code does
+        (flat f64 per-layer keys + meta without 'pos', gpt.py:440-476) and
+        load it — true one-way interop, not just our own round trip."""
+        import json
+
+        rng = np.random.default_rng(7)
+        V, D, F, L, T = 13, 8, 32, 2, 16
+        arrays = {
+            "tok_W": rng.normal(size=(V, D)),        # float64, as reference
+            "head_W": rng.normal(size=(D, V)),
+            "head_b": rng.normal(size=(V,)),
+        }
+        per_layer = {
+            "Wq": (D, D), "Wk": (D, D), "Wv": (D, D), "Wo": (D, D),
+            "W1": (D, F), "b1": (F,), "W2": (F, D), "b2": (D,),
+            "ln1_g": (D,), "ln1_b": (D,), "ln2_g": (D,), "ln2_b": (D,),
+        }
+        for i in range(L):
+            for k, shape in per_layer.items():
+                arrays[f"l{i}_{k}"] = rng.normal(size=shape)
+        np.savez_compressed(tmp_path / "chars_gpt_best.npz", **arrays)
+        stoi = {chr(97 + i): i for i in range(V)}
+        meta = {  # reference meta: no 'pos' key (gpt.py:465-476)
+            "stoi": stoi,
+            "itos": {str(i): ch for ch, i in stoi.items()},
+            "d_model": D, "heads": 2, "layers": L, "ctx_len": T,
+        }
+        (tmp_path / "chars_gpt_meta.json").write_text(json.dumps(meta))
+
+        params, cfg, stoi2, itos2 = load_ckpt(tmp_path)
+        assert cfg.pos == "sinusoidal"  # reference models are sinusoidal
+        assert cfg.d_model == D and cfg.n_layers == L
+        assert params["tok_W"].dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(params["layers"]["Wq"][1]),
+            arrays["l1_Wq"].astype(np.float32), atol=0,
+        )
+        # and it must actually run
+        x = jnp.asarray(rng.integers(0, V, (2, T)))
+        assert gpt_apply(params, x, cfg).shape == (2, T, V)
+
+
+class TestLrScales:
+    def test_param_group_lrs_take_effect(self):
+        from linalg_tpu.train.optim import gpt_lr_scales
+
+        params = _params()
+        scales = gpt_lr_scales(params, embed=0.0, head=2.0)
+        assert float(scales["tok_W"]) == 0.0
+        assert float(scales["head_b"]) == 2.0
+        assert float(scales["layers"]["Wq"]) == 1.0
+
+        opt = adamw_init(params)
+        g = jax.tree.map(jnp.ones_like, params)
+        wd = gpt_wd_mask(params, 0.0)
+        p2, _ = adamw_update(params, g, opt, 1e-2, wd, lr_scales=scales)
+        # embed frozen (scale 0), head bias moved at 2x the base rate
+        np.testing.assert_allclose(
+            np.asarray(p2["tok_W"]), np.asarray(params["tok_W"]), atol=0
+        )
+        moved = np.abs(np.asarray(p2["head_b"] - params["head_b"]))
+        base_moved = np.abs(
+            np.asarray(
+                adamw_update(params, g, opt, 1e-2, wd)[0]["head_b"]
+                - params["head_b"]
+            )
+        )
+        np.testing.assert_allclose(moved, 2.0 * base_moved, rtol=1e-5)
+
+
+class TestStepTimer:
+    def test_multi_step_ticks(self):
+        import time as _time
+
+        from linalg_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(tokens_per_step=10, window=5)
+        _time.sleep(0.02)
+        t.tick(20)
+        _time.sleep(0.02)
+        t.tick(20)
+        assert t.steps_per_sec > 0
+        assert t.tokens_per_sec == pytest.approx(t.steps_per_sec * 10)
