@@ -88,6 +88,87 @@ def _panel_kernel(k_ref, s_in_ref, s_ref, vt_ref, tt_ref, *, block: int, eps: fl
     lax.fori_loop(0, block, body, 0)
 
 
+def _strip_kernel(k_ref, s_in_ref, s_ref, vt_ref, tt_ref, *, block: int,
+                  eps: float):
+    """Fully-UNROLLED reflector sweep for a narrow strip (block <= 32).
+
+    Unrolling makes every row index STATIC, so the row read (``s_ref[j]``),
+    the reflector write (``vt_ref[j] = w``) and the T-recurrence slice
+    (``vt_ref[:j]``) are cheap static-sublane accesses instead of
+    masked full-array passes — ~4x less VMEM traffic per reflector than
+    ``_panel_kernel``. Same math, same outputs.
+    """
+    s_ref[:] = s_in_ref[:]
+    b, m = s_ref.shape
+    vt_ref[:] = jnp.zeros_like(vt_ref)
+    tt_ref[:] = jnp.zeros_like(tt_ref)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    brow = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    k = k_ref[0]
+
+    for jl in range(block):  # static unroll
+        jg = k + jl
+        x_row = s_ref[jl : jl + 1, :]  # (1, m) static row read
+        live = lane >= jg
+        x = jnp.where(live, x_row, 0.0)
+        nrm2 = jnp.sum(x * x)
+        nrm = jnp.sqrt(nrm2)
+        has = nrm >= eps
+        x0 = jnp.sum(jnp.where(lane == jg, x, 0.0))
+        alpha = jnp.where(x0 >= 0, nrm, -nrm)
+        w_un = x + jnp.where(lane == jg, alpha, 0.0)
+        wn2 = nrm2 + 2.0 * alpha * x0 + alpha * alpha
+        inv = lax.rsqrt(jnp.where(wn2 == 0, 1.0, wn2))
+        w = jnp.where(has, w_un * inv, 0.0)  # (1, m)
+
+        S = s_ref[:]
+        y = jnp.sum(S * w, axis=1, keepdims=True)  # (b, 1) VPU f32
+        s_ref[:] = S - 2.0 * y * w
+        vt_ref[jl : jl + 1, :] = w
+
+        # Compact-WY (transposed): Tt[jl, :jl] = -2 (z^T Tt[:jl]),
+        # Tt[jl, jl] = 2, z = V[:jl] w^T — static slices only.
+        if jl:
+            zj = jnp.sum(vt_ref[0:jl, :] * w, axis=1, keepdims=True)
+            t_row = -2.0 * jnp.sum(zj * tt_ref[0:jl, :], axis=0,
+                                   keepdims=True)
+        else:
+            t_row = jnp.zeros((1, b), s_ref.dtype)
+        t_row = jnp.where(brow == jl, jnp.where(has, 2.0, 0.0), t_row)
+        tt_ref[jl : jl + 1, :] = t_row
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def factor_strip(St, k, block: int = 32):
+    """Factor a transposed strip St (b, m), b <= 32, pivots starting at k.
+
+    Same contract as ``factor_panel`` (St_out, Vt, Tt), using the unrolled
+    static-index kernel.
+    """
+    b, m = St.shape
+    assert b == block and block <= 64
+    eps = eps_for(St.dtype)
+    kernel = functools.partial(_strip_kernel, block=block, eps=float(eps))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m), St.dtype),
+            jax.ShapeDtypeStruct((b, m), St.dtype),
+            jax.ShapeDtypeStruct((b, b), St.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )(jnp.asarray([k], dtype=jnp.int32), St)
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def factor_panel(St, k, block: int):
     """Factor a transposed panel St (b, m) with pivot columns starting at k.
@@ -117,9 +198,10 @@ def factor_panel(St, k, block: int):
     )(jnp.asarray([k], dtype=jnp.int32), St)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "precision"))
+@functools.partial(jax.jit, static_argnames=("block", "precision", "inner"))
 def householder_qr_pallas(A, block: int = 128,
-                          precision=lax.Precision.HIGHEST):
+                          precision=lax.Precision.HIGHEST,
+                          inner: int = 32):
     """Blocked economy Householder QR with the Pallas panel kernel.
 
     A must be (m, n) float32 with n % block == 0 and m >= n (the public
@@ -167,11 +249,68 @@ def householder_qr_pallas(A, block: int = 128,
     # Factorization: carry only the SHRINKING trailing block (no functional
     # updates of the full matrix — those cost a 64 MB copy per panel at
     # n = 4096). Processed R rows accumulate in a list, concatenated once.
+    #
+    # TWO-LEVEL panels: each width-`block` panel is factored as
+    # `block/b_in` narrow strips through the unrolled VMEM kernel (the
+    # reflector sweep's VMEM traffic scales as b^2*m, so narrow strips are
+    # ~4x cheaper), with rank-b_in MXU updates INSIDE the panel and the
+    # strip WY factors merged into one (block, block) T — the expensive
+    # trailing/Q updates stay at full rank-`block`.
+    b_in = inner if block % inner == 0 and block > inner else block
+
+    def factor_block(Pt, k: int):
+        """Factor a (block, m) transposed panel via b_in-wide strips.
+
+        Returns (St, Vt, Tt) with the same contract as ``factor_panel``.
+        """
+        done_rows = []
+        sub = []
+        for i in range(0, block, b_in):
+            St_i, Vt_i, Tt_i = factor_strip(Pt[:b_in, :], k + i, b_in)
+            done_rows.append(St_i)
+            rest = Pt[b_in:, :]
+            if rest.shape[0]:
+                kqi = kq_of(k + i)
+                rest = block_apply(rest, Vt_i[:, kqi:], Tt_i, kqi,
+                                   transpose_t=False)
+            sub.append((Vt_i, Tt_i))
+            Pt = rest
+        St = (done_rows[0] if len(done_rows) == 1
+              else jnp.concatenate(done_rows, axis=0))
+        # Merge WY factors: (I - V1 T1 V1^T)(I - V2 T2 V2^T) =
+        # I - [V1;V2]^T_combined[V1;V2]^T with the off-diagonal block
+        # T12 = -T1 (V1^T V2) T2; transposed: Tt_lower-left =
+        # -Tt2 (Vt2 Vt1^T) Tt1. Strip Gram/merge dots are tiny vs the sweep.
+        Vt, Tt = sub[0]
+        kq = kq_of(k)
+        for Vt_i, Tt_i in sub[1:]:
+            r = Vt.shape[0]
+            gram = jax.lax.dot_general(
+                Vt_i[:, kq:], Vt[:, kq:], (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=dtype,
+            )  # (b_in, r) = Vt_i Vt^T over live lanes
+            cross = -jnp.dot(
+                jnp.dot(Tt_i, gram, precision=precision,
+                        preferred_element_type=dtype),
+                Tt, precision=precision, preferred_element_type=dtype,
+            )  # (b_in, r)
+            Tt = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [Tt, jnp.zeros((r, Vt_i.shape[0]), dtype)], axis=1
+                    ),
+                    jnp.concatenate([cross, Tt_i], axis=1),
+                ],
+                axis=0,
+            )
+            Vt = jnp.concatenate([Vt, Vt_i], axis=0)
+        return St, Vt, Tt
+
     trail = A.T  # (n - k, m): row j is column k + j
     done = []
     panels = []
     for k in range(0, n, block):
-        St, Vt, Tt = factor_panel(trail[:block, :], k, block)
+        St, Vt, Tt = factor_block(trail[:block, :], k)
         done.append(St)
         rest = trail[block:, :]
         if rest.shape[0]:
