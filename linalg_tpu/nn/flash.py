@@ -93,9 +93,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
 
 
 def _pick_group(BH: int, T: int, d: int) -> int:
-    """Largest group with ~<=6 MB of per-program VMEM buffers."""
-    per_slice = 6 * T * d * 4  # q,k,v,o,do,dq-ish
-    g = max(1, min(BH, (6 * 1024 * 1024) // max(1, per_slice)))
+    """Largest group fitting a ~10 MB VMEM budget.
+
+    Per-slice cost counts the io buffers (6 arrays of (T, d)) AND the
+    (T, T) score temporaries, which stay live across the unrolled slice
+    loop — omitting them OOM'd scoped vmem at small d_head (e.g. T=256,
+    d=32 picked group=32 -> 16.26M > 16M limit)."""
+    per_slice = (6 * T * d + 2 * T * T) * 4
+    g = max(1, min(BH, (10 * 1024 * 1024) // max(1, per_slice)))
     while BH % g:
         g -= 1
     return g

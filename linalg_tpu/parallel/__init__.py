@@ -1,10 +1,20 @@
 from .mesh import make_mesh, pick_dp_tp
-from .sharding import dryrun_multichip, gpt_param_specs, make_sharded_train_step
+from .sharding import (
+    dryrun_multichip,
+    gpt_param_specs,
+    make_sharded_attn,
+    make_sharded_device_train_step,
+    make_sharded_eval,
+    make_sharded_train_step,
+)
 
 __all__ = [
     "make_mesh",
     "pick_dp_tp",
     "gpt_param_specs",
+    "make_sharded_attn",
     "make_sharded_train_step",
+    "make_sharded_device_train_step",
+    "make_sharded_eval",
     "dryrun_multichip",
 ]

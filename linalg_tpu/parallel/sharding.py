@@ -28,7 +28,14 @@ from ..models.gpt import GPTConfig, gpt_loss, init_gpt_params
 from ..train.optim import adamw_init, adamw_update, gpt_wd_mask
 from .mesh import make_mesh, pick_dp_tp
 
-__all__ = ["gpt_param_specs", "make_sharded_train_step", "dryrun_multichip"]
+__all__ = [
+    "gpt_param_specs",
+    "make_sharded_attn",
+    "make_sharded_train_step",
+    "make_sharded_device_train_step",
+    "make_sharded_eval",
+    "dryrun_multichip",
+]
 
 
 def gpt_param_specs(params) -> Dict[str, Any]:
@@ -55,8 +62,33 @@ def _shardings(mesh: Mesh, spec_tree):
     )
 
 
+def make_sharded_attn(mesh: Mesh, T: int, d_head: int):
+    """shard_map-wrapped attention for the dp x tp step.
+
+    Heads are tp-local by parameter layout (Wq/Wk/Wv column-sharded), and
+    attention is pointwise over (batch, head), so the kernel runs with zero
+    collectives: each device gets its (B/dp, h/tp, T, d) block. The local
+    kernel is the same fused Pallas flash pick as the single-chip hot path
+    (``models.gpt._pick_attn``) — the multi-device step no longer gives up
+    the flash kernel.
+    """
+    from ..models.gpt import _pick_attn
+    from ..nn.functional import causal_mask
+
+    local = _pick_attn(T, d_head)
+
+    def local_attn(q, k, v):
+        return local(q, k, v, causal_mask(T, dtype=q.dtype))
+
+    spec = P("dp", "tp", None, None)
+    fa = jax.shard_map(local_attn, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return lambda q, k, v, mask: fa(q, k, v)
+
+
 def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
-                            lr: float = 3e-4, weight_decay: float = 0.01):
+                            lr: float = 3e-4, weight_decay: float = 0.01,
+                            attn_fn=None):
     """jitted (params, opt_state, x, y) -> (params, opt_state, loss) with
     dp x tp shardings bound via in/out_shardings."""
     pspecs = gpt_param_specs(None)
@@ -69,13 +101,12 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
 
     opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
 
-    from ..nn.functional import sdpa
+    if attn_fn is None:
+        attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
 
     def step(params, opt_state, x, y):
-        # explicit sdpa: the einsum path partitions cleanly under GSPMD
-        # (a Pallas kernel would need shard_map plumbing)
         loss, grads = jax.value_and_grad(
-            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=sdpa)
+            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=attn_fn)
         )(params, x, y)
         wd_tree = gpt_wd_mask(params, weight_decay)
         params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree)
@@ -85,6 +116,88 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
         step,
         in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )
+
+
+def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
+                                   batch_size: int, *, base_lr: float,
+                                   min_lr: float, warmup: int,
+                                   max_steps: int, weight_decay: float,
+                                   lr_embed_scale: float = 1.0,
+                                   lr_head_scale: float = 1.0):
+    """Device-resident sharded step: (params, opt, data_ids, key) ->
+    (params, opt, key, loss).
+
+    The corpus is uploaded ONCE (replicated); every step samples random
+    windows with jax.random inside the jit and constrains the batch to the
+    dp axis — no per-step host upload (the ~40 ms round trip that made the
+    round-1 sharded loop dispatch-bound). Mirrors the single-chip
+    ``trainer.make_device_train_step``.
+    """
+    from ..train.optim import AdamWState, gpt_lr_scales, warmup_cosine
+
+    pspecs = gpt_param_specs(None)
+    param_sh = _shardings(mesh, pspecs)
+    scalar_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp", None))
+    opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
+    B, T = batch_size, cfg.ctx_len
+
+    def step(params, opt_state, data_ids, key):
+        key, sub = jax.random.split(key)
+        L = data_ids.shape[0]
+        ix = jax.random.randint(sub, (B,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = jax.lax.with_sharding_constraint(data_ids[offs], batch_sh)
+        y = jax.lax.with_sharding_constraint(data_ids[offs + 1], batch_sh)
+        loss, grads = jax.value_and_grad(
+            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=attn_fn)
+        )(params, x, y)
+        lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
+                           warmup=warmup, max_steps=max_steps)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
+                                head=lr_head_scale)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree, lr_scales=lr_tree)
+        return params, opt_state, key, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
+        out_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
+    )
+
+
+def make_sharded_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int):
+    """Device-resident sharded eval: mean val loss over ``batches``
+    randomly-windowed dp-sharded batches, one jit call, one readback."""
+    pspecs = gpt_param_specs(None)
+    param_sh = _shardings(mesh, pspecs)
+    scalar_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp", None))
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
+    T = cfg.ctx_len
+
+    def evaluate(params, val_ids, key):
+        L = val_ids.shape[0]
+
+        def body(carry, k):
+            ix = jax.random.randint(k, (batch,), 0, L - T - 1)
+            offs = ix[:, None] + jnp.arange(T)[None, :]
+            x = jax.lax.with_sharding_constraint(val_ids[offs], batch_sh)
+            y = jax.lax.with_sharding_constraint(val_ids[offs + 1], batch_sh)
+            return carry + gpt_loss(params, x, y, cfg, attn_fn=attn_fn), None
+
+        keys = jax.random.split(key, batches)
+        total, _ = jax.lax.scan(body, jnp.float32(0), keys)
+        return total / batches
+
+    return jax.jit(
+        evaluate,
+        in_shardings=(param_sh, scalar_sh, scalar_sh),
+        out_shardings=scalar_sh,
     )
 
 

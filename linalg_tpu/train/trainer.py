@@ -24,7 +24,8 @@ import numpy as np
 from ..models.gpt import GPTConfig, gpt_loss, gpt_prefill, init_gpt_params
 from .checkpoint import load_ckpt, save_ckpt
 from .data import build_char_vocab, encode, load_text
-from .optim import adamw_init, adamw_update, gpt_wd_mask, warmup_cosine
+from .optim import (adamw_init, adamw_update, gpt_lr_scales, gpt_wd_mask,
+                    warmup_cosine)
 
 __all__ = ["train", "train_sharded", "sample", "make_train_step", "eval_avg"]
 
@@ -47,7 +48,8 @@ def make_train_step(cfg: GPTConfig, *, base_lr: float, min_lr: float,
 
 def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
                            min_lr: float, warmup: int, max_steps: int,
-                           weight_decay: float):
+                           weight_decay: float, lr_embed_scale: float = 1.0,
+                           lr_head_scale: float = 1.0):
     """Fully device-resident step: batch windows are SAMPLED ON DEVICE.
 
     The corpus token array is uploaded once; each step draws random windows
@@ -72,7 +74,10 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
         lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
                            warmup=warmup, max_steps=max_steps)
         wd_tree = gpt_wd_mask(params, weight_decay)
-        params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree)
+        lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
+                                head=lr_head_scale)
+        params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree,
+                                         lr_scales=lr_tree)
         return params, opt_state, key, loss
 
     return train_step
@@ -113,15 +118,23 @@ def _eval_device(params, val_ids, key, cfg: GPTConfig, batch: int, batches: int)
 def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     """Multi-device training over a dp x tp mesh (GSPMD shardings).
 
-    Same loop semantics as ``train``; parameters/optimizer are sharded per
-    ``parallel.gpt_param_specs`` and batches are dp-sharded. Requires
-    dp * tp <= len(jax.devices()) and batch_size % dp == 0.
+    Same loop semantics as ``train``, and the same device-resident data
+    path: the corpus is uploaded once (replicated over the mesh), batch
+    windows are sampled with jax.random INSIDE the jitted step and
+    constrained to the dp axis, eval runs as one device computation —
+    no per-step host upload. Attention runs the fused flash kernel via
+    shard_map (heads tp-local). Requires dp * tp <= len(jax.devices())
+    and batch_size % dp == 0.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import make_mesh
-    from ..parallel.sharding import gpt_param_specs, make_sharded_train_step
-    from .data import batch_stream
+    from ..parallel.sharding import (
+        gpt_param_specs,
+        make_sharded_device_train_step,
+        make_sharded_eval,
+    )
+    from ..utils.profiling import StepTimer
     from .optim import AdamWState
 
     text = load_text(getattr(args, "data", None))
@@ -133,7 +146,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         stoi, itos = build_char_vocab(text)
         cfg = GPTConfig(vocab_size=len(stoi), d_model=args.d_model,
                         n_heads=args.heads, n_layers=args.layers,
-                        ctx_len=args.ctx_len)
+                        ctx_len=args.ctx_len,
+                        pos=getattr(args, "pos", "sinusoidal") or "sinusoidal")
         params = init_gpt_params(cfg, seed=123)
     assert args.batch_size % dp == 0, "batch_size must divide by dp"
     assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
@@ -143,32 +157,49 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         lambda s: NamedSharding(mesh, s), gpt_param_specs(None),
         is_leaf=lambda v: isinstance(v, P),
     )
+    replicated = NamedSharding(mesh, P())
     params = jax.device_put(params, param_sh)
     opt_state = jax.device_put(
         adamw_init(params),
-        AdamWState(m=param_sh, v=param_sh, t=NamedSharding(mesh, P())),
+        AdamWState(m=param_sh, v=param_sh, t=replicated),
     )
-    batch_sh = NamedSharding(mesh, P("dp", None))
 
     ids = encode(text, stoi)
     split = int(0.9 * len(ids))
-    rng = np.random.default_rng(args.seed)
-    train_iter = batch_stream(ids[:split], args.batch_size, cfg.ctx_len, rng)
-    val_iter = batch_stream(ids[split:], args.batch_size, cfg.ctx_len, rng)
+    train_ids = jax.device_put(jnp.asarray(ids[:split]), replicated)
+    val_ids = jax.device_put(jnp.asarray(ids[split:]), replicated)
 
-    step_fn = make_sharded_train_step(cfg, mesh, lr=args.lr_model,
-                                      weight_decay=args.weight_decay)
+    base_lr = args.lr_model
+    step_fn = make_sharded_device_train_step(
+        cfg, mesh, args.batch_size,
+        base_lr=base_lr, min_lr=base_lr / 10, warmup=200,
+        max_steps=args.steps, weight_decay=args.weight_decay,
+        lr_embed_scale=(getattr(args, "lr_embed", base_lr) / base_lr
+                        if base_lr else 1.0),
+        lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
+                       if base_lr else 1.0),
+    )
+    eval_fn = make_sharded_eval(cfg, mesh, args.batch_size, 10)
+
     best = 1e9
     t0 = time.time()
+    timer = StepTimer(args.batch_size * cfg.ctx_len, window=10)
+    last_sync = 0
+    key = jax.device_put(jax.random.PRNGKey(args.seed), replicated)
     for step in range(1, args.steps + 1):
-        x, y = next(train_iter)
-        xs = jax.device_put(jnp.asarray(x), batch_sh)
-        ys = jax.device_put(jnp.asarray(y), batch_sh)
-        params, opt_state, loss = step_fn(params, opt_state, xs, ys)
+        params, opt_state, key, loss = step_fn(
+            params, opt_state, train_ids, key
+        )
         if step % 20 == 0 or step == 1:
-            print(f"step {step:6d}  loss {float(loss):.4f}")
+            loss_f = float(loss)
+            timer.tick(step - last_sync)
+            last_sync = step
+            rate = (f"  ({timer.steps_per_sec:.1f} steps/s, "
+                    f"{timer.tokens_per_sec:.0f} tok/s)" if step > 1 else "")
+            print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
         if step % args.eval_every == 0:
-            val_loss = eval_avg(params, cfg, val_iter, batches=10)
+            key, sub = jax.random.split(key)
+            val_loss = float(eval_fn(params, val_ids, sub))
             print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
             if val_loss < best:
                 best = val_loss
@@ -200,6 +231,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
             n_heads=args.heads,
             n_layers=args.layers,
             ctx_len=args.ctx_len,
+            pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
         )
         params = init_gpt_params(cfg, seed=123)
 
@@ -209,21 +241,28 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     val_ids = jnp.asarray(ids[split:])
 
     opt_state = adamw_init(params)
+    base_lr = args.lr_model
     train_step = make_device_train_step(
         cfg,
         args.batch_size,
-        base_lr=args.lr_model,
-        min_lr=args.lr_model / 10,
+        base_lr=base_lr,
+        min_lr=base_lr / 10,
         warmup=200,
         max_steps=args.steps,
         weight_decay=args.weight_decay,
+        lr_embed_scale=(getattr(args, "lr_embed", base_lr) / base_lr
+                        if base_lr else 1.0),
+        lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
+                       if base_lr else 1.0),
     )
 
-    from ..utils.profiling import trace
+    from ..utils.profiling import StepTimer, trace
 
     best = 1e9
     t0 = time.time()
     tokens_per_step = args.batch_size * cfg.ctx_len
+    timer = StepTimer(tokens_per_step, window=10)
+    last_sync = 0
     key = jax.random.PRNGKey(args.seed)
     profile_ctx = trace(getattr(args, "profile", None))
     profile_ctx.__enter__()
@@ -234,7 +273,12 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
         # Printing every 20 steps is the only host sync; it also caps the
         # async dispatch queue (deep queues degrade badly on this runtime).
         if step % 20 == 0 or step == 1:
-            print(f"step {step:6d}  loss {float(loss):.4f}")
+            loss_f = float(loss)  # the host sync point
+            timer.tick(step - last_sync)
+            last_sync = step
+            rate = (f"  ({timer.steps_per_sec:.1f} steps/s, "
+                    f"{timer.tokens_per_sec:.0f} tok/s)" if step > 1 else "")
+            print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
         if step % args.eval_every == 0:
             key, sub = jax.random.split(key)
             val_loss = float(
