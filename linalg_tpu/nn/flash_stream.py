@@ -8,8 +8,11 @@ the K/V blocks HBM->VMEM via the BlockSpec pipeline (double-buffered by the
 Mosaic scheduler); O and the logsumexp L are written on the final key step.
 
 This removes the T <= 8192 VMEM ceiling of ``nn.flash_long``. The backward
-runs as an XLA-level chunked recomputation from (q, k, v, o, L): O(T * BK)
-memory, no stored probabilities.
+is a pair of streaming Pallas kernels on the same online-softmax grid
+(dk/dv accumulate over query blocks; dq accumulates over key blocks),
+recomputing P strips from (q, k, L) — O(block) VMEM, no stored
+probabilities. ``_vjp_bwd_xla`` keeps the chunked XLA recomputation as a
+differential-test oracle.
 """
 
 from __future__ import annotations
@@ -108,6 +111,141 @@ def _fwd_call(q, k, v, scale, causal):
     )(q, k, v)
 
 
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
+                     dk_ref, dv_ref, dk_s, dv_s, *, scale, causal, nq):
+    ji = pl.program_id(1)  # key block
+    qi = pl.program_id(2)  # query block (innermost, accumulated over)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (BK, d)
+    v = v_ref[0]
+    do = do_ref[0]
+    BQ, BK = q.shape[0], k.shape[0]
+
+    run = True
+    if causal:
+        # key block ji contributes only to q rows >= its first key index
+        run = ji * BK <= qi * BQ + BQ - 1
+
+    @pl.when(run if causal else qi >= 0)
+    def _():
+        L = l_ref[0][0][:, None]      # (BQ, 1) logsumexp
+        delta = d_ref[0][0][:, None]  # (BQ, 1) rowsum(do * o)
+        s = scale * lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
+            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ji * k.shape[0]
+            s = jnp.where(cols <= rows, s, _NEG)
+        p = jnp.exp(s - L)  # recomputed probabilities
+        dv_s[:] += lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (dp - delta) * p
+        dk_s[:] += scale * lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_s[:]
+        dv_ref[0] = dv_s[:]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
+                   dq_ref, dq_s, *, scale, causal, nk):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)  # innermost: accumulate over key blocks
+
+    @pl.when(ki == 0)
+    def _():
+        dq_s[:] = jnp.zeros_like(dq_s)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    run = True
+    if causal:
+        run = ki * k.shape[0] <= qi * q.shape[0] + q.shape[0] - 1
+
+    @pl.when(run if causal else ki >= 0)
+    def _():
+        L = l_ref[0][0][:, None]
+        delta = d_ref[0][0][:, None]
+        s = scale * lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
+            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
+            s = jnp.where(cols <= rows, s, _NEG)
+        p = jnp.exp(s - L)
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (dp - delta) * p
+        dq_s[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = dq_s[:]
+
+
+def _bwd_call(q, k, v, do, L8, D8, scale, causal):
+    """Streaming Pallas backward: (BH, T, d) blocks, O(block) VMEM."""
+    BH, T, d = q.shape
+    nq, nk = T // _BQ, T // _BK
+    qspec_i = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    kspec_i = pl.BlockSpec((1, _BK, d), lambda b, i, j: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    vec_i = pl.BlockSpec((1, 8, _BQ), lambda b, i, j: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+    # dk/dv: grid walks (key block, query block); q/do/L/delta follow the
+    # INNER index, k/v and the outputs the outer one.
+    qspec_j = pl.BlockSpec((1, _BQ, d), lambda b, j, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    kspec_j = pl.BlockSpec((1, _BK, d), lambda b, j, i: (b, j, 0),
+                           memory_space=pltpu.VMEM)
+    vec_j = pl.BlockSpec((1, 8, _BQ), lambda b, j, i: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
+                          nq=nq),
+        grid=(BH, nk, nq),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+        ),
+        in_specs=[qspec_j, kspec_j, kspec_j, qspec_j, vec_j, vec_j],
+        out_specs=(kspec_j, kspec_j),
+        scratch_shapes=[
+            pltpu.VMEM((_BK, d), jnp.float32),
+            pltpu.VMEM((_BK, d), jnp.float32),
+        ],
+    )(q, k, v, do, L8, D8)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal, nk=nk),
+        grid=(BH, nq, nk),
+        out_shape=jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+        in_specs=[qspec_i, kspec_i, kspec_i, qspec_i, vec_i, vec_i],
+        out_specs=qspec_i,
+        scratch_shapes=[pltpu.VMEM((_BQ, d), jnp.float32)],
+    )(q, k, v, do, L8, D8)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_stream(q, k, v, causal: bool = True):
     """Streaming fused attention for arbitrary T (multiple of 256)."""
@@ -128,7 +266,26 @@ def _vjp_fwd(q, k, v, causal):
 
 
 def _vjp_bwd(causal, res, do):
-    """Chunked XLA-level backward: recompute P strips from (q, k, L)."""
+    """Streaming Pallas backward (see _bwd_call)."""
+    q, k, v, o, L = res  # L: (B, h, T)
+    B, h, T, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    delta = jnp.sum(do * o, axis=-1)  # (B, h, T)
+    rs = lambda x: x.reshape(B * h, T, d)
+    bcast = lambda x: jnp.broadcast_to(
+        x.reshape(B * h, 1, T), (B * h, 8, T)
+    ).astype(jnp.float32)
+    dq, dk, dv = _bwd_call(
+        rs(q), rs(k), rs(v), rs(do), bcast(L), bcast(delta), scale, causal
+    )
+    back = lambda x: x.reshape(B, h, T, d)
+    return back(dq), back(dk), back(dv)
+
+
+def _vjp_bwd_xla(causal, res, do):
+    """Chunked XLA-level backward: recompute P strips from (q, k, L).
+
+    Kept as the differential-test oracle for the Pallas backward."""
     q, k, v, o, L = res  # L: (B, h, T)
     B, h, T, d = q.shape
     scale = 1.0 / math.sqrt(d)

@@ -77,3 +77,22 @@ class TestNonCausal:
             o = flash_attention(q, k, v, False)
             ref = sdpa(q, k, v, None)
         np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
+
+
+class TestStreamBackwardKernels:
+    """The streaming Pallas backward vs the chunked-XLA oracle it replaced."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_pallas_bwd_matches_xla_oracle(self, causal):
+        from linalg_tpu.nn import flash_stream as fs
+
+        B, h, T, d = 1, 2, 512, 16
+        q, k, v = _rand((B, h, T, d), 20), _rand((B, h, T, d), 21), _rand((B, h, T, d), 22)
+        do = _rand((B, h, T, d), 23)
+        with pltpu.force_tpu_interpret_mode():
+            _o, res = fs._vjp_fwd(q, k, v, causal)
+            g_pallas = fs._vjp_bwd(causal, res, do)
+            g_xla = fs._vjp_bwd_xla(causal, res, do)
+        for a, b in zip(g_pallas, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)

@@ -93,3 +93,43 @@ class TestBlockedQRPallas:
         assert Qn.shape == (96, 32)
         assert np.linalg.norm(Qn @ np.asarray(R) - A) / np.linalg.norm(A) < 1e-5
         assert np.linalg.norm(Qn.T @ Qn - np.eye(32)) < 1e-4
+
+
+class TestStripKernel:
+    """The unrolled static-index strip kernel must match factor_panel."""
+
+    @pytest.mark.parametrize("k", [0, 8])
+    def test_matches_panel_kernel(self, k):
+        from linalg_tpu.ops.pallas.qr_panel import factor_strip
+
+        m, b = 24, 8
+        A = _rand((m, b), 11)
+        with pltpu.force_tpu_interpret_mode():
+            S1, V1, T1 = factor_panel(jnp.asarray(A.T), k, b)
+            S2, V2, T2 = factor_strip(jnp.asarray(A.T), k, b)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(V1), np.asarray(V2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-5)
+
+    def test_zero_column_skipped(self):
+        from linalg_tpu.ops.pallas.qr_panel import factor_strip
+
+        m, b = 16, 4
+        A = _rand((m, b), 4)
+        A[:, 2] = 0.0
+        with pltpu.force_tpu_interpret_mode():
+            St, Vt, Tt = factor_strip(jnp.asarray(A.T), 0, b)
+        assert np.abs(np.asarray(Vt)[2]).max() < 1e-7
+        assert abs(np.asarray(Tt)[2, 2]) < 1e-7
+
+    def test_two_level_equals_single_panel(self):
+        # a width-2b panel factored as two strips + WY merge must produce
+        # the same panel transform as one factor_panel sweep
+        m, b = 32, 16
+        A = _rand((m, b), 12)
+        with pltpu.force_tpu_interpret_mode():
+            # two-level via the full blocked driver with inner=b/2
+            Q1, R1 = householder_qr_pallas(jnp.asarray(A), block=b, inner=8)
+            Q2, R2 = householder_qr_pallas(jnp.asarray(A), block=b, inner=b)
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=2e-4)
