@@ -1,16 +1,22 @@
 """Streaming flash attention: online softmax over a key-block grid.
 
-The canonical TPU flash kernel: the grid's innermost dimension walks key
-blocks while VMEM scratch carries the running row-max ``m``, normalizer
+The canonical TPU flash kernel: the grid walks (query-block, key-block)
+pairs while VMEM scratch carries the running row-max ``m``, normalizer
 ``l`` and output accumulator — so VMEM holds only (BQ, d) + (BK, d) blocks
 and the (BQ, BK) score tile, independent of sequence length. Pallas streams
 the K/V blocks HBM->VMEM via the BlockSpec pipeline (double-buffered by the
-Mosaic scheduler); O and the logsumexp L are written on the final key step.
+Mosaic scheduler); O and the logsumexp L are written on each row's final
+key step.
+
+Causal runs on a COMPRESSED grid: the (i, j) block pairs are enumerated
+host-side (only j*BK <= i*BQ+BQ-1 survive) and fed through scalar-prefetch
+index maps, so fully-masked blocks are never fetched or computed — ~2x
+fewer programs than the rectangular grid with @pl.when skips.
 
 This removes the T <= 8192 VMEM ceiling of ``nn.flash_long``. The backward
-is a pair of streaming Pallas kernels on the same online-softmax grid
-(dk/dv accumulate over query blocks; dq accumulates over key blocks),
-recomputing P strips from (q, k, L) — O(block) VMEM, no stored
+is a pair of streaming Pallas kernels on the same compressed grids (dk/dv
+accumulate over query blocks in key-major order; dq accumulates over key
+blocks), recomputing P strips from (q, k, L) — O(block) VMEM, no stored
 probabilities. ``_vjp_bwd_xla`` keeps the chunked XLA recomputation as a
 differential-test oracle.
 """
@@ -33,12 +39,43 @@ _BK = 256
 _NEG = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_s, l_s, acc_s,
-                *, scale, causal, nk):
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
+def _interpret() -> bool:
+    # PrefetchScalarGridSpec does not honor force_tpu_interpret_mode; pick
+    # interpret explicitly off-TPU (tests run on the CPU backend).
+    return jax.default_backend() != "tpu"
 
-    @pl.when(ki == 0)
+
+def _pairs(nq: int, nk: int, causal: bool, kmajor: bool):
+    """(i, j, first, last) arrays for the compressed block-pair grid.
+
+    first/last flag the initial/final visit of the ACCUMULATED index (the
+    q block for q-major orders, the k block for k-major), so kernels reset
+    and flush scratch on them.
+    """
+    if kmajor:
+        ps = [(i, j) for j in range(nk) for i in range(nq)
+              if not causal or j * _BK <= i * _BQ + _BQ - 1]
+        first = [p == 0 or ps[p][1] != ps[p - 1][1] for p in range(len(ps))]
+        last = [p == len(ps) - 1 or ps[p][1] != ps[p + 1][1]
+                for p in range(len(ps))]
+    else:
+        ps = [(i, j) for i in range(nq) for j in range(nk)
+              if not causal or j * _BK <= i * _BQ + _BQ - 1]
+        first = [p == 0 or ps[p][0] != ps[p - 1][0] for p in range(len(ps))]
+        last = [p == len(ps) - 1 or ps[p][0] != ps[p + 1][0]
+                for p in range(len(ps))]
+    to = lambda xs: jnp.asarray(xs, jnp.int32)
+    return (to([p[0] for p in ps]), to([p[1] for p in ps]),
+            to(first), to(last))
+
+
+def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
+                o_ref, l_ref, m_s, l_s, acc_s, *, scale, causal):
+    p = pl.program_id(1)
+    qi = i_ref[p]
+    ki = j_ref[p]
+
+    @pl.when(f_ref[p] == 1)
     def _():
         m_s[:] = jnp.full_like(m_s, _NEG)
         l_s[:] = jnp.zeros_like(l_s)
@@ -49,32 +86,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_s, l_s, acc_s,
     v = v_ref[0]
     BQ, BK = q.shape[0], k.shape[0]
 
-    run = True
+    s = scale * lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
     if causal:
-        # block is fully masked when its first key index exceeds the
-        # q block's last row index
-        run = ki * BK <= qi * BQ + BQ - 1
+        rows = lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + qi * BQ
+        cols = lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + ki * BK
+        s = jnp.where(cols <= rows, s, _NEG)
+    m_prev = m_s[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    pmat = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_s[:] = l_s[:] * alpha + jnp.sum(pmat, axis=-1, keepdims=True)
+    acc_s[:] = acc_s[:] * alpha + jnp.dot(
+        pmat, v, preferred_element_type=jnp.float32
+    )
+    m_s[:] = m_new
 
-    @pl.when(run if causal else ki >= 0)
-    def _():
-        s = scale * lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
-        if causal:
-            rows = lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + qi * BQ
-            cols = lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + ki * BK
-            s = jnp.where(cols <= rows, s, _NEG)
-        m_prev = m_s[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_s[:] = acc_s[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        m_s[:] = m_new
-
-    @pl.when(ki == nk - 1)
+    @pl.when(l_ref_flags[p] == 1)
     def _():
         denom = jnp.where(l_s[:] == 0, 1.0, l_s[:])
         o_ref[0] = acc_s[:] / denom
@@ -85,22 +114,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_s, l_s, acc_s,
 def _fwd_call(q, k, v, scale, causal):
     BH, T, d = q.shape
     nq, nk = T // _BQ, T // _BK
-    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal, nk=nk)
-    qspec = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, _BK, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, 8, _BQ), lambda b, i, j: (b, 0, i),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
-        grid=(BH, nq, nk),
-        out_shape=(
-            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
-            jax.ShapeDtypeStruct((BH, 8, T), jnp.float32),
-        ),
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False)
+    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal)
+    qspec = pl.BlockSpec((1, _BQ, d), lambda b, p, i, j, f, l: (b, i[p], 0))
+    kspec = pl.BlockSpec((1, _BK, d), lambda b, p, i, j, f, l: (b, j[p], 0))
+    ospec = pl.BlockSpec((1, _BQ, d), lambda b, p, i, j, f, l: (b, i[p], 0))
+    lspec = pl.BlockSpec((1, 8, _BQ), lambda b, p, i, j, f, l: (b, 0, i[p]))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(BH, i_a.shape[0]),
         in_specs=[qspec, kspec, kspec],
         out_specs=(ospec, lspec),
         scratch_shapes=[
@@ -108,15 +130,26 @@ def _fwd_call(q, k, v, scale, causal):
             pltpu.VMEM((_BQ, 1), jnp.float32),
             pltpu.VMEM((_BQ, d), jnp.float32),
         ],
-    )(q, k, v)
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, 8, T), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(i_a, j_a, f_a, l_a, q, k, v)
 
 
-def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
-                     dk_ref, dv_ref, dk_s, dv_s, *, scale, causal, nq):
-    ji = pl.program_id(1)  # key block
-    qi = pl.program_id(2)  # query block (innermost, accumulated over)
+def _bwd_dkdv_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
+                     do_ref, l_ref, d_ref, dk_ref, dv_ref, dk_s, dv_s,
+                     *, scale, causal):
+    p = pl.program_id(1)
+    qi = i_ref[p]
+    ki = j_ref[p]
 
-    @pl.when(qi == 0)
+    @pl.when(f_ref[p] == 1)
     def _():
         dk_s[:] = jnp.zeros_like(dk_s)
         dv_s[:] = jnp.zeros_like(dv_s)
@@ -125,48 +158,40 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
     k = k_ref[0]  # (BK, d)
     v = v_ref[0]
     do = do_ref[0]
-    BQ, BK = q.shape[0], k.shape[0]
-
-    run = True
+    L = l_ref[0][0][:, None]      # (BQ, 1) logsumexp
+    delta = d_ref[0][0][:, None]  # (BQ, 1) rowsum(do * o)
+    s = scale * lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
     if causal:
-        # key block ji contributes only to q rows >= its first key index
-        run = ji * BK <= qi * BQ + BQ - 1
+        rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
+        cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
+        s = jnp.where(cols <= rows, s, _NEG)
+    pmat = jnp.exp(s - L)  # recomputed probabilities
+    dv_s[:] += lax.dot_general(
+        pmat, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (dp - delta) * pmat
+    dk_s[:] += scale * lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    @pl.when(run if causal else qi >= 0)
-    def _():
-        L = l_ref[0][0][:, None]      # (BQ, 1) logsumexp
-        delta = d_ref[0][0][:, None]  # (BQ, 1) rowsum(do * o)
-        s = scale * lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
-        if causal:
-            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
-            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ji * k.shape[0]
-            s = jnp.where(cols <= rows, s, _NEG)
-        p = jnp.exp(s - L)  # recomputed probabilities
-        dv_s[:] += lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (dp - delta) * p
-        dk_s[:] += scale * lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    @pl.when(qi == nq - 1)
+    @pl.when(l_ref_flags[p] == 1)
     def _():
         dk_ref[0] = dk_s[:]
         dv_ref[0] = dv_s[:]
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
-                   dq_ref, dq_s, *, scale, causal, nk):
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)  # innermost: accumulate over key blocks
+def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
+                   do_ref, l_ref, d_ref, dq_ref, dq_s, *, scale, causal):
+    p = pl.program_id(1)
+    qi = i_ref[p]
+    ki = j_ref[p]
 
-    @pl.when(ki == 0)
+    @pl.when(f_ref[p] == 1)
     def _():
         dq_s[:] = jnp.zeros_like(dq_s)
 
@@ -174,30 +199,23 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-
-    run = True
+    L = l_ref[0][0][:, None]
+    delta = d_ref[0][0][:, None]
+    s = scale * lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     if causal:
-        run = ki * k.shape[0] <= qi * q.shape[0] + q.shape[0] - 1
+        rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
+        cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
+        s = jnp.where(cols <= rows, s, _NEG)
+    pmat = jnp.exp(s - L)
+    dp = lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (dp - delta) * pmat
+    dq_s[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
-    @pl.when(run if causal else ki >= 0)
-    def _():
-        L = l_ref[0][0][:, None]
-        delta = d_ref[0][0][:, None]
-        s = scale * lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if causal:
-            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
-            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
-            s = jnp.where(cols <= rows, s, _NEG)
-        p = jnp.exp(s - L)
-        dp = lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = (dp - delta) * p
-        dq_s[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
-
-    @pl.when(ki == nk - 1)
+    @pl.when(l_ref_flags[p] == 1)
     def _():
         dq_ref[0] = dq_s[:]
 
@@ -206,43 +224,46 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal):
     """Streaming Pallas backward: (BH, T, d) blocks, O(block) VMEM."""
     BH, T, d = q.shape
     nq, nk = T // _BQ, T // _BK
-    qspec_i = pl.BlockSpec((1, _BQ, d), lambda b, i, j: (b, i, 0),
-                           memory_space=pltpu.VMEM)
-    kspec_i = pl.BlockSpec((1, _BK, d), lambda b, i, j: (b, j, 0),
-                           memory_space=pltpu.VMEM)
-    vec_i = pl.BlockSpec((1, 8, _BQ), lambda b, i, j: (b, 0, i),
-                         memory_space=pltpu.VMEM)
-    # dk/dv: grid walks (key block, query block); q/do/L/delta follow the
-    # INNER index, k/v and the outputs the outer one.
-    qspec_j = pl.BlockSpec((1, _BQ, d), lambda b, j, i: (b, i, 0),
-                           memory_space=pltpu.VMEM)
-    kspec_j = pl.BlockSpec((1, _BK, d), lambda b, j, i: (b, j, 0),
-                           memory_space=pltpu.VMEM)
-    vec_j = pl.BlockSpec((1, 8, _BQ), lambda b, j, i: (b, 0, i),
-                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, _BQ, d), lambda b, p, i, j, f, l: (b, i[p], 0))
+    kspec = pl.BlockSpec((1, _BK, d), lambda b, p, i, j, f, l: (b, j[p], 0))
+    vec = pl.BlockSpec((1, 8, _BQ), lambda b, p, i, j, f, l: (b, 0, i[p]))
+    interp = _interpret()
+
+    # dk/dv: key-major pair order, q/do/L/delta follow the inner (q) index.
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=True)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
-                          nq=nq),
-        grid=(BH, nk, nq),
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(BH, i_a.shape[0]),
+            in_specs=[qspec, kspec, kspec, qspec, vec, vec],
+            out_specs=(kspec, kspec),
+            scratch_shapes=[
+                pltpu.VMEM((_BK, d), jnp.float32),
+                pltpu.VMEM((_BK, d), jnp.float32),
+            ],
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, T, d), q.dtype),
             jax.ShapeDtypeStruct((BH, T, d), q.dtype),
         ),
-        in_specs=[qspec_j, kspec_j, kspec_j, qspec_j, vec_j, vec_j],
-        out_specs=(kspec_j, kspec_j),
-        scratch_shapes=[
-            pltpu.VMEM((_BK, d), jnp.float32),
-            pltpu.VMEM((_BK, d), jnp.float32),
-        ],
-    )(q, k, v, do, L8, D8)
+        interpret=interp,
+    )(i_a, j_a, f_a, l_a, q, k, v, do, L8, D8)
+
+    # dq: query-major pair order.
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal, nk=nk),
-        grid=(BH, nq, nk),
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(BH, i_a.shape[0]),
+            in_specs=[qspec, kspec, kspec, qspec, vec, vec],
+            out_specs=qspec,
+            scratch_shapes=[pltpu.VMEM((_BQ, d), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((BH, T, d), q.dtype),
-        in_specs=[qspec_i, kspec_i, kspec_i, qspec_i, vec_i, vec_i],
-        out_specs=qspec_i,
-        scratch_shapes=[pltpu.VMEM((_BQ, d), jnp.float32)],
-    )(q, k, v, do, L8, D8)
+        interpret=interp,
+    )(i_a, j_a, f_a, l_a, q, k, v, do, L8, D8)
     return dq, dk, dv
 
 

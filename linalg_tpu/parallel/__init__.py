@@ -1,4 +1,5 @@
 from .mesh import make_mesh, pick_dp_tp
+from .ring import make_ring_attention, ring_attention_local
 from .sharding import (
     dryrun_multichip,
     gpt_param_specs,
@@ -6,6 +7,7 @@ from .sharding import (
     make_sharded_device_train_step,
     make_sharded_eval,
     make_sharded_train_step,
+    make_sp_train_step,
 )
 
 __all__ = [
@@ -13,8 +15,11 @@ __all__ = [
     "pick_dp_tp",
     "gpt_param_specs",
     "make_sharded_attn",
+    "make_ring_attention",
+    "ring_attention_local",
     "make_sharded_train_step",
     "make_sharded_device_train_step",
     "make_sharded_eval",
+    "make_sp_train_step",
     "dryrun_multichip",
 ]

@@ -34,6 +34,7 @@ __all__ = [
     "make_sharded_train_step",
     "make_sharded_device_train_step",
     "make_sharded_eval",
+    "make_sp_train_step",
     "dryrun_multichip",
 ]
 
@@ -116,6 +117,48 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
         step,
         in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )
+
+
+def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
+                       lr: float = 3e-4, weight_decay: float = 0.01):
+    """Sequence-parallel training step over a (dp, sp) mesh.
+
+    Context parallelism: the batch is sharded (dp, sp) — every activation
+    tensor carries its T axis sharded over 'sp'. LayerNorm/FFN/embeddings
+    are pointwise over T (GSPMD shards them for free); attention runs the
+    ring (K/V chunks rotate over ICI, ``parallel.ring``). Parameters are
+    replicated. This is how a ctx length that doesn't fit one chip's HBM
+    trains; for short ctx prefer dp x tp.
+    """
+    from .ring import make_ring_attention
+
+    ring = make_ring_attention(mesh, axis="sp", causal=True,
+                               batch_axis="dp")
+    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+
+    repl_leaf = NamedSharding(mesh, P())
+    param_sh = jax.tree.map(lambda _: repl_leaf, gpt_param_specs(None),
+                            is_leaf=lambda v: isinstance(v, P))
+    batch_sh = NamedSharding(mesh, P("dp", "sp"))
+
+    from ..train.optim import AdamWState
+
+    opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=repl_leaf)
+
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=attn_fn)
+        )(params, x, y)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
+        out_shardings=(param_sh, opt_state_sh, repl_leaf),
     )
 
 
@@ -237,7 +280,26 @@ def dryrun_multichip(n_devices: int) -> None:
     step = make_sharded_train_step(cfg, mesh)
     params, opt_state, loss = step(params, opt_state, x, y)
     jax.block_until_ready(loss)
+
+    # sequence-parallel path: ring attention over an 'sp' ring must match
+    # the exact sdpa on the same mesh devices
+    from ..nn.functional import causal_mask, sdpa
+    from .mesh import make_mesh as _mk
+    from .ring import make_ring_attention
+
+    sp_mesh = _mk((n_devices,), ("sp",), devices[:n_devices])
+    rng2 = np.random.default_rng(1)
+    qkv = [
+        jnp.asarray(rng2.normal(size=(2, 2, 8 * n_devices, 8)), jnp.float32)
+        for _ in range(3)
+    ]
+    ring_out = make_ring_attention(sp_mesh)(*qkv)
+    ref = sdpa(*qkv, causal_mask(8 * n_devices))
+    ring_ok = bool(jnp.max(jnp.abs(ring_out - ref)) < 1e-4)
+
     print(
         f"dryrun_multichip ok: mesh dp={dp} tp={tp}, one train step, "
-        f"loss={float(loss):.4f}"
+        f"loss={float(loss):.4f}; ring attention sp={n_devices} "
+        f"{'ok' if ring_ok else 'MISMATCH'}"
     )
+    assert ring_ok, "ring attention mismatch vs sdpa"
