@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pos", type=str, default="sinusoidal",
                     choices=("sinusoidal", "rope"),
                     help="positional encoding for a fresh model")
+    ap.add_argument("--experts", type=int, default=0,
+                    help="mixture-of-experts FFN: number of experts for a "
+                         "fresh model (0 = dense FFN)")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="compute dtype for a fresh model (params stay f32; "
+                         "bfloat16 halves HBM traffic on TPU)")
     ap.add_argument("--weight_decay", type=float, default=0.01)
     ap.add_argument("--ckpt_dir", type=str, default="checkpoints_np")
     ap.add_argument("--gen_tokens", type=int, default=200)

@@ -10,6 +10,13 @@ from .gpt import (
     sample_token,
 )
 from .gpt_modules import GPT, AdamW, DecoderOnlyLayer
+from .moe import (
+    MoEGPTConfig,
+    init_moe_params,
+    moe_ffn,
+    moe_gpt_apply,
+    moe_gpt_loss,
+)
 from .seq2seq import (
     Seq2SeqConfig,
     init_seq2seq_params,
@@ -41,6 +48,12 @@ __all__ = [
     "gpt_decode_chunk",
     "init_decode_cache",
     "sample_token",
+    # mixture-of-experts GPT
+    "MoEGPTConfig",
+    "init_moe_params",
+    "moe_ffn",
+    "moe_gpt_apply",
+    "moe_gpt_loss",
     # stateful GPT
     "DecoderOnlyLayer",
     "GPT",

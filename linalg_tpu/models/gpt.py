@@ -65,12 +65,15 @@ class GPTConfig:
     d_ff: Optional[int] = None
     ctx_len: int = 256
     pos: str = "sinusoidal"  # "sinusoidal" (additive PE) or "rope"
+    dtype: str = "float32"  # compute dtype: "float32" or "bfloat16"
 
     def __post_init__(self):
         if self.pos not in ("sinusoidal", "rope"):
             raise ValueError(f"Unknown positional encoding: {self.pos!r}")
         if self.pos == "rope" and (self.d_model // self.n_heads) % 2 != 0:
             raise ValueError("RoPE requires an even head dimension")
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"Unknown compute dtype: {self.dtype!r}")
 
     @property
     def dff(self) -> int:
@@ -79,6 +82,14 @@ class GPTConfig:
     @property
     def d_head(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def compute_dtype(self):
+        """Mixed precision: params stay f32 masters (AdamW in f32); the
+        forward/backward run in this dtype. bf16 halves the HBM traffic of
+        weights/activations/residuals — the step is bandwidth-bound — and
+        feeds the MXU its native input width."""
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
 def init_gpt_params(cfg: GPTConfig, seed: int = 123) -> Params:
@@ -188,7 +199,13 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
     if attn_fn is None:
         attn_fn = _pick_attn(T, cfg.d_head)
     h, rope = _embed(params, x_ids, cfg, T)
-    mask = causal_mask(T, dtype=h.dtype)
+
+    dt = cfg.compute_dtype
+    h = h.astype(dt)
+    if rope is not None:
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
+    mask = causal_mask(T, dtype=dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
         out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope)
@@ -199,8 +216,9 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
     # config) but blows the train-step compile from ~6 s to ~250 s on this
     # runtime (remat of a scan body containing a Pallas custom_vjp), so it
     # is deliberately NOT applied.
-    h, _ = lax.scan(body, h, params["layers"])
-    return h @ params["tok_W"].T + params["head_b"]
+    h, _ = lax.scan(body, h, layers)
+    logits = h @ params["tok_W"].T.astype(dt) + params["head_b"].astype(dt)
+    return logits.astype(jnp.float32)  # CE runs in f32 for stability
 
 
 def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,

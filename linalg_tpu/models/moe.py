@@ -1,0 +1,275 @@
+"""Mixture-of-Experts GPT: Switch-style top-1 routed FFN, expert-parallel.
+
+The reference's FFN is a dense 2-layer ReLU MLP
+(/root/reference/ai_comps/transformer.py:102-206). This module scales that
+capability the TPU-native way: each layer carries E expert FFNs and a
+linear router; every token is dispatched to its top-1 expert with a
+capacity bound (GShard/Switch dense-dispatch einsums — one-hot dispatch and
+combine tensors, no gather/scatter, so XLA keeps everything MXU-shaped and
+GSPMD can shard the expert axis over an 'ep' mesh axis, turning the
+dispatch einsums into all-to-all collectives over ICI).
+
+Routing uses the Switch Transformer load-balancing auxiliary loss
+``E * sum_e f_e * P_e`` (f = fraction of tokens routed to e, P = mean
+router probability); tokens over capacity are dropped (their FFN output is
+zero — the residual connection carries them through).
+
+Everything is plain differentiable jnp: jax.grad flows through router,
+dispatch and experts with no custom rules needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..nn.functional import causal_mask, layer_norm, relu, rope_rotate, rope_tables
+from .gpt import GPTConfig, _heads, _pick_attn, _unheads, _embed
+
+__all__ = [
+    "MoEGPTConfig",
+    "init_moe_params",
+    "moe_ffn",
+    "moe_gpt_apply",
+    "moe_gpt_loss",
+]
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEGPTConfig(GPTConfig):
+    n_experts: int = 8
+    capacity_factor: float = 1.25
+    aux_weight: float = 0.01
+
+
+def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
+    """GPT params with per-layer router + stacked expert FFN weights."""
+    rng = np.random.default_rng(seed)
+    D, F, L, V, E = cfg.d_model, cfg.dff, cfg.n_layers, cfg.vocab_size, cfg.n_experts
+
+    def he(fan_in, shape):
+        return jnp.asarray(
+            rng.normal(0.0, math.sqrt(2.0 / fan_in), size=shape), jnp.float32
+        )
+
+    layers = {
+        "ln1_g": jnp.ones((L, D), jnp.float32),
+        "ln1_b": jnp.zeros((L, D), jnp.float32),
+        "Wq": he(D, (L, D, D)),
+        "Wk": he(D, (L, D, D)),
+        "Wv": he(D, (L, D, D)),
+        "Wo": he(D, (L, D, D)),
+        "ln2_g": jnp.ones((L, D), jnp.float32),
+        "ln2_b": jnp.zeros((L, D), jnp.float32),
+        # router: small init so early routing is near-uniform
+        "Wr": jnp.asarray(rng.normal(0.0, 0.02, size=(L, D, E)), jnp.float32),
+        "W1": he(D, (L, E, D, F)),
+        "b1": jnp.zeros((L, E, F), jnp.float32),
+        "W2": he(F, (L, E, F, D)),
+        "b2": jnp.zeros((L, E, D), jnp.float32),
+    }
+    return {
+        "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
+        "head_b": jnp.zeros((V,), jnp.float32),
+        "layers": layers,
+    }
+
+
+def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-1 routed expert FFN, routed within per-row token GROUPS.
+
+    x: (B, T, D); Wr: (D, E); W1: (E, D, F); b1: (E, F); W2: (E, F, D);
+    b2: (E, D). Returns (out (B, T, D), aux_loss scalar). ``capacity`` is
+    the static per-expert budget PER GROUP (row of x); overflow tokens get
+    a zero output (the residual carries them).
+
+    Routing each row independently (GShard-style grouping) keeps the dense
+    dispatch/combine einsums LINEAR in total tokens: the (T, E, C) dispatch
+    tensor costs O(B * T*E*C*D) instead of the O((B*T)^2)-ish blowup of one
+    global group — at the published config that is the difference between a
+    ~15 ms and a ~4.5 s MoE step. To route a flat token set as one group,
+    reshape to (1, N, D).
+    """
+    B, T, D = x.shape
+    E = Wr.shape[-1]
+
+    router_logits = x @ Wr                       # (B, T, E)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    eidx = jnp.argmax(probs, axis=-1)            # (B, T) top-1 expert
+    gate = jnp.take_along_axis(probs, eidx[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(eidx, E, dtype=x.dtype)        # (B, T, E)
+
+    # queue position of each token within its (group, expert) arrival order
+    pos = jnp.cumsum(onehot, axis=1) - onehot              # tokens before me
+    pos_tok = jnp.sum(pos * onehot, axis=-1)               # (B, T)
+    keep = (pos_tok < capacity).astype(x.dtype)
+    slot = jax.nn.one_hot(pos_tok.astype(jnp.int32), capacity, dtype=x.dtype)
+
+    # dense dispatch/combine (GShard): everything stays einsum-shaped
+    dispatch = onehot[..., None] * slot[..., None, :] * keep[..., None, None]
+    xin = jnp.einsum("btec,btd->becd", dispatch, x)        # (B, E, C, D)
+    h = relu(jnp.einsum("becd,edf->becf", xin, W1) + b1[None, :, None, :])
+    out_e = jnp.einsum("becf,efd->becd", h, W2) + b2[None, :, None, :]
+    combine = dispatch * gate[..., None, None]
+    out = jnp.einsum("btec,becd->btd", combine, out_e)
+
+    # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e
+    f = jnp.mean(onehot, axis=(0, 1))
+    P_mean = jnp.mean(probs, axis=(0, 1))
+    aux = E * jnp.sum(f * P_mean)
+    return out, aux
+
+
+def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
+               rope, capacity: int):
+    """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
+
+    Returns (out, (k, v), aux) — the K/V pair feeds the decode cache."""
+    xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+    q = _heads(xn @ lp["Wq"], n_heads)
+    k = _heads(xn @ lp["Wk"], n_heads)
+    v = _heads(xn @ lp["Wv"], n_heads)
+    if rope is not None:
+        cos, sin = rope
+        q = rope_rotate(q, cos, sin)
+        k = rope_rotate(k, cos, sin)
+    a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    h1 = h_in + a
+    x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+    f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],
+                     capacity)
+    return h1 + f, (k, v), aux
+
+
+def _capacity(cfg: MoEGPTConfig, group_tokens: int) -> int:
+    """Per-expert slot budget for a routing group of ``group_tokens``."""
+    return max(1, int(math.ceil(cfg.capacity_factor * group_tokens
+                                / cfg.n_experts)))
+
+
+def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
+                  attn_fn: Optional[Callable] = None):
+    """Forward: ids (B, T) -> (logits (B, T, V), mean aux loss over layers)."""
+    B, T = x_ids.shape
+    if attn_fn is None:
+        attn_fn = _pick_attn(T, cfg.d_head)
+    h, rope = _embed(params, x_ids, cfg, T)
+    mask = causal_mask(T, dtype=h.dtype)
+    cap = _capacity(cfg, T)  # per-row routing groups
+
+    def body(carry, lp):
+        out, _, aux = _moe_layer(carry, lp, mask, cfg.n_heads, attn_fn, rope,
+                                 cap)
+        return out, aux
+
+    h, auxes = lax.scan(body, h, params["layers"])
+    logits = h @ params["tok_W"].T + params["head_b"]
+    return logits, jnp.mean(auxes)
+
+
+def moe_gpt_loss(params: Params, x_ids, y_ids, cfg: MoEGPTConfig,
+                 attn_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Mean CE plus the weighted load-balancing auxiliary loss."""
+    logits, aux = moe_gpt_apply(params, x_ids, cfg, attn_fn)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, y_ids[..., None], axis=-1)[..., 0]
+    return jnp.mean(logz - gold) + cfg.aux_weight * aux
+
+
+# ---------------------------------------------------------------------------
+# KV-cached decode (mirrors models.gpt's prefill/step/chunk for the MoE)
+# ---------------------------------------------------------------------------
+
+
+from functools import partial as _partial  # noqa: E402
+
+from ..nn.cache import fkv_advance, fkv_write  # noqa: E402
+from ..nn.functional import sdpa, sinusoidal_encoding  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig):
+    """Run the full prompt, returning (last-position logits, filled cache)."""
+    B, T = x_ids.shape
+    h, rope = _embed(params, x_ids, cfg, T)
+    mask = causal_mask(T, dtype=h.dtype)
+    cap = _capacity(cfg, T)  # per-row routing groups
+
+    def body(carry, lp):
+        out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
+                                    rope, cap)
+        return out, (k, v)
+
+    h, (K, V) = lax.scan(body, h, params["layers"])
+    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    pad = cfg.ctx_len - T
+    K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    return logits, {"k": K, "v": V, "length": jnp.asarray(T, jnp.int32)}
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
+    """One incremental decode step for the MoE GPT: O(T) per token, with
+    the single live token routed to its top-1 expert."""
+    pos = cache["length"]
+    if cfg.pos == "rope":
+        h = params["tok_W"][token][:, None, :]
+        rope = rope_tables(cfg.d_head, pos[None])
+    else:
+        pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
+        h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+        rope = None
+    cap = _capacity(cfg, 1)  # one live token per routing group (row)
+
+    t_ids = jnp.arange(cfg.ctx_len)
+    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9)[None, None, None, :]
+
+    def body(carry, xs):
+        h_in = carry
+        lp, k_l, v_l = xs
+        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+        q = _heads(xn @ lp["Wq"], cfg.n_heads)
+        k = _heads(xn @ lp["Wk"], cfg.n_heads)
+        v = _heads(xn @ lp["Wv"], cfg.n_heads)
+        if rope is not None:
+            cos, sin = rope
+            q = rope_rotate(q, cos, sin)
+            k = rope_rotate(k, cos, sin)
+        k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
+        a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+        h1 = h_in + a
+        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+        f, _ = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"],
+                       lp["b2"], cap)
+        return h1 + f, (k_l, v_l)
+
+    h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
+    return logits, new_cache
+
+
+@_partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
+def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
+                     n_tokens: int, temperature=1.0, top_k: int = 0):
+    """Sample ``n_tokens`` autoregressively in ONE device computation."""
+    from .gpt import sample_token
+
+    def body(carry, k):
+        logits, cache = carry
+        tok = sample_token(k, logits, temperature, top_k)
+        new_logits, cache = moe_decode_step(params, cache, tok, cfg)
+        return (new_logits, cache), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (logits, cache), toks = lax.scan(body, (logits, cache), keys)
+    return toks.T, logits, cache

@@ -52,7 +52,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, causal, group):
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
         p = e / denom
-        o_ref[g] = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        # P truncated to the io dtype for the MXU (bf16 operands under
+        # mixed precision; the MXU truncates f32 operands anyway), f32 accum
+        o_ref[g] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
         # L stored as (8, T) broadcast rows: TPU tiles need sublane >= 8
         L = (m + jnp.log(denom))[:, 0]
         l_ref[g] = jnp.broadcast_to(L[None, :], (8, L.shape[0]))
@@ -75,21 +79,31 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, do_ref,
             rows = lax.broadcasted_iota(jnp.int32, (T, T), 0)
             cols = lax.broadcasted_iota(jnp.int32, (T, T), 1)
             s = jnp.where(cols <= rows, s, -1e9)
-        p = jnp.exp(s - L)  # recomputed probabilities
+        p = jnp.exp(s - L)  # recomputed probabilities (f32)
         # dV = P^T dO
         dv_ref[g] = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
         # dP = dO V^T ; dS = (dP - rowsum(dO*O)) * P
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)
-        ds = (dp - delta) * p
-        dq_ref[g] = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk_ref[g] = scale * jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True,
         )
+        ds = (dp - delta) * p
+        dq_ref[g] = (
+            scale * jnp.dot(ds.astype(k.dtype), k,
+                            preferred_element_type=jnp.float32)
+        ).astype(dq_ref.dtype)
+        dk_ref[g] = (
+            scale * jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(dk_ref.dtype)
 
 
 def _pick_group(BH: int, T: int, d: int) -> int:

@@ -47,7 +47,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale, causal):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(e / denom, v, preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.dot(
+        (e / denom).astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
     L = (m + jnp.log(denom))[:, 0]
     l_ref[0] = jnp.broadcast_to(L[None, :], (8, BQ))
 
@@ -75,7 +77,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, l_ref, do_ref, d_ref, dq_ref, *,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = (dp - delta) * p
-    dq_ref[0] = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_ref[0] = (
+        scale * jnp.dot(ds.astype(k.dtype), k,
+                        preferred_element_type=jnp.float32)
+    ).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, l_ref, do_ref, d_ref,
@@ -99,15 +104,19 @@ def _dkv_kernel(q_ref, k_ref, v_ref, l_ref, do_ref, d_ref,
         s = jnp.where(cols <= rows, s, -1e9)
     p = jnp.exp(s - L)            # (T, BK)
     dv_ref[0] = lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (T, BK)
     ds = (dp - delta) * p
-    dk_ref[0] = scale * lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dk_ref[0] = (
+        scale * lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dk_ref.dtype)
 
 
 def _full(T, d):
@@ -201,7 +210,8 @@ def _vjp_bwd(causal, res, do):
     B, h, T, d = q.shape
     scale = 1.0 / math.sqrt(d)
     rs = lambda x: x.reshape(B * h, T, d)
-    delta = jnp.sum(do * o, axis=-1)  # (B, h, T)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)  # (B, h, T)
     delta = jnp.broadcast_to(
         delta.reshape(B * h, 1, T), (B * h, 8, T)
     ).astype(jnp.float32)

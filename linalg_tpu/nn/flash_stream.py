@@ -99,14 +99,14 @@ def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
     alpha = jnp.exp(m_prev - m_new)
     l_s[:] = l_s[:] * alpha + jnp.sum(pmat, axis=-1, keepdims=True)
     acc_s[:] = acc_s[:] * alpha + jnp.dot(
-        pmat, v, preferred_element_type=jnp.float32
+        pmat.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_s[:] = m_new
 
     @pl.when(l_ref_flags[p] == 1)
     def _():
         denom = jnp.where(l_s[:] == 0, 1.0, l_s[:])
-        o_ref[0] = acc_s[:] / denom
+        o_ref[0] = (acc_s[:] / denom).astype(o_ref.dtype)
         L = (m_s[:] + jnp.log(denom))[:, 0]
         l_ref[0] = jnp.broadcast_to(L[None, :], (8, L.shape[0]))
 
@@ -169,20 +169,22 @@ def _bwd_dkdv_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         s = jnp.where(cols <= rows, s, _NEG)
     pmat = jnp.exp(s - L)  # recomputed probabilities
     dv_s[:] += lax.dot_general(
-        pmat, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pmat.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = (dp - delta) * pmat
     dk_s[:] += scale * lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(l_ref_flags[p] == 1)
     def _():
-        dk_ref[0] = dk_s[:]
-        dv_ref[0] = dv_s[:]
+        dk_ref[0] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
@@ -213,11 +215,12 @@ def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = (dp - delta) * pmat
-    dq_s[:] += scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_s[:] += scale * jnp.dot(ds.astype(k.dtype), k,
+                               preferred_element_type=jnp.float32)
 
     @pl.when(l_ref_flags[p] == 1)
     def _():
-        dq_ref[0] = dq_s[:]
+        dq_ref[0] = dq_s[:].astype(dq_ref.dtype)
 
 
 def _bwd_call(q, k, v, do, L8, D8, scale, causal):
@@ -291,7 +294,8 @@ def _vjp_bwd(causal, res, do):
     q, k, v, o, L = res  # L: (B, h, T)
     B, h, T, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    delta = jnp.sum(do * o, axis=-1)  # (B, h, T)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)  # (B, h, T)
     rs = lambda x: x.reshape(B * h, T, d)
     bcast = lambda x: jnp.broadcast_to(
         x.reshape(B * h, 1, T), (B * h, 8, T)

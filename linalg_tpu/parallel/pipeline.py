@@ -1,0 +1,191 @@
+"""Pipeline parallelism: GPipe-style microbatch schedule over a 'pp' axis.
+
+The GPT's layer stack is already a leading-axis pytree (L, ...) scanned by
+``gpt_apply``; pipeline parallelism shards that leading axis over a 'pp'
+mesh axis so each device owns ``n_layers/pp`` contiguous blocks, then runs
+the classic SPMD pipeline inside ``shard_map``: every tick each stage runs
+its layers on the microbatch it holds and hands the activation to the next
+stage with ``lax.ppermute``. After ``M + S - 1`` ticks all ``M``
+microbatches have drained; the last stage accumulates the CE loss as
+microbatches retire, and gradients flow through ``jax.grad`` unchanged
+(ppermute's transpose is the reverse rotation — the backward pipeline runs
+the same schedule mirrored, for free).
+
+Embeddings and the weight-tied head are replicated: stage 0 consumes the
+embedding, the last stage the head, and the psum over 'pp' merges their
+tok_W gradient contributions.
+
+Reference has no parallelism (SURVEY §2.5); this is the TPU-native
+expression of depth scaling for its GPT (/root/reference/gpt.py:192-215,
+a Python loop over layers) when one chip's HBM can't hold the stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.gpt import GPTConfig, _layer, _pick_attn
+from ..nn.functional import causal_mask, rope_tables, sinusoidal_encoding
+
+__all__ = ["pp_param_specs", "make_pp_loss", "make_pp_train_step"]
+
+
+def pp_param_specs(dp: Optional[str] = None) -> dict:
+    """PartitionSpecs for the GPT pytree under pipeline parallelism: the
+    stacked layer axis sharded on 'pp', embeddings/head replicated."""
+    def layer_spec(ndim_tail: int) -> P:
+        return P(*(("pp",) + (None,) * ndim_tail))
+
+    layer_specs = {
+        "ln1_g": layer_spec(1), "ln1_b": layer_spec(1),
+        "Wq": layer_spec(2), "Wk": layer_spec(2), "Wv": layer_spec(2),
+        "Wo": layer_spec(2),
+        "ln2_g": layer_spec(1), "ln2_b": layer_spec(1),
+        "W1": layer_spec(2), "b1": layer_spec(1),
+        "W2": layer_spec(2), "b2": layer_spec(1),
+    }
+    return {"tok_W": P(), "head_b": P(), "layers": layer_specs}
+
+
+def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
+                   dp_axis: Optional[str]):
+    """Device-local pipelined loss body (runs inside shard_map).
+
+    params['layers'] leaves arrive with the local (L/S, ...) stage slice;
+    x/y arrive (B_local, T). Returns the GLOBAL mean CE (psum'd), so every
+    device's jax.grad sees the same scalar.
+    """
+    M = n_microbatches
+
+    def local_loss(params, x, y):
+        S = lax.axis_size("pp")
+        stage = lax.axis_index("pp")
+        B, T = x.shape
+        mb = B // M
+        x_mb = x.reshape(M, mb, T)
+        y_mb = y.reshape(M, mb, T)
+        mask = causal_mask(T, dtype=jnp.float32)
+        tok_W = params["tok_W"]
+        D = tok_W.shape[1]
+
+        if cfg.pos == "rope":
+            rope = rope_tables(cfg.d_head, jnp.arange(T))
+            pe = None
+        else:
+            rope = None
+            pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+
+        def embed(m_idx):
+            ids = x_mb[jnp.clip(m_idx, 0, M - 1)]
+            h = tok_W[ids]
+            return h if pe is None else h + pe[None]
+
+        def run_stage(h):
+            def body(c, lp):
+                out, _ = _layer(c, lp, mask, cfg.n_heads, attn_fn, rope)
+                return out, None
+            out, _ = lax.scan(body, h, params["layers"])
+            return out
+
+        perm = [(i, i + 1) for i in range(S - 1)]  # stage i -> i+1, no wrap
+
+        def tick(carry, t):
+            state, loss_sum = carry
+            h_in = jnp.where(stage == 0, embed(t), state)
+            h_out = run_stage(h_in)
+            # microbatch retiring at the last stage this tick
+            m_idx = t - (S - 1)
+            yb = y_mb[jnp.clip(m_idx, 0, M - 1)]
+            logits = h_out @ tok_W.T + params["head_b"]
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, yb[..., None], axis=-1)[..., 0]
+            ce = jnp.sum(logz - gold)
+            valid = jnp.logical_and(stage == S - 1, m_idx >= 0)
+            loss_sum = loss_sum + jnp.where(valid, ce, 0.0)
+            state = lax.ppermute(h_out, "pp", perm)
+            return (state, loss_sum), None
+
+        init = (jnp.zeros((mb, T, D), jnp.float32), jnp.float32(0.0))
+        (_, loss_sum), _ = lax.scan(tick, init, jnp.arange(M + S - 1))
+
+        axes = ("pp",) if dp_axis is None else (dp_axis, "pp")
+        total = lax.psum(loss_sum, axes)
+        n_tok = M * mb * T * (lax.axis_size(dp_axis) if dp_axis else 1)
+        return total / n_tok
+
+    return local_loss
+
+
+def _pp_loss_raw(cfg: GPTConfig, mesh: Mesh, n_microbatches: int,
+                 dp_axis: Optional[str]):
+    """Unjitted shard_map'd pipeline loss (params, x, y) -> scalar."""
+    assert cfg.n_layers % mesh.shape["pp"] == 0, (
+        "n_layers must divide by the pp axis size"
+    )
+    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    local = _pp_local_loss(cfg, n_microbatches, attn_fn, dp_axis)
+    pspecs = pp_param_specs(dp_axis)
+    batch_spec = P(dp_axis, None)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, batch_spec, batch_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_pp_loss(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
+                 dp_axis: Optional[str] = None):
+    """jitted (params, x, y) -> loss over a pipeline mesh.
+
+    ``mesh`` must have a 'pp' axis whose size divides cfg.n_layers, and the
+    global batch must divide by n_microbatches (times dp if given).
+    """
+    pspecs = pp_param_specs(dp_axis)
+    sharded = _pp_loss_raw(cfg, mesh, n_microbatches, dp_axis)
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    batch_sh = NamedSharding(mesh, P(dp_axis, None))
+    return jax.jit(sharded, in_shardings=(param_sh, batch_sh, batch_sh),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
+def make_pp_train_step(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
+                       lr: float = 3e-4, weight_decay: float = 0.01,
+                       dp_axis: Optional[str] = None):
+    """jitted (params, opt_state, x, y) -> (params, opt_state, loss) with
+    the layer stack pipeline-sharded on 'pp'.
+
+    Gradients come from jax.grad THROUGH the shard_map pipeline (the
+    backward schedule is the transposed ppermute rotation); replicated
+    leaves (tok_W, head_b) receive psum'd grads from GSPMD since the loss
+    itself is psum'd inside.
+    """
+    from ..train.optim import AdamWState, adamw_update, gpt_wd_mask
+
+    loss_fn = _pp_loss_raw(cfg, mesh, n_microbatches, dp_axis)
+
+    pspecs = pp_param_specs(dp_axis)
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    scalar_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(dp_axis, None))
+    opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
+
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
+        out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )

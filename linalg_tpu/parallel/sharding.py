@@ -297,9 +297,51 @@ def dryrun_multichip(n_devices: int) -> None:
     ref = sdpa(*qkv, causal_mask(8 * n_devices))
     ring_ok = bool(jnp.max(jnp.abs(ring_out - ref)) < 1e-4)
 
+    # pipeline-parallel path: GPipe microbatch schedule over a 'pp' ring
+    # must reproduce the unsharded loss exactly
+    from ..models.gpt import gpt_loss
+    from .pipeline import make_pp_train_step
+
+    pp = min(n_devices, 4)
+    pp_dp = n_devices // pp
+    pp_mesh = _mk((pp_dp, pp), ("dp", "pp"), devices[:n_devices])
+    pp_cfg = GPTConfig(vocab_size=37, d_model=32, n_heads=4,
+                       n_layers=2 * pp, d_ff=64, ctx_len=16)
+    pp_params = init_gpt_params(pp_cfg, seed=0)
+    Bpp = 4 * pp_dp
+    xpp = jnp.asarray(rng.integers(0, 37, size=(Bpp, 16), dtype=np.int32))
+    ypp = jnp.asarray(rng.integers(0, 37, size=(Bpp, 16), dtype=np.int32))
+    ref_pp = float(gpt_loss(pp_params, xpp, ypp, pp_cfg))
+    pp_step = make_pp_train_step(pp_cfg, pp_mesh, n_microbatches=2,
+                                 dp_axis="dp")
+    _, _, pp_loss = pp_step(pp_params, adamw_init(pp_params), xpp, ypp)
+    pp_ok = abs(float(pp_loss) - ref_pp) < 1e-4
+
+    # expert-parallel path: MoE-GPT with experts sharded on 'ep'
+    from ..models.moe import MoEGPTConfig, init_moe_params, moe_gpt_loss
+    from .expert import make_ep_train_step
+
+    ep = min(n_devices, 4)
+    ep_dp = n_devices // ep
+    ep_mesh = _mk((ep_dp, ep), ("dp", "ep"), devices[:n_devices])
+    ep_cfg = MoEGPTConfig(vocab_size=37, d_model=32, n_heads=4, n_layers=2,
+                          d_ff=64, ctx_len=16, n_experts=ep)
+    ep_params = init_moe_params(ep_cfg, seed=0)
+    Bep = 2 * ep_dp
+    xep = jnp.asarray(rng.integers(0, 37, size=(Bep, 16), dtype=np.int32))
+    yep = jnp.asarray(rng.integers(0, 37, size=(Bep, 16), dtype=np.int32))
+    ref_ep = float(moe_gpt_loss(ep_params, xep, yep, ep_cfg))
+    ep_step = make_ep_train_step(ep_cfg, ep_mesh, dp_axis="dp")
+    _, _, ep_loss = ep_step(ep_params, adamw_init(ep_params), xep, yep)
+    ep_ok = abs(float(ep_loss) - ref_ep) < 1e-4
+
     print(
         f"dryrun_multichip ok: mesh dp={dp} tp={tp}, one train step, "
         f"loss={float(loss):.4f}; ring attention sp={n_devices} "
-        f"{'ok' if ring_ok else 'MISMATCH'}"
+        f"{'ok' if ring_ok else 'MISMATCH'}; "
+        f"pipeline dp={pp_dp} pp={pp} {'ok' if pp_ok else 'MISMATCH'}; "
+        f"moe dp={ep_dp} ep={ep} {'ok' if ep_ok else 'MISMATCH'}"
     )
     assert ring_ok, "ring attention mismatch vs sdpa"
+    assert pp_ok, "pipeline-parallel loss mismatch vs unsharded"
+    assert ep_ok, "expert-parallel loss mismatch vs unsharded"

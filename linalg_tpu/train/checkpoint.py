@@ -38,14 +38,12 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         "head_W": tok_W.T,  # tied head, stored for reference compatibility
         "head_b": np.asarray(host["head_b"]),
     }
-    name_map = {
-        "Wq": "Wq", "Wk": "Wk", "Wv": "Wv", "Wo": "Wo",
-        "W1": "W1", "b1": "b1", "W2": "W2", "b2": "b2",
-        "ln1_g": "ln1_g", "ln1_b": "ln1_b", "ln2_g": "ln2_g", "ln2_b": "ln2_b",
-    }
+    # every layer key present in the pytree is saved per layer — this covers
+    # both the dense GPT (reference key set, gpt.py:438-464) and the MoE
+    # extension (router Wr + expert-stacked W1/b1/W2/b2)
     for i in range(cfg.n_layers):
-        for ours, theirs in name_map.items():
-            arrays[f"l{i}_{theirs}"] = lay[ours][i]
+        for ours in lay:
+            arrays[f"l{i}_{ours}"] = lay[ours][i]
     path = ckpt_dir / CKPT_NAME
     np.savez_compressed(path, **arrays)
     meta = {
@@ -56,7 +54,15 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         "layers": cfg.n_layers,
         "ctx_len": cfg.ctx_len,
         "pos": cfg.pos,
+        "d_ff": cfg.d_ff,  # None = the 4*d_model default
+        "dtype": cfg.dtype,
     }
+    from ..models.moe import MoEGPTConfig
+
+    if isinstance(cfg, MoEGPTConfig):
+        meta["experts"] = cfg.n_experts
+        meta["capacity_factor"] = cfg.capacity_factor
+        meta["aux_weight"] = cfg.aux_weight
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
 
@@ -72,17 +78,30 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
     meta = json.loads((ckpt_dir / META_NAME).read_text())
     stoi = meta["stoi"]
     itos = {int(k): v for k, v in meta["itos"].items()}
-    cfg = GPTConfig(
+    common = dict(
         vocab_size=len(stoi),
         d_model=meta["d_model"],
         n_heads=meta["heads"],
         n_layers=meta["layers"],
         ctx_len=meta["ctx_len"],
         pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
+        d_ff=meta.get("d_ff"),  # absent in reference-format meta -> default
+        dtype=meta.get("dtype", "float32"),
     )
-    from ..utils.transfer import push_pytree
+    if meta.get("experts", 0):
+        from ..models.moe import MoEGPTConfig, init_moe_params
 
-    params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
+        cfg = MoEGPTConfig(
+            n_experts=meta["experts"],
+            capacity_factor=meta.get("capacity_factor", 1.25),
+            aux_weight=meta.get("aux_weight", 0.01),
+            **common,
+        )
+        params = init_moe_params(cfg)
+    else:
+        cfg = GPTConfig(**common)
+        params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
+    from ..utils.transfer import push_pytree
     lay = {}
     for ours in params["layers"]:
         # astype: reference-produced archives are float64 (NumPy default,
@@ -125,6 +144,7 @@ def save_ckpt_orbax(ckpt_dir, params: Params, cfg: GPTConfig,
         "layers": cfg.n_layers,
         "ctx_len": cfg.ctx_len,
         "pos": cfg.pos,
+        "d_ff": cfg.d_ff,
     }
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
@@ -145,6 +165,7 @@ def load_ckpt_orbax(ckpt_dir):
         n_layers=meta["layers"],
         ctx_len=meta["ctx_len"],
         pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
+        d_ff=meta.get("d_ff"),
     )
     with ocp.PyTreeCheckpointer() as ckptr:
         params = ckptr.restore(ckpt_dir / "orbax")

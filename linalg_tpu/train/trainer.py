@@ -30,13 +30,21 @@ from .optim import (adamw_init, adamw_update, gpt_lr_scales, gpt_wd_mask,
 __all__ = ["train", "train_sharded", "sample", "make_train_step", "eval_avg"]
 
 
+def _loss_fn_for(cfg: GPTConfig):
+    """Pick the loss for the config type (dense GPT vs routed MoE)."""
+    from ..models.moe import MoEGPTConfig, moe_gpt_loss
+
+    return moe_gpt_loss if isinstance(cfg, MoEGPTConfig) else gpt_loss
+
+
 def make_train_step(cfg: GPTConfig, *, base_lr: float, min_lr: float,
                     warmup: int, max_steps: int, weight_decay: float):
     """Build the jitted (params, opt_state, x, y, step) -> updated fn."""
+    loss_fn = _loss_fn_for(cfg)
 
     @jax.jit
     def train_step(params, opt_state, x, y, step):
-        loss, grads = jax.value_and_grad(gpt_loss)(params, x, y, cfg)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg)
         lr = warmup_cosine(step, base=base_lr, min_lr=min_lr,
                            warmup=warmup, max_steps=max_steps)
         wd_tree = gpt_wd_mask(params, weight_decay)
@@ -59,6 +67,7 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
     """
     B = batch_size
     T = cfg.ctx_len
+    loss_fn = _loss_fn_for(cfg)
 
     @jax.jit
     def train_step(params, opt_state, data_ids, key):
@@ -68,7 +77,7 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
         offs = ix[:, None] + jnp.arange(T)[None, :]
         x = data_ids[offs]
         y = data_ids[offs + 1]
-        loss, grads = jax.value_and_grad(gpt_loss)(params, x, y, cfg)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, cfg)
         # the AdamW state's own step counter drives the schedule — no
         # per-step host scalar crosses the tunnel
         lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
@@ -85,7 +94,7 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _eval_loss(params, x, y, cfg: GPTConfig):
-    return gpt_loss(params, x, y, cfg)
+    return _loss_fn_for(cfg)(params, x, y, cfg)
 
 
 def eval_avg(params, cfg: GPTConfig, it: Iterator, batches: int = 10) -> float:
@@ -103,12 +112,14 @@ def _eval_device(params, val_ids, key, cfg: GPTConfig, batch: int, batches: int)
     T = cfg.ctx_len
     L = val_ids.shape[0]
 
+    loss_fn = _loss_fn_for(cfg)
+
     def body(carry, k):
         ix = jax.random.randint(k, (batch,), 0, L - T - 1)
         offs = ix[:, None] + jnp.arange(T)[None, :]
         x = val_ids[offs]
         y = val_ids[offs + 1]
-        return carry + gpt_loss(params, x, y, cfg), None
+        return carry + loss_fn(params, x, y, cfg), None
 
     keys = jax.random.split(key, batches)
     total, _ = jax.lax.scan(body, jnp.float32(0), keys)
@@ -147,7 +158,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         cfg = GPTConfig(vocab_size=len(stoi), d_model=args.d_model,
                         n_heads=args.heads, n_layers=args.layers,
                         ctx_len=args.ctx_len,
-                        pos=getattr(args, "pos", "sinusoidal") or "sinusoidal")
+                        pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
+                        dtype=getattr(args, "dtype", "float32") or "float32")
         params = init_gpt_params(cfg, seed=123)
     assert args.batch_size % dp == 0, "batch_size must divide by dp"
     assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
@@ -225,15 +237,24 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     except Exception:
         print("Error loading checkpoint, starting from scratch")
         stoi, itos = build_char_vocab(text)
-        cfg = GPTConfig(
+        common = dict(
             vocab_size=len(stoi),
             d_model=args.d_model,
             n_heads=args.heads,
             n_layers=args.layers,
             ctx_len=args.ctx_len,
             pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
+            dtype=getattr(args, "dtype", "float32") or "float32",
         )
-        params = init_gpt_params(cfg, seed=123)
+        n_experts = int(getattr(args, "experts", 0) or 0)
+        if n_experts > 0:
+            from ..models.moe import MoEGPTConfig, init_moe_params
+
+            cfg = MoEGPTConfig(n_experts=n_experts, **common)
+            params = init_moe_params(cfg, seed=123)
+        else:
+            cfg = GPTConfig(**common)
+            params = init_gpt_params(cfg, seed=123)
 
     ids = encode(text, stoi)
     split = int(0.9 * len(ids))
@@ -309,14 +330,22 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
     as a lax.scan on device — one host round trip per chunk instead of two
     per character).
     """
-    from ..models.gpt import gpt_decode_chunk
+    from ..models.moe import MoEGPTConfig
+
+    if isinstance(cfg, MoEGPTConfig):
+        from ..models.moe import moe_decode_chunk as gpt_decode_chunk
+        from ..models.moe import moe_prefill as prefill_fn
+    else:
+        from ..models.gpt import gpt_decode_chunk
+
+        prefill_fn = gpt_prefill
 
     key = jax.random.PRNGKey(seed)
     ids = list(int(i) for i in np.asarray(ctx_ids).ravel())
     if len(ids) > cfg.ctx_len - 1:
         ids = ids[-(cfg.ctx_len - 1):]
     x = jnp.asarray(np.asarray(ids, dtype=np.int32)[None, :])
-    logits, cache = gpt_prefill(params, x, cfg)
+    logits, cache = prefill_fn(params, x, cfg)
     remaining = steps
     while remaining > 0:
         room = cfg.ctx_len - int(cache["length"])

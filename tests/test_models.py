@@ -97,6 +97,43 @@ class TestGPT:
                 np.asarray(logits_d), full[:, -1], atol=2e-4
             )
 
+    def test_bf16_compute_close_to_f32(self):
+        # mixed precision: same params, bfloat16 compute — logits stay f32
+        # out and within bf16 resolution of the f32 forward; loss trains
+        cfg16 = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                          ctx_len=16, dtype="bfloat16")
+        params = _params()
+        x = jnp.asarray(np.random.default_rng(7).integers(0, 31, (2, 16)))
+        l32 = gpt_apply(params, x, CFG)
+        l16 = gpt_apply(params, x, cfg16)
+        assert l16.dtype == jnp.float32
+        # bf16 has ~3 decimal digits; logits are O(1)
+        np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                                   atol=0.15)
+
+    def test_bf16_training_decreases_loss(self):
+        cfg16 = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                          ctx_len=16, dtype="bfloat16")
+        params = _params()
+        opt = adamw_init(params)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        y = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        wd = gpt_wd_mask(params, 0.0)
+
+        @jax.jit
+        def step(params, opt):
+            loss, g = jax.value_and_grad(gpt_loss)(params, x, y, cfg16)
+            params, opt = adamw_update(params, g, opt, 1e-2, wd)
+            return params, opt, loss
+
+        params, opt, l0 = step(params, opt)
+        for _ in range(20):
+            params, opt, l = step(params, opt)
+        assert float(l) < float(l0)
+        # master params stay f32
+        assert params["tok_W"].dtype == jnp.float32
+
     def test_sample_token_top_k(self):
         logits = jnp.asarray([[0.0, 5.0, -1.0, 4.9]])
         key = jax.random.PRNGKey(0)
