@@ -78,3 +78,36 @@ __version__ = "0.1.0"
 import logging as _logging
 
 _logging.getLogger(__name__).addHandler(_logging.NullHandler())
+
+
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Every fresh process otherwise pays 5-40 s of XLA recompiles for kernels
+    an earlier process already built (ROADMAP "cross-process compile cache").
+    Opt out with LINALG_TPU_NO_COMPILE_CACHE=1; override the location with
+    JAX_COMPILATION_CACHE_DIR (jax honors that env var natively).
+    """
+    import os
+
+    if os.environ.get("LINALG_TPU_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured it; jax reads the env var itself
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "linalg_tpu", "xla_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that took meaningful compile time; tiny entries
+        # are excluded to keep the directory small.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

@@ -78,7 +78,7 @@ def repl(args) -> None:
             temperature=args.temperature,
             top_k=args.top_k,
             seed=args.seed,
-            chunk=min(max(args.gen_tokens, 1), 120),
+            chunk=min(max(args.gen_tokens, 1), 256),
         ):
             print(ch, end="", flush=True)
         print()

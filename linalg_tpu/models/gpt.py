@@ -243,10 +243,18 @@ def init_decode_cache(cfg: GPTConfig, batch: int = 1) -> Dict[str, jnp.ndarray]:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def gpt_prefill(params: Params, x_ids, cfg: GPTConfig):
+def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
     """Run the full prompt, returning (last-position logits, filled cache).
 
     x_ids is (B, T) with T <= ctx_len; cache K/V buffers are ctx_len-sized.
+
+    ``length`` (dynamic, optional) is the true prompt length when x_ids is
+    right-padded to a fixed T: every distinct T is a separate XLA compile,
+    so the sampler pads all prompts to one shape and passes the real length
+    here.  Causality makes the pad positions inert — no real position
+    attends to a pad (pads sit to the right), the returned logits are read
+    at position ``length-1``, and decode overwrites pad K/V slots in order
+    before the length-mask would ever expose them.
     """
     B, T = x_ids.shape
     h, rope = _embed(params, x_ids, cfg, T)
@@ -257,12 +265,18 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig):
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, params["layers"])
-    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    if length is None:
+        last = h[:, -1]
+        n = jnp.asarray(T, jnp.int32)
+    else:
+        n = jnp.asarray(length, jnp.int32)
+        last = h[jnp.arange(B), n - 1]
+    logits = last @ params["tok_W"].T + params["head_b"]
 
     pad = cfg.ctx_len - T
     K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-    cache = {"k": K, "v": V, "length": jnp.asarray(T, jnp.int32)}
+    cache = {"k": K, "v": V, "length": n}
     return logits, cache
 
 

@@ -196,8 +196,15 @@ from ..nn.functional import sdpa, sinusoidal_encoding  # noqa: E402
 
 
 @_partial(jax.jit, static_argnames=("cfg",))
-def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig):
-    """Run the full prompt, returning (last-position logits, filled cache)."""
+def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
+    """Run the full prompt, returning (last-position logits, filled cache).
+
+    ``length`` is the true prompt length when x_ids is right-padded to a
+    fixed shape (one XLA compile for all prompt lengths); see gpt_prefill.
+    Pads cannot perturb real-token routing: capacity priority is positional
+    (the cumsum in moe_ffn), so pads — always to the right — only take
+    leftover expert slots.
+    """
     B, T = x_ids.shape
     h, rope = _embed(params, x_ids, cfg, T)
     mask = causal_mask(T, dtype=h.dtype)
@@ -209,11 +216,17 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig):
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, params["layers"])
-    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    if length is None:
+        last = h[:, -1]
+        n = jnp.asarray(T, jnp.int32)
+    else:
+        n = jnp.asarray(length, jnp.int32)
+        last = h[jnp.arange(B), n - 1]
+    logits = last @ params["tok_W"].T + params["head_b"]
     pad = cfg.ctx_len - T
     K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
-    return logits, {"k": K, "v": V, "length": jnp.asarray(T, jnp.int32)}
+    return logits, {"k": K, "v": V, "length": n}
 
 
 @_partial(jax.jit, static_argnames=("cfg",))

@@ -321,7 +321,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
            temperature: float = 1.0, top_k: int = 0, seed: int = 0,
-           chunk: int = 64):
+           chunk: int = 256):
     """Streaming generator of characters — KV-cached incremental decode.
 
     Unlike the reference sampler (full O(T^2 L) forward per token,
@@ -342,25 +342,39 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
 
     key = jax.random.PRNGKey(seed)
     ids = list(int(i) for i in np.asarray(ctx_ids).ravel())
-    if len(ids) > cfg.ctx_len - 1:
-        ids = ids[-(cfg.ctx_len - 1):]
-    x = jnp.asarray(np.asarray(ids, dtype=np.int32)[None, :])
-    logits, cache = prefill_fn(params, x, cfg)
+    # ONE fixed decode-scan length for the whole session.  Every distinct
+    # scan length n is a separate XLA compile (~30-45 s each through the
+    # axon tunnel, and the server-side compile cache can't amortize it), so
+    # variable n = min(chunk, remaining, room) paid minutes of warmup.
+    # Decoding a fixed n and discarding over-generated tokens costs at most
+    # one extra chunk of device time (~100 ms) and compiles exactly once.
+    n = max(1, min(chunk, cfg.ctx_len // 2))
+    keep = cfg.ctx_len - n  # sliding-window size that always leaves room n
+
+    def _prefill(ids):
+        # Right-pad every prompt to the fixed window length so prefill also
+        # compiles exactly once (each distinct prompt length is otherwise
+        # its own XLA compile); causality keeps the pads inert.
+        ids = ids[-keep:]
+        buf = np.zeros((1, keep), dtype=np.int32)
+        buf[0, :len(ids)] = ids
+        return prefill_fn(params, jnp.asarray(buf), cfg, len(ids))
+
+    logits, cache = _prefill(ids)
     remaining = steps
     while remaining > 0:
         room = cfg.ctx_len - int(cache["length"])
-        if room <= 0:
-            # context full: re-prefill on the trailing window
-            ids = ids[-(cfg.ctx_len - 1):]
-            x = jnp.asarray(np.asarray(ids, dtype=np.int32)[None, :])
-            logits, cache = gpt_prefill(params, x, cfg)
-            room = cfg.ctx_len - int(cache["length"])
-        n = min(chunk, remaining, room)
+        if room < n:
+            # Context (nearly) full: slide the window.  Re-prefilling at
+            # ctx_len-1 would leave room=1, i.e. one full prefill per
+            # generated token (measured: 14 tok/s vs ~1000 tok/s).
+            logits, cache = _prefill(ids)
         key, sub = jax.random.split(key)
         toks, logits, cache = gpt_decode_chunk(
             params, cache, logits, sub, cfg, n, temperature, top_k
         )
-        for t in np.asarray(toks[0]):
+        emit = min(n, remaining)
+        for t in np.asarray(toks[0])[:emit]:
             ids.append(int(t))
             yield itos[int(t)]
-        remaining -= n
+        remaining -= emit

@@ -97,6 +97,32 @@ class TestGPT:
                 np.asarray(logits_d), full[:, -1], atol=2e-4
             )
 
+    def test_padded_prefill_matches_unpadded(self):
+        # The sampler right-pads every prompt to one fixed shape (one XLA
+        # compile for all prompt lengths); causality must keep the pads
+        # inert: same last-position logits, and decode over pad slots must
+        # still match the full forward.
+        params = _params()
+        rng = np.random.default_rng(7)
+        ids = rng.integers(0, 31, (1, 9)).astype(np.int32)
+        logits_ref, _ = gpt_prefill(params, jnp.asarray(ids[:, :5]), CFG)
+        padded = np.zeros((1, 12), np.int32)
+        padded[:, :5] = ids[:, :5]
+        logits_pad, cache = gpt_prefill(params, jnp.asarray(padded), CFG, 5)
+        np.testing.assert_allclose(
+            np.asarray(logits_pad), np.asarray(logits_ref), atol=1e-5
+        )
+        assert int(cache["length"]) == 5
+        # decode overwrites the pad K/V slots before the length mask ever
+        # exposes them — logits must track the unpadded full forward
+        for t in range(5, 9):
+            tok = jnp.asarray(ids[:, t])
+            logits_d, cache = gpt_decode_step(params, cache, tok, CFG)
+            full = np.asarray(gpt_apply(params, jnp.asarray(ids[:, : t + 1]), CFG))
+            np.testing.assert_allclose(
+                np.asarray(logits_d), full[:, -1], atol=2e-4
+            )
+
     def test_bf16_compute_close_to_f32(self):
         # mixed precision: same params, bfloat16 compute — logits stay f32
         # out and within bf16 resolution of the f32 forward; loss trains
