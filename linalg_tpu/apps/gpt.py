@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--experts", type=int, default=0,
                     help="mixture-of-experts FFN: number of experts for a "
                          "fresh model (0 = dense FFN)")
+    ap.add_argument("--router_top_k", type=int, default=1, choices=(1, 2),
+                    help="experts per token: 1 = Switch, 2 = GShard top-2")
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=("float32", "bfloat16"),
                     help="compute dtype for a fresh model (params stay f32; "

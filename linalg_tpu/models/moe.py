@@ -48,6 +48,14 @@ class MoEGPTConfig(GPTConfig):
     n_experts: int = 8
     capacity_factor: float = 1.25
     aux_weight: float = 0.01
+    router_top_k: int = 1  # 1 = Switch, 2 = GShard top-2
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.router_top_k not in (1, 2):
+            raise ValueError("router_top_k must be 1 or 2")
+        if self.router_top_k > self.n_experts:
+            raise ValueError("router_top_k cannot exceed n_experts")
 
 
 def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
@@ -83,8 +91,9 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
     }
 
 
-def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-1 routed expert FFN, routed within per-row token GROUPS.
+def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
+            top_k: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k routed expert FFN (k=1 Switch, k=2 GShard), per-row GROUPS.
 
     x: (B, T, D); Wr: (D, E); W1: (E, D, F); b1: (E, F); W2: (E, F, D);
     b2: (E, D). Returns (out (B, T, D), aux_loss scalar). ``capacity`` is
@@ -103,33 +112,52 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int) -> Tuple[jnp.ndarray, jnp.ndar
 
     router_logits = x @ Wr                       # (B, T, E)
     probs = jax.nn.softmax(router_logits, axis=-1)
-    eidx = jnp.argmax(probs, axis=-1)            # (B, T) top-1 expert
-    gate = jnp.take_along_axis(probs, eidx[..., None], axis=-1)[..., 0]
-    onehot = jax.nn.one_hot(eidx, E, dtype=x.dtype)        # (B, T, E)
+    vals, idxs = lax.top_k(probs, top_k)         # (B, T, K)
+    if top_k == 1:
+        gates = vals  # Switch: the gate is the raw top-1 probability
+    else:
+        # GShard: renormalize so the combine is a convex mix of experts
+        gates = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True),
+                                   1e-9)
 
-    # queue position of each token within its (group, expert) arrival order
-    pos = jnp.cumsum(onehot, axis=1) - onehot              # tokens before me
-    pos_tok = jnp.sum(pos * onehot, axis=-1)               # (B, T)
-    keep = (pos_tok < capacity).astype(x.dtype)
-    slot = jax.nn.one_hot(pos_tok.astype(jnp.int32), capacity, dtype=x.dtype)
+    # Capacity is granted level by level (GShard semantics): every token's
+    # first choice queues ahead of any token's second choice, and within a
+    # level priority is positional (cumsum order).  ``offset`` carries how
+    # full each (group, expert) already is from earlier levels.
+    dispatch = jnp.zeros((B, T, E, capacity), x.dtype)
+    combine = jnp.zeros((B, T, E, capacity), x.dtype)
+    offset = jnp.zeros((B, E), x.dtype)
+    onehot1 = None
+    for lvl in range(top_k):
+        oh = jax.nn.one_hot(idxs[..., lvl], E, dtype=x.dtype)  # (B, T, E)
+        if lvl == 0:
+            onehot1 = oh
+        pos = jnp.cumsum(oh, axis=1) - oh + offset[:, None, :]  # queue pos
+        pos_tok = jnp.sum(pos * oh, axis=-1)                    # (B, T)
+        keep = (pos_tok < capacity).astype(x.dtype)
+        slot = jax.nn.one_hot(pos_tok.astype(jnp.int32), capacity,
+                              dtype=x.dtype)
+        d = oh[..., None] * slot[..., None, :] * keep[..., None, None]
+        dispatch = dispatch + d
+        combine = combine + d * gates[..., lvl][..., None, None]
+        offset = offset + jnp.sum(oh, axis=1)
 
     # dense dispatch/combine (GShard): everything stays einsum-shaped
-    dispatch = onehot[..., None] * slot[..., None, :] * keep[..., None, None]
     xin = jnp.einsum("btec,btd->becd", dispatch, x)        # (B, E, C, D)
     h = relu(jnp.einsum("becd,edf->becf", xin, W1) + b1[None, :, None, :])
     out_e = jnp.einsum("becf,efd->becd", h, W2) + b2[None, :, None, :]
-    combine = dispatch * gate[..., None, None]
     out = jnp.einsum("btec,becd->btd", combine, out_e)
 
-    # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e
-    f = jnp.mean(onehot, axis=(0, 1))
+    # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e, with f
+    # the first-choice assignment fraction (GShard aux uses first choices)
+    f = jnp.mean(onehot1, axis=(0, 1))
     P_mean = jnp.mean(probs, axis=(0, 1))
     aux = E * jnp.sum(f * P_mean)
     return out, aux
 
 
 def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
-               rope, capacity: int):
+               rope, capacity: int, top_k: int = 1):
     """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
 
     Returns (out, (k, v), aux) — the K/V pair feeds the decode cache."""
@@ -145,14 +173,15 @@ def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
     f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],
-                     capacity)
+                     capacity, top_k)
     return h1 + f, (k, v), aux
 
 
 def _capacity(cfg: MoEGPTConfig, group_tokens: int) -> int:
-    """Per-expert slot budget for a routing group of ``group_tokens``."""
-    return max(1, int(math.ceil(cfg.capacity_factor * group_tokens
-                                / cfg.n_experts)))
+    """Per-expert slot budget for a routing group of ``group_tokens``;
+    scales with router_top_k (top-2 dispatches ~2x the assignments)."""
+    return max(1, int(math.ceil(cfg.capacity_factor * cfg.router_top_k
+                                * group_tokens / cfg.n_experts)))
 
 
 def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
@@ -167,7 +196,7 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
 
     def body(carry, lp):
         out, _, aux = _moe_layer(carry, lp, mask, cfg.n_heads, attn_fn, rope,
-                                 cap)
+                                 cap, cfg.router_top_k)
         return out, aux
 
     h, auxes = lax.scan(body, h, params["layers"])
@@ -212,7 +241,7 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
 
     def body(carry, lp):
         out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
-                                    rope, cap)
+                                    rope, cap, cfg.router_top_k)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, params["layers"])
@@ -262,7 +291,7 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
         f, _ = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"],
-                       lp["b2"], cap)
+                       lp["b2"], cap, cfg.router_top_k)
         return h1 + f, (k_l, v_l)
 
     h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))

@@ -15,11 +15,17 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.moe import MoEGPTConfig, moe_gpt_loss
 
-__all__ = ["moe_param_specs", "make_ep_train_step"]
+__all__ = [
+    "moe_param_specs",
+    "make_ep_train_step",
+    "make_ep_device_train_step",
+    "make_ep_eval",
+]
 
 
 def moe_param_specs() -> dict:
@@ -69,4 +75,101 @@ def make_ep_train_step(cfg: MoEGPTConfig, mesh: Mesh, *,
         step,
         in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )
+
+
+def _ep_shardings(cfg: MoEGPTConfig, mesh: Mesh):
+    from ..train.optim import AdamWState
+
+    assert cfg.n_experts % mesh.shape["ep"] == 0, (
+        "n_experts must divide by the ep axis size"
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                            moe_param_specs(),
+                            is_leaf=lambda v: isinstance(v, P))
+    scalar_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp", None))
+    opt_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
+    return param_sh, opt_sh, batch_sh, scalar_sh
+
+
+def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
+                              batch_size: int, *, base_lr: float,
+                              min_lr: float, warmup: int, max_steps: int,
+                              weight_decay: float,
+                              lr_embed_scale: float = 1.0,
+                              lr_head_scale: float = 1.0):
+    """Device-resident dp x ep MoE step: (params, opt, data_ids, key) ->
+    (params, opt, key, loss).
+
+    The MoE twin of ``sharding.make_sharded_device_train_step``: the corpus
+    stays on device (replicated), batch windows are sampled inside the jit
+    and dp-sharded, experts are ep-sharded (GSPMD turns the dispatch
+    einsums into all-to-alls over ICI), and attention runs the fused flash
+    kernel via shard_map with heads replicated over 'ep'.
+    """
+    from ..train.optim import adamw_update, gpt_lr_scales, gpt_wd_mask, \
+        warmup_cosine
+    from .sharding import make_sharded_attn
+
+    param_sh, opt_sh, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
+                                head_axis=None)
+    B, T = batch_size, cfg.ctx_len
+
+    def step(params, opt_state, data_ids, key):
+        key, sub = jax.random.split(key)
+        L = data_ids.shape[0]
+        ix = jax.random.randint(sub, (B,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = jax.lax.with_sharding_constraint(data_ids[offs], batch_sh)
+        y = jax.lax.with_sharding_constraint(data_ids[offs + 1], batch_sh)
+        loss, grads = jax.value_and_grad(
+            lambda p, xx, yy: moe_gpt_loss(p, xx, yy, cfg, attn_fn=attn_fn)
+        )(params, x, y)
+        lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
+                           warmup=warmup, max_steps=max_steps)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
+                                head=lr_head_scale)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree, lr_scales=lr_tree)
+        return params, opt_state, key, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_sh, scalar_sh, scalar_sh),
+        out_shardings=(param_sh, opt_sh, scalar_sh, scalar_sh),
+    )
+
+
+def make_ep_eval(cfg: MoEGPTConfig, mesh: Mesh, batch: int, batches: int):
+    """Device-resident dp x ep eval: mean val loss over ``batches`` windowed
+    batches in one jit call (MoE twin of ``sharding.make_sharded_eval``)."""
+    from .sharding import make_sharded_attn
+
+    param_sh, _, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
+                                head_axis=None)
+    T = cfg.ctx_len
+
+    def evaluate(params, val_ids, key):
+        L = val_ids.shape[0]
+
+        def body(carry, k):
+            ix = jax.random.randint(k, (batch,), 0, L - T - 1)
+            offs = ix[:, None] + jnp.arange(T)[None, :]
+            x = jax.lax.with_sharding_constraint(val_ids[offs], batch_sh)
+            y = jax.lax.with_sharding_constraint(val_ids[offs + 1], batch_sh)
+            return carry + moe_gpt_loss(params, x, y, cfg,
+                                        attn_fn=attn_fn), None
+
+        keys = jax.random.split(key, batches)
+        total, _ = jax.lax.scan(body, jnp.float32(0), keys)
+        return total / batches
+
+    return jax.jit(
+        evaluate,
+        in_shardings=(param_sh, scalar_sh, scalar_sh),
+        out_shardings=scalar_sh,
     )

@@ -63,7 +63,8 @@ def _shardings(mesh: Mesh, spec_tree):
     )
 
 
-def make_sharded_attn(mesh: Mesh, T: int, d_head: int):
+def make_sharded_attn(mesh: Mesh, T: int, d_head: int,
+                      batch_axis: str = "dp", head_axis: str = "tp"):
     """shard_map-wrapped attention for the dp x tp step.
 
     Heads are tp-local by parameter layout (Wq/Wk/Wv column-sharded), and
@@ -72,6 +73,9 @@ def make_sharded_attn(mesh: Mesh, T: int, d_head: int):
     kernel is the same fused Pallas flash pick as the single-chip hot path
     (``models.gpt._pick_attn``) — the multi-device step no longer gives up
     the flash kernel.
+
+    ``head_axis=None`` replicates heads (used by the dp x ep MoE step,
+    where the model-parallel axis shards experts, not heads).
     """
     from ..models.gpt import _pick_attn
     from ..nn.functional import causal_mask
@@ -81,7 +85,7 @@ def make_sharded_attn(mesh: Mesh, T: int, d_head: int):
     def local_attn(q, k, v):
         return local(q, k, v, causal_mask(T, dtype=q.dtype))
 
-    spec = P("dp", "tp", None, None)
+    spec = P(batch_axis, head_axis, None, None)
     fa = jax.shard_map(local_attn, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return lambda q, k, v, mask: fa(q, k, v)

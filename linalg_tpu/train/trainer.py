@@ -148,6 +148,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     from ..utils.profiling import StepTimer
     from .optim import AdamWState
 
+    from ..models.moe import MoEGPTConfig, init_moe_params
+
     text = load_text(getattr(args, "data", None))
     try:
         params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
@@ -155,18 +157,40 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     except Exception:
         print("Error loading checkpoint, starting from scratch")
         stoi, itos = build_char_vocab(text)
-        cfg = GPTConfig(vocab_size=len(stoi), d_model=args.d_model,
-                        n_heads=args.heads, n_layers=args.layers,
-                        ctx_len=args.ctx_len,
-                        pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
-                        dtype=getattr(args, "dtype", "float32") or "float32")
-        params = init_gpt_params(cfg, seed=123)
+        common = dict(vocab_size=len(stoi), d_model=args.d_model,
+                      n_heads=args.heads, n_layers=args.layers,
+                      ctx_len=args.ctx_len,
+                      pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
+                      dtype=getattr(args, "dtype", "float32") or "float32")
+        n_experts = int(getattr(args, "experts", 0) or 0)
+        if n_experts > 0:
+            cfg = MoEGPTConfig(
+                n_experts=n_experts,
+                router_top_k=int(getattr(args, "router_top_k", 1) or 1),
+                **common,
+            )
+            params = init_moe_params(cfg, seed=123)
+        else:
+            cfg = GPTConfig(**common)
+            params = init_gpt_params(cfg, seed=123)
     assert args.batch_size % dp == 0, "batch_size must divide by dp"
-    assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
 
-    mesh = make_mesh((dp, tp), ("dp", "tp"))
+    # For an MoE model the model-parallel axis shards EXPERTS ('ep'), not
+    # heads: the CLI's --tp degree becomes the ep axis size.
+    is_moe = isinstance(cfg, MoEGPTConfig)
+    if is_moe:
+        from ..parallel.expert import (make_ep_device_train_step, make_ep_eval,
+                                       moe_param_specs)
+
+        assert cfg.n_experts % tp == 0, "n_experts must divide by tp (=ep)"
+        mesh = make_mesh((dp, tp), ("dp", "ep"))
+        pspecs = moe_param_specs()
+    else:
+        assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
+        mesh = make_mesh((dp, tp), ("dp", "tp"))
+        pspecs = gpt_param_specs(None)
     param_sh = jax.tree.map(
-        lambda s: NamedSharding(mesh, s), gpt_param_specs(None),
+        lambda s: NamedSharding(mesh, s), pspecs,
         is_leaf=lambda v: isinstance(v, P),
     )
     replicated = NamedSharding(mesh, P())
@@ -182,7 +206,9 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     val_ids = jax.device_put(jnp.asarray(ids[split:]), replicated)
 
     base_lr = args.lr_model
-    step_fn = make_sharded_device_train_step(
+    make_step = make_ep_device_train_step if is_moe \
+        else make_sharded_device_train_step
+    step_fn = make_step(
         cfg, mesh, args.batch_size,
         base_lr=base_lr, min_lr=base_lr / 10, warmup=200,
         max_steps=args.steps, weight_decay=args.weight_decay,
@@ -191,7 +217,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
                        if base_lr else 1.0),
     )
-    eval_fn = make_sharded_eval(cfg, mesh, args.batch_size, 10)
+    make_eval = make_ep_eval if is_moe else make_sharded_eval
+    eval_fn = make_eval(cfg, mesh, args.batch_size, 10)
 
     best = 1e9
     t0 = time.time()
@@ -250,7 +277,11 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
         if n_experts > 0:
             from ..models.moe import MoEGPTConfig, init_moe_params
 
-            cfg = MoEGPTConfig(n_experts=n_experts, **common)
+            cfg = MoEGPTConfig(
+                n_experts=n_experts,
+                router_top_k=int(getattr(args, "router_top_k", 1) or 1),
+                **common,
+            )
             params = init_moe_params(cfg, seed=123)
         else:
             cfg = GPTConfig(**common)

@@ -80,6 +80,106 @@ class TestMoEFFN:
         np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(dense),
                                    atol=1e-5)
 
+    def test_top2_two_identical_experts_equals_dense(self):
+        # top-2 over 2 identical experts with a uniform router: gates are
+        # (0.5, 0.5), renormalized to sum 1, so the combine reproduces the
+        # dense FFN exactly (no dropped second choices at ample capacity)
+        E, D, F = 2, 8, 16
+        rng = np.random.default_rng(5)
+        W1e = jnp.asarray(rng.normal(size=(D, F)), jnp.float32)
+        W2e = jnp.asarray(rng.normal(size=(F, D)), jnp.float32)
+        W1 = jnp.stack([W1e, W1e])
+        W2 = jnp.stack([W2e, W2e])
+        b1 = jnp.zeros((E, F), jnp.float32)
+        b2 = jnp.zeros((E, D), jnp.float32)
+        Wr = jnp.zeros((D, E), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, 4, D)), jnp.float32)
+        out, _ = moe_ffn(x, Wr, W1, b1, W2, b2, capacity=8, top_k=2)
+        dense = relu(x @ W1e) @ W2e
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=1e-5)
+
+    def test_top2_first_choices_get_capacity_priority(self):
+        # capacity 4 = exactly the row's token count: every token's FIRST
+        # choice must be granted (all tokens pick the same first expert),
+        # and all second choices to that expert must be dropped.  With a
+        # router hugely biased to expert 0 and slightly to expert 1, out =
+        # g1*e(x) for every token -- identical expert weights make the
+        # dropped second choice the only difference from dense.
+        E, D, F = 2, 8, 16
+        rng = np.random.default_rng(6)
+        W1e = jnp.asarray(rng.normal(size=(D, F)), jnp.float32)
+        W2e = jnp.asarray(rng.normal(size=(F, D)), jnp.float32)
+        W1 = jnp.stack([W1e, W1e])
+        W2 = jnp.stack([W2e, W2e])
+        b1 = jnp.zeros((E, F), jnp.float32)
+        b2 = jnp.zeros((E, D), jnp.float32)
+        # logits (5, 0): first choice expert 0 (p~0.993), second expert 1
+        Wr = jnp.zeros((D, E), jnp.float32)
+        br_like_x = jnp.ones((1, 4, D), jnp.float32)  # x>0 so x@Wr biased
+        Wr = Wr.at[:, 0].set(5.0 / D)
+        x = br_like_x * jnp.asarray(rng.normal(size=(1, 4, D)) * 0 + 1,
+                                    jnp.float32)
+        out, _ = moe_ffn(x, Wr, W1, b1, W2, b2, capacity=4, top_k=2)
+        # expert 0 grants all 4 first choices; expert 1 grants the 4 second
+        # choices (capacity 4) -> full convex combine == dense
+        dense = relu(x @ W1e) @ W2e
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=1e-5)
+        # with capacity 2, positional priority grants BOTH queues to tokens
+        # 0,1 (every queue is cumsum-ordered): they get the full convex
+        # combine (== dense); tokens 2,3 are over capacity in both their
+        # first- and second-choice queues -> dropped to zero entirely
+        out2, _ = moe_ffn(x, Wr, W1, b1, W2, b2, capacity=2, top_k=2)
+        o2 = np.asarray(out2)
+        np.testing.assert_allclose(o2[0, :2], np.asarray(dense)[0, :2],
+                                   atol=1e-5)
+        np.testing.assert_allclose(o2[0, 2:], 0.0, atol=1e-6)
+
+    def test_top2_moe_gpt_trains(self):
+        from linalg_tpu.train.optim import adamw_update, gpt_wd_mask
+
+        cfg = MoEGPTConfig(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                           d_ff=64, ctx_len=16, n_experts=4, router_top_k=2)
+        params = init_moe_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 17, (4, 16)), jnp.int32)
+        y = jnp.asarray(rng.integers(0, 17, (4, 16)), jnp.int32)
+
+        @jax.jit
+        def step(p, o):
+            loss, g = jax.value_and_grad(
+                lambda p: moe_gpt_loss(p, x, y, cfg))(p)
+            p, o = adamw_update(p, g, o, 1e-2, gpt_wd_mask(p, 0.0))
+            return p, o, loss
+
+        opt = adamw_init(params)
+        first = None
+        for _ in range(30):
+            params, opt, loss = step(params, opt)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first
+
+    def test_top2_decode_matches_full_forward(self):
+        from linalg_tpu.models.moe import moe_decode_step, moe_prefill
+
+        cfg = MoEGPTConfig(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                           d_ff=64, ctx_len=16, n_experts=2,
+                           capacity_factor=4.0, router_top_k=2)
+        params = init_moe_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        seq = jnp.asarray(rng.integers(0, 17, (1, 8)), jnp.int32)
+        logits_pre, cache = moe_prefill(params, seq[:, :4], cfg)
+        outs = [logits_pre]
+        for t in range(4, 8):
+            logits_t, cache = moe_decode_step(params, cache, seq[:, t], cfg)
+            outs.append(logits_t)
+        full, _ = moe_gpt_apply(params, seq, cfg)
+        for i, t in enumerate(range(3, 8)):
+            np.testing.assert_allclose(np.asarray(outs[i][0]),
+                                       np.asarray(full[0, t]), atol=1e-3)
+
     def test_grads_flow_to_router_and_experts(self):
         Wr, W1, b1, W2, b2 = self._weights(E=4)
         rng = np.random.default_rng(4)
@@ -221,6 +321,43 @@ class TestExpertParallel:
         step = make_ep_train_step(cfg, mesh, dp_axis="dp")
         _, _, loss = step(params, adamw_init(params), x, y)
         assert float(loss) == pytest.approx(ref, abs=1e-5)
+
+    def test_ep_device_resident_step_trains(self, _eight_devices):
+        # the dp x ep device-resident loop: corpus replicated, windows
+        # sampled in-jit, experts ep-sharded — loss must decrease
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from linalg_tpu.parallel.expert import (make_ep_device_train_step,
+                                                make_ep_eval,
+                                                moe_param_specs)
+        from linalg_tpu.train.optim import AdamWState
+
+        cfg = MoEGPTConfig(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                           d_ff=64, ctx_len=16, n_experts=4,
+                           router_top_k=2)
+        params = init_moe_params(cfg, seed=0)
+        mesh = make_mesh((2, 4), ("dp", "ep"))
+        param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                                moe_param_specs(),
+                                is_leaf=lambda v: isinstance(v, P))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, param_sh)
+        opt = jax.device_put(adamw_init(params),
+                             AdamWState(m=param_sh, v=param_sh, t=repl))
+        rng = np.random.default_rng(0)
+        data = jax.device_put(
+            jnp.asarray(rng.integers(0, 17, 512), jnp.int32), repl)
+        key = jax.device_put(jax.random.PRNGKey(0), repl)
+        step = make_ep_device_train_step(
+            cfg, mesh, 8, base_lr=1e-2, min_lr=1e-3, warmup=2,
+            max_steps=20, weight_decay=0.0)
+        losses = []
+        for _ in range(10):
+            params, opt, key, loss = step(params, opt, data, key)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        val = make_ep_eval(cfg, mesh, 8, 4)(params, data, key)
+        assert np.isfinite(float(val))
 
 
 class TestPipelineParallel:

@@ -123,6 +123,24 @@ class TestShardedCLI:
         params, cfg, stoi, itos = train(args)
         assert (tmp_path / "chars_gpt_best.npz").exists()
 
+    def test_train_sharded_moe_via_cli_flags(self, tmp_path):
+        # dp x ep: with --experts the model-parallel axis shards experts
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.models.moe import MoEGPTConfig
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "10", "--eval_every", "10",
+            "--batch_size", "8", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir", str(tmp_path),
+            "--dp", "2", "--tp", "4", "--experts", "4",
+            "--router_top_k", "2",
+        ])
+        params, cfg, stoi, itos = train(args)
+        assert isinstance(cfg, MoEGPTConfig)
+        assert cfg.router_top_k == 2
+        assert (tmp_path / "chars_gpt_best.npz").exists()
+
 
 class TestShardedAttn:
     def test_matches_unsharded_sdpa(self):
