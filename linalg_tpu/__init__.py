@@ -94,6 +94,12 @@ def _enable_compile_cache() -> None:
         return
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # user already configured it; jax reads the env var itself
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU AOT cache entries are machine-feature-pinned and can SIGILL
+        # when reloaded under a different feature set; the cache's value is
+        # the slow TPU compiles, so skip it for forced-CPU runs (tests,
+        # multichip dryruns).
+        return
     try:
         import jax
 

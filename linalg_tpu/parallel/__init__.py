@@ -1,6 +1,7 @@
 from .expert import make_ep_train_step, moe_param_specs
 from .mesh import make_mesh, pick_dp_tp
-from .pipeline import make_pp_loss, make_pp_train_step, pp_param_specs
+from .pipeline import (make_pp_1f1b_grads, make_pp_1f1b_train_step,
+                       make_pp_loss, make_pp_train_step, pp_param_specs)
 from .ring import make_ring_attention, ring_attention_local
 from .sharding import (
     dryrun_multichip,
@@ -27,6 +28,8 @@ __all__ = [
     "make_sp_train_step",
     "make_pp_loss",
     "make_pp_train_step",
+    "make_pp_1f1b_grads",
+    "make_pp_1f1b_train_step",
     "make_ep_train_step",
     "dryrun_multichip",
 ]

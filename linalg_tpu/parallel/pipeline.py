@@ -32,7 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.gpt import GPTConfig, _layer, _pick_attn
 from ..nn.functional import causal_mask, rope_tables, sinusoidal_encoding
 
-__all__ = ["pp_param_specs", "make_pp_loss", "make_pp_train_step"]
+__all__ = [
+    "pp_param_specs",
+    "make_pp_loss",
+    "make_pp_train_step",
+    "make_pp_1f1b_grads",
+    "make_pp_1f1b_train_step",
+]
 
 
 def pp_param_specs(dp: Optional[str] = None) -> dict:
@@ -153,6 +159,207 @@ def make_pp_loss(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
     batch_sh = NamedSharding(mesh, P(dp_axis, None))
     return jax.jit(sharded, in_shardings=(param_sh, batch_sh, batch_sh),
                    out_shardings=NamedSharding(mesh, P()))
+
+
+def _pp_1f1b_local(cfg: GPTConfig, n_microbatches: int, attn_fn,
+                   dp_axis: Optional[str]):
+    """Device-local 1F1B pipeline returning (loss, grads) directly.
+
+    Unlike ``_pp_local_loss`` (whose backward is jax.grad's transpose of
+    the forward scan — stashing one stage-input per tick, O(M + S)
+    activations), this schedules forward AND backward slots explicitly and
+    keeps a ring of only ``2S - 1`` stage-input activations per device, so
+    activation memory is O(S) — independent of the microbatch count.  The
+    per-stage backward recomputes the stage forward from the stashed input
+    (Megatron-style 1F1B + activation recomputation): ~1.5x the
+    stage-compute of the GPipe path for an O(M/S) activation-memory cut.
+
+    Schedule (double-pumped ticks; each tick = one fwd slot + one bwd
+    slot per stage):  stage s forwards microbatch ``t - s`` and backwards
+    microbatch ``t - (2S - 2 - s)``; activations ppermute up, gradient
+    cotangents ppermute down, and everything drains in ``M + 2S - 2``
+    ticks.
+    """
+    M = n_microbatches
+
+    def local(params, x, y):
+        S = lax.axis_size("pp")
+        stage = lax.axis_index("pp")
+        B, T = x.shape
+        mb = B // M
+        R = 2 * S - 1  # ring slots: fwd->bwd distance at stage 0 is 2S-2
+        x_mb = x.reshape(M, mb, T)
+        y_mb = y.reshape(M, mb, T)
+        mask = causal_mask(T, dtype=jnp.float32)
+        D = params["tok_W"].shape[1]
+        n_tok = M * mb * T * (lax.axis_size(dp_axis) if dp_axis else 1)
+
+        if cfg.pos == "rope":
+            rope = rope_tables(cfg.d_head, jnp.arange(T))
+            pe = None
+        else:
+            rope = None
+            pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+
+        def embed(m_idx):
+            ids = x_mb[jnp.clip(m_idx, 0, M - 1)]
+            h = params["tok_W"][ids]
+            return h if pe is None else h + pe[None]
+
+        def stage_fwd_ce(p, h_in, yb):
+            """Stage forward plus (masked-at-seed-time) head CE sum.
+
+            One function for every stage keeps the SPMD trace uniform: the
+            head/CE part only contributes to gradients when its cotangent
+            seed is nonzero (last stage).
+            """
+            def body(c, lp):
+                out, _ = _layer(c, lp, mask, cfg.n_heads, attn_fn, rope)
+                return out, None
+
+            h_out, _ = lax.scan(body, h_in, p["layers"])
+            logits = h_out @ p["tok_W"].T + p["head_b"]
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, yb[..., None],
+                                       axis=-1)[..., 0]
+            return h_out, jnp.sum(logz - gold)
+
+        up = [(i, i + 1) for i in range(S - 1)]
+        down = [(i + 1, i) for i in range(S - 1)]
+        is_last = stage == S - 1
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+        def tick(carry, t):
+            state_f, state_b, stash, grads, ce_sum = carry
+
+            # ---- forward slot: microbatch t - stage
+            m_f = t - stage
+            valid_f = jnp.logical_and(m_f >= 0, m_f < M)
+            h_in = jnp.where(stage == 0, embed(m_f), state_f)
+            slot_f = jnp.mod(m_f, R)
+            stash = lax.dynamic_update_index_in_dim(
+                stash,
+                jnp.where(valid_f, h_in, lax.dynamic_index_in_dim(
+                    stash, slot_f, keepdims=False)),
+                slot_f, axis=0)
+            h_out, _ = stage_fwd_ce(params, h_in,
+                                    y_mb[jnp.clip(m_f, 0, M - 1)])
+            state_f = lax.ppermute(h_out, "pp", up)
+
+            # ---- backward slot: microbatch t - (2S - 2 - stage)
+            m_b = t - (2 * S - 2 - stage)
+            valid_b = jnp.logical_and(m_b >= 0, m_b < M)
+            h_stash = lax.dynamic_index_in_dim(stash, jnp.mod(m_b, R),
+                                               keepdims=False)
+            yb = y_mb[jnp.clip(m_b, 0, M - 1)]
+            (_, ce), vjp_fn = jax.vjp(
+                lambda p, h: stage_fwd_ce(p, h, yb), params, h_stash)
+            g_in = jnp.where(is_last, jnp.float32(0.0), state_b)
+            seed = jnp.where(is_last, 1.0 / n_tok,
+                             0.0).astype(jnp.float32)
+            gP, gH = vjp_fn((g_in, seed))
+            gP = jax.tree.map(
+                lambda g: jnp.where(valid_b, g, 0.0), gP)
+            # stage 0 consumed the embedding: fold d tok_W from the ids
+            emb_ok = jnp.logical_and(stage == 0, valid_b)
+            ids_b = x_mb[jnp.clip(m_b, 0, M - 1)]
+            gP["tok_W"] = gP["tok_W"] + jnp.where(
+                emb_ok,
+                jnp.zeros_like(gP["tok_W"]).at[ids_b].add(gH),
+                0.0)
+            grads = jax.tree.map(jnp.add, grads, gP)
+            ce_sum = ce_sum + jnp.where(
+                jnp.logical_and(valid_b, is_last), ce / n_tok, 0.0)
+            state_b = lax.ppermute(jnp.where(valid_b, gH, 0.0), "pp", down)
+
+            return (state_f, state_b, stash, grads, ce_sum), None
+
+        init = (
+            jnp.zeros((mb, T, D), jnp.float32),
+            jnp.zeros((mb, T, D), jnp.float32),
+            jnp.zeros((R, mb, T, D), jnp.float32),
+            zero_grads,
+            jnp.float32(0.0),
+        )
+        (_, _, _, grads, ce_sum), _ = lax.scan(
+            tick, init, jnp.arange(M + 2 * S - 2))
+
+        # loss lives at the last stage; replicated leaves' grads are summed
+        # across stages (and dp).  Layer grads stay stage-local (pp-sharded
+        # out_specs) but sum over dp.
+        axes = ("pp",) if dp_axis is None else (dp_axis, "pp")
+        loss = lax.psum(ce_sum, axes)
+        grads["tok_W"] = lax.psum(grads["tok_W"], axes)
+        grads["head_b"] = lax.psum(grads["head_b"], axes)
+        if dp_axis is not None:
+            grads["layers"] = jax.tree.map(
+                lambda g: lax.psum(g, dp_axis), grads["layers"])
+        return loss, grads
+
+    return local
+
+
+def make_pp_1f1b_grads(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
+                       dp_axis: Optional[str] = None):
+    """jitted (params, x, y) -> (loss, grads) via the explicit 1F1B
+    schedule (O(S) activation memory; see ``_pp_1f1b_local``)."""
+    assert cfg.n_layers % mesh.shape["pp"] == 0, (
+        "n_layers must divide by the pp axis size"
+    )
+    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, dp_axis)
+    pspecs = pp_param_specs(dp_axis)
+    batch_spec = P(dp_axis, None)
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, batch_spec, batch_spec),
+        out_specs=(P(), pspecs),
+        check_vma=False,
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    batch_sh = NamedSharding(mesh, P(dp_axis, None))
+    return jax.jit(sharded, in_shardings=(param_sh, batch_sh, batch_sh),
+                   out_shardings=(NamedSharding(mesh, P()), param_sh))
+
+
+def make_pp_1f1b_train_step(cfg: GPTConfig, mesh: Mesh,
+                            n_microbatches: int, *, lr: float = 3e-4,
+                            weight_decay: float = 0.01,
+                            dp_axis: Optional[str] = None):
+    """jitted (params, opt_state, x, y) -> (params, opt_state, loss) using
+    the 1F1B schedule's manual gradients."""
+    from ..train.optim import AdamWState, adamw_update, gpt_wd_mask
+
+    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, dp_axis)
+    pspecs = pp_param_specs(dp_axis)
+    batch_spec = P(dp_axis, None)
+    loss_and_grads = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, batch_spec, batch_spec),
+        out_specs=(P(), pspecs),
+        check_vma=False,
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    scalar_sh = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(dp_axis, None))
+    opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
+
+    def step(params, opt_state, x, y):
+        loss, grads = loss_and_grads(params, x, y)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
+        out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )
 
 
 def make_pp_train_step(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,

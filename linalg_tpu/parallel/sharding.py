@@ -321,6 +321,14 @@ def dryrun_multichip(n_devices: int) -> None:
     _, _, pp_loss = pp_step(pp_params, adamw_init(pp_params), xpp, ypp)
     pp_ok = abs(float(pp_loss) - ref_pp) < 1e-4
 
+    # 1F1B schedule (explicit fwd/bwd slots, O(S) activation ring) must
+    # agree with the same unsharded loss
+    from .pipeline import make_pp_1f1b_grads
+
+    f1_loss, _ = make_pp_1f1b_grads(pp_cfg, pp_mesh, n_microbatches=2,
+                                    dp_axis="dp")(pp_params, xpp, ypp)
+    pp_ok = pp_ok and abs(float(f1_loss) - ref_pp) < 1e-4
+
     # expert-parallel path: MoE-GPT with experts sharded on 'ep'
     from ..models.moe import MoEGPTConfig, init_moe_params, moe_gpt_loss
     from .expert import make_ep_train_step
