@@ -17,7 +17,13 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["native_available", "encode_chars", "gather_windows"]
+__all__ = [
+    "native_available",
+    "encode_chars",
+    "gather_windows",
+    "bpe_train_native",
+    "bpe_encode_native",
+]
 
 _SRC = pathlib.Path(__file__).with_name("fastloader.c")
 _LIB: Optional[ctypes.CDLL] = None
@@ -51,6 +57,17 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bpe_train.restype = ctypes.c_int32
+    lib.bpe_train.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bpe_encode.restype = ctypes.c_int64
+    lib.bpe_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
     ]
     return lib
 
@@ -122,3 +139,41 @@ def gather_windows(ids: np.ndarray, starts: np.ndarray,
     x = np.stack([ids[s : s + T] for s in starts])
     y = np.stack([ids[s + 1 : s + T + 1] for s in starts])
     return x, y
+
+
+def bpe_train_native(data: bytes, vocab_size: int):
+    """Learn BPE merges in C; returns a list of (a, b) tuples, or None when
+    the native library is unavailable (caller falls back to Python)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n_max = max(vocab_size - 256, 0)
+    out = np.empty(2 * max(n_max, 1), dtype=np.int32)
+    n = lib.bpe_train(
+        data, len(data), vocab_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n < 0:
+        return None
+    return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+
+def bpe_encode_native(data: bytes, merges) -> Optional[np.ndarray]:
+    """Apply learned BPE merges in C; returns int32 ids, or None when the
+    native library is unavailable (caller falls back to Python)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    if len(data) == 0:
+        return np.empty(0, dtype=np.int32)
+    flat = np.asarray(merges, dtype=np.int32).reshape(-1)
+    out = np.empty(len(data), dtype=np.int32)
+    m = lib.bpe_encode(
+        data, len(data),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(merges),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if m < 0:
+        return None
+    return out[:m].copy()

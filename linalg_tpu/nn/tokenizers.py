@@ -127,9 +127,26 @@ class BPETokenizer(BaseTokenizer):
 
     @classmethod
     def train(cls, text: str, vocab_size: int = 512) -> "BPETokenizer":
-        """Learn merges by repeatedly fusing the most frequent adjacent pair."""
+        """Learn merges by repeatedly fusing the most frequent adjacent pair.
+
+        The merge loop is O(corpus x merges); it runs in the native C
+        kernel (native/fastloader.c::bpe_train) when a compiler is
+        available, with this Python loop as the exact-semantics fallback.
+        """
         assert vocab_size >= 256, "byte-level BPE needs vocab_size >= 256"
-        ids = list(text.encode("utf-8"))
+        from ..native import bpe_train_native
+
+        data = text.encode("utf-8")
+        native = bpe_train_native(data, vocab_size)
+        if native is not None:
+            return cls(native)
+        return cls(cls._train_py(data, vocab_size))
+
+    @classmethod
+    def _train_py(cls, data: bytes, vocab_size: int) -> List[tuple]:
+        """Pure-Python merge learning (fallback + differential-test oracle
+        for the C kernel)."""
+        ids = list(data)
         merges: List[tuple] = []
         next_id = 256
         while next_id < vocab_size and len(ids) > 1:
@@ -142,7 +159,7 @@ class BPETokenizer(BaseTokenizer):
             ids = cls._merge(ids, pair, next_id)
             merges.append(pair)
             next_id += 1
-        return cls(merges)
+        return merges
 
     @staticmethod
     def _merge(ids: List[int], pair: tuple, new_id: int) -> List[int]:
@@ -161,7 +178,18 @@ class BPETokenizer(BaseTokenizer):
     # -- core API --------------------------------------------------------------
 
     def encode(self, text: str) -> np.ndarray:
-        ids = list(text.encode("utf-8"))
+        from ..native import bpe_encode_native
+
+        data = text.encode("utf-8")
+        native = bpe_encode_native(data, self.merges)
+        if native is not None:
+            return native
+        return self._encode_py(data)
+
+    def _encode_py(self, data: bytes) -> np.ndarray:
+        """Pure-Python encode (fallback + differential-test oracle for the
+        C kernel)."""
+        ids = list(data)
         while len(ids) > 1:
             # lowest-rank (earliest-learned) applicable pair merges first
             best = None
