@@ -66,6 +66,62 @@ class TestSVD:
         assert np.linalg.norm(U @ np.diag(s) @ np.asarray(Vt) - A) < 1e-8
 
 
+class TestJacobiSVD:
+    """One-sided Jacobi route: same contract as eigh, better f32 accuracy."""
+
+    @pytest.mark.parametrize("shape", [(8, 5), (20, 20), (5, 8), (40, 7)])
+    def test_reconstruction_and_orthonormality(self, shape):
+        A = np.random.default_rng(shape[0]).standard_normal(shape)
+        U, s, Vt = la.svd(A, method="jacobi")
+        U, s, Vt = np.asarray(U), np.asarray(s), np.asarray(Vt)
+        assert np.linalg.norm(U @ np.diag(s) @ Vt - A, 2) < 1e-10
+        assert np.linalg.norm(U.T @ U - np.eye(U.shape[1])) < 1e-9
+        assert np.linalg.norm(Vt @ Vt.T - np.eye(Vt.shape[0])) < 1e-9
+        assert np.all(s[:-1] >= s[1:] - 1e-12)
+
+    def test_singular_values_match_numpy(self):
+        A = np.random.default_rng(7).standard_normal((15, 9))
+        _, s, _ = la.svd(A, method="jacobi")
+        s_np = np.linalg.svd(A, compute_uv=False)
+        assert np.allclose(np.asarray(s), s_np, atol=1e-10)
+
+    def test_f32_rank_deficient_orthogonal_without_polish(self):
+        # THE motivating case: in float32 the eigh route loses U
+        # orthogonality as ~sqrt(eps)*kappa on rank-deficient inputs and
+        # needs the QR polish; one-sided Jacobi never squares A so it is
+        # orthogonal at working precision intrinsically.
+        X = make_lowrank_data(40, 12, 4, seed=11).astype(np.float32)
+        U, s, Vt = la.svd(X, method="jacobi")
+        U, s, Vt = np.asarray(U), np.asarray(s), np.asarray(Vt)
+        assert np.linalg.norm(U.T @ U - np.eye(12)) < 5e-6
+        assert np.linalg.norm(Vt @ Vt.T - np.eye(12)) < 5e-6
+        assert np.linalg.norm(U @ np.diag(s) @ Vt - X) < 5e-5 * s[0]
+        assert np.all(s[4:] < s[0] * 1e-5)  # true rank resolved
+
+    def test_f32_small_singular_values_high_relative_accuracy(self):
+        # graded spectrum spanning 4 decades in float32: the squared
+        # (eigh) route can't resolve sigmas below ~sqrt(eps)*sigma_max
+        # (measured: 100% error on the smallest), while one-sided Jacobi
+        # tracks every sigma of the stored matrix to ~1e-4 relative
+        rng = np.random.default_rng(13)
+        n = 8
+        sig = np.logspace(0, -4, n).astype(np.float32)
+        Q1, _ = np.linalg.qr(rng.standard_normal((20, n)))
+        Q2, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = ((Q1 * sig) @ Q2).astype(np.float32)
+        s_true = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+        _, s_j, _ = la.svd(A, method="jacobi")
+        rel_j = np.abs(np.asarray(s_j) - s_true) / s_true
+        assert np.max(rel_j) < 1e-3
+        _, s_e, _ = la.svd(A, method="eigh")
+        rel_e = np.abs(np.asarray(s_e) - s_true) / s_true
+        assert np.max(rel_e) > 1e-2  # the gap jacobi exists to close
+
+    def test_invalid_method_raises(self):
+        with pytest.raises(ValueError, match="Unknown SVD method"):
+            la.svd(np.eye(3), method="qr")
+
+
 class TestPCA:
     @pytest.fixture
     def data(self):
