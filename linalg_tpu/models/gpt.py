@@ -155,9 +155,17 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None):
 
 
 def _pick_attn(T: int, d_head: int):
-    """Fused Pallas attention on TPU when the tile fits VMEM, else sdpa."""
+    """Fused Pallas attention on TPU when the tile fits VMEM, else sdpa.
+
+    Below T=512 the einsum sdpa wins outright (measured fwd+bwd at the
+    published config, bf16: sdpa 12.4 ms vs flash 14.0 ms at T=256 — the
+    O(T^2) memory the flash kernel exists to avoid is still small, and
+    XLA's fused softmax has less launch overhead); the crossover is
+    between 256 and 512 (T=512: flash 14.7 vs sdpa 15.9).
+    """
     try:
-        if jax.default_backend() == "tpu" and T % 256 == 0 and d_head >= 8:
+        if (jax.default_backend() == "tpu" and T >= 512 and T % 256 == 0
+                and d_head >= 8):
             from ..nn.flash import FLASH_MAX_T, flash_attention
             from ..nn.flash_long import flash_attention_long
             from ..nn.flash_stream import flash_attention_stream
