@@ -1,4 +1,7 @@
-from .expert import make_ep_train_step, moe_param_specs
+from .distributed import (global_mesh_shape, host_local_batch_slice,
+                          init_distributed, is_distributed)
+from .expert import (make_ep_device_train_step, make_ep_eval,
+                     make_ep_train_step, moe_param_specs)
 from .mesh import make_mesh, pick_dp_tp
 from .pipeline import (make_pp_1f1b_grads, make_pp_1f1b_train_step,
                        make_pp_loss, make_pp_train_step, pp_param_specs)
@@ -31,5 +34,11 @@ __all__ = [
     "make_pp_1f1b_grads",
     "make_pp_1f1b_train_step",
     "make_ep_train_step",
+    "make_ep_device_train_step",
+    "make_ep_eval",
+    "init_distributed",
+    "is_distributed",
+    "host_local_batch_slice",
+    "global_mesh_shape",
     "dryrun_multichip",
 ]

@@ -309,3 +309,31 @@ class TestSequenceParallelTraining:
             losses.append(float(loss))
         assert losses[0] == pytest.approx(ref_loss, rel=1e-5)
         assert losses[-1] < losses[0]
+
+
+class TestDistributed:
+    """Multi-host init helpers, exercised in their single-process modes
+    (a real pod runs one process per host; the math is host-count
+    arithmetic that must also be right at process_count == 1)."""
+
+    def test_init_noop_single_process(self):
+        from linalg_tpu.parallel import init_distributed, is_distributed
+
+        # CPU test backend: no coordinator, no pod metadata -> local run
+        assert init_distributed() is False
+        assert is_distributed() is False
+
+    def test_host_local_batch_slice(self):
+        from linalg_tpu.parallel import host_local_batch_slice
+
+        # process_count == 1: the whole batch belongs to this process
+        start, size = host_local_batch_slice(64)
+        assert (start, size) == (0, 64)
+
+    def test_global_mesh_shape_caps_tp_to_local(self):
+        from linalg_tpu.parallel import global_mesh_shape
+
+        dp, tp = global_mesh_shape(n_heads=4)
+        assert dp * tp == len(jax.devices())
+        assert tp <= len(jax.local_devices())
+        assert 4 % tp == 0
