@@ -219,14 +219,12 @@ def householder_qr_pallas(A, block: int = 128,
     def kq_of(k: int) -> int:
         return min((k // LQ) * LQ, max(m - LQ, 0))
 
-    def block_apply(Xt, Vl, Tt, kq: int, transpose_t: bool):
-        """Xt := Xt Q_panel^(T): the transposed-layout block update.
+    def apply_live(Xl, Vl, Tt, transpose_t: bool):
+        """Xl := Xl Q_panel^(T) on the LIVE lanes only (lanes >= kq).
 
-        ``Vl`` is the live-lane slice Vt[:, kq:]. transpose_t False applies
-        (I - V T^T V^T) (trailing update); True applies (I - V T V^T)
-        (Q accumulation). Lanes < kq of Xt pass through untouched.
+        transpose_t False applies (I - V T^T V^T) (trailing update); True
+        applies (I - V T V^T) (Q accumulation).
         """
-        Xl = Xt[:, kq:]
         G = jax.lax.dot_general(
             Xl, Vl, (((1,), (1,)), ((), ())),
             precision=precision, preferred_element_type=dtype,
@@ -240,8 +238,13 @@ def householder_qr_pallas(A, block: int = 128,
                 G, Tt, (((1,), (1,)), ((), ())),
                 precision=precision, preferred_element_type=dtype,
             )
-        new_live = Xl - jnp.dot(H, Vl, precision=precision,
-                                preferred_element_type=dtype)
+        return Xl - jnp.dot(H, Vl, precision=precision,
+                            preferred_element_type=dtype)
+
+    def block_apply(Xt, Vl, Tt, kq: int, transpose_t: bool):
+        """Full-width variant: lanes < kq pass through via concat (used in
+        the in-panel strip updates where rows shrink every step)."""
+        new_live = apply_live(Xt[:, kq:], Vl, Tt, transpose_t)
         if kq == 0:
             return new_live
         return jnp.concatenate([Xt[:, :kq], new_live], axis=1)
@@ -306,27 +309,34 @@ def householder_qr_pallas(A, block: int = 128,
             Vt = jnp.concatenate([Vt, Vt_i], axis=0)
         return St, Vt, Tt
 
-    trail = A.T  # (n - k, m): row j is column k + j
-    done = []
+    # Factorization over ONE fixed (n, m) buffer: each panel reads its rows
+    # with a static-offset slice, and the trailing update touches only rows
+    # [k+block, n) x lanes [kq, m) via dynamic_update_slice — XLA keeps the
+    # buffer in place, where the previous shrinking-concat formulation
+    # re-materialized (and copied the cold lanes of) the whole trailing
+    # block every panel (~0.5-1 GB of pure copy traffic at 4096^2).
+    M = A.T  # (n, m): row j is column j
     panels = []
     for k in range(0, n, block):
-        St, Vt, Tt = factor_block(trail[:block, :], k)
-        done.append(St)
-        rest = trail[block:, :]
-        if rest.shape[0]:
+        Pt = lax.dynamic_slice(M, (k, 0), (block, m))
+        St, Vt, Tt = factor_block(Pt, k)
+        M = lax.dynamic_update_slice(M, St, (k, 0))
+        if k + block < n:
             kq = kq_of(k)
-            rest = block_apply(rest, Vt[:, kq:], Tt, kq, transpose_t=False)
+            live = lax.dynamic_slice(
+                M, (k + block, kq), (n - k - block, m - kq))
+            live = apply_live(live, Vt[:, kq:], Tt, transpose_t=False)
+            M = lax.dynamic_update_slice(M, live, (k + block, kq))
         panels.append((k, Vt, Tt))
-        trail = rest
 
-    Rt = done[0] if len(done) == 1 else jnp.concatenate(done, axis=0)
-
-    # Economy Q (transposed), reverse accumulation with a GROWING block:
-    # before panel p touches them, rows [k_p, k_p + b) of Qt are still
-    # identity rows. Structure exploited: for X = [E_b; X_prev], the identity
-    # block's contribution to G = X V^T is just a slice of Vt (no matmul),
-    # so the big dot only reads the previously-accumulated rows.
-    Xt = None
+    # Economy Q (transposed), reverse accumulation with a GROWING block in
+    # one zero-initialized (n, m) buffer: before panel p touches them, rows
+    # [k_p, k_p + b) of Qt are still identity rows. Structure exploited:
+    # for X = [E_b; X_prev], the identity block's contribution to
+    # G = X V^T is just a slice of Vt (no matmul), so the big dot only
+    # reads the previously-accumulated rows; lanes < kq stay zero in the
+    # buffer so only live lanes are ever written.
+    Qt = jnp.zeros((n, m), dtype)
     for k, Vt, Tt in reversed(panels):
         kq = kq_of(k)
         Vl = Vt[:, kq:]
@@ -347,13 +357,12 @@ def householder_qr_pallas(A, block: int = 128,
         e_live = (e_rows == jnp.arange(kq, m)[None, :]).astype(dtype)
         top_live = e_live - jnp.dot(H_top, Vl, precision=precision,
                                     preferred_element_type=dtype)
-        top = (top_live if kq == 0 else jnp.concatenate(
-            [jnp.zeros((block, kq), dtype), top_live], axis=1))
-        if Xt is None:
-            Xt = top
-        else:
-            Xt = block_apply(Xt, Vl, Tt, kq, transpose_t=True)
-            Xt = jnp.concatenate([top, Xt], axis=0)
+        if k + block < n:
+            prev = lax.dynamic_slice(
+                Qt, (k + block, kq), (n - k - block, m - kq))
+            prev = apply_live(prev, Vl, Tt, transpose_t=True)
+            Qt = lax.dynamic_update_slice(Qt, prev, (k + block, kq))
+        Qt = lax.dynamic_update_slice(Qt, top_live, (k, kq))
 
-    R = jnp.triu(Rt[:, :n].T)
-    return Xt.T, R
+    R = jnp.triu(M[:, :n].T)
+    return Qt.T, R
