@@ -214,6 +214,7 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
         step,
         in_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
+        donate_argnums=(0, 1),  # in-place param/opt update
     )
 
 

@@ -69,7 +69,10 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
     T = cfg.ctx_len
     loss_fn = _loss_fn_for(cfg)
 
-    @jax.jit
+    # params/opt_state are donated: AdamW rewrites all ~3x param-size
+    # state every step, and donation lets XLA update the buffers in place
+    # instead of allocating fresh outputs (callers rebind both anyway).
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data_ids, key):
         key, sub = jax.random.split(key)  # RNG advances on device
         L = data_ids.shape[0]
