@@ -6,6 +6,7 @@ from .mesh import make_mesh, pick_dp_tp
 from .pipeline import (make_pp_1f1b_grads, make_pp_1f1b_train_step,
                        make_pp_loss, make_pp_train_step, pp_param_specs)
 from .ring import make_ring_attention, ring_attention_local
+from .ring_pallas import make_ring_attention_pallas, ring_attention_pallas_local
 from .sharding import (
     dryrun_multichip,
     gpt_param_specs,
@@ -25,6 +26,8 @@ __all__ = [
     "make_sharded_attn",
     "make_ring_attention",
     "ring_attention_local",
+    "make_ring_attention_pallas",
+    "ring_attention_pallas_local",
     "make_sharded_train_step",
     "make_sharded_device_train_step",
     "make_sharded_eval",

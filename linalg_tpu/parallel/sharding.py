@@ -302,6 +302,12 @@ def dryrun_multichip(n_devices: int) -> None:
     ref = sdpa(*qkv, causal_mask(8 * n_devices))
     ring_ok = bool(jnp.max(jnp.abs(ring_out - ref)) < 1e-4)
 
+    # Pallas ring (in-kernel remote-DMA rotation) must agree too
+    from .ring_pallas import make_ring_attention_pallas
+
+    pring = make_ring_attention_pallas(sp_mesh)(*qkv)
+    ring_ok = ring_ok and bool(jnp.max(jnp.abs(pring - ref)) < 1e-4)
+
     # pipeline-parallel path: GPipe microbatch schedule over a 'pp' ring
     # must reproduce the unsharded loss exactly
     from ..models.gpt import gpt_loss
