@@ -1,54 +1,78 @@
-"""Minimal repro: deep async dispatch queues degrade ~100x on this runtime.
+"""Host-sync pathologies of this runtime, isolated (axon TPU tunnel).
 
-Context (CLAUDE.md "environment rules"): enqueueing more than ~20 jitted
-steps without a blocking readback makes per-step wall time collapse from
-~sub-ms to ~100x worse through the axon TPU tunnel. The trainer works
-around it by syncing (reading the loss) every 20 steps; this script is the
-isolated demonstration for an upstream report.
+Round-1 folklore said "deep async dispatch queues degrade ~100x". The
+isolated measurements below (v5e via axon, 2026-08-17) show the opposite
+sign and locate the real cliff:
 
-Run on the TPU backend:  python docs/repro_dispatch_queue.py
+1. Deep queues are FINE for a self-contained dependency chain: enqueueing
+   200 steps between blocking calls ran at 0.3-0.6 ms/step; depth 1 with
+   only ``block_until_ready`` was also cheap (block_until_ready often
+   returns early on this runtime — which is why it is unreliable for
+   timing).
 
-Expected shape of the output (v5e via axon, 2026-08):
+2. The cliff is SCALAR READBACK FREQUENCY x BUFFER DONATION. A trainer-
+   shaped step (donated pytree state, RNG split, scalar loss out):
 
-    queue depth   1: ~40 ms/step   (round-trip bound: 1 sync per step)
-    queue depth  10: ~4 ms/step    (round trip amortized)
-    queue depth  20: ~2 ms/step    (sweet spot)
-    queue depth 100: ~10-100x the depth-20 number  <-- the pathology
+       donated, float(loss) every step : ~600 ms/step   <-- pathology
+       plain,   float(loss) every step :  ~27 ms/step   (RTT-bound)
+       donated, float(loss) every 20   :   ~2 ms/step
+       plain,   float(loss) every 20   :  ~1.7 ms/step
 
-The kernel is a fixed matmul chain, so per-step device work is constant;
-only the number of outstanding dispatches between `block_until_ready`
-calls changes.
+   Donation makes per-step readbacks ~22x worse than the plain RTT cost —
+   the donated execution apparently cannot overlap the device-to-host
+   transfer, serializing a full pipeline drain per step.
+
+Practical rules encoded in the trainer (train/trainer.py):
+- keep donate_argnums on the step (big memory win, no cost at the right
+  sync cadence), and
+- read the loss back at most every ~20 steps.
+
+Run:  python docs/repro_dispatch_queue.py
 """
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+def make_state():
+    return {
+        w: jnp.asarray(
+            np.random.default_rng(i).standard_normal((512, 512)), jnp.float32
+        )
+        for i, w in enumerate("abcdefgh")
+    }
+
+
+def body(state, key):
+    key, sub = jax.random.split(key)
+    noise = jax.random.normal(sub, (512, 512))
+    new = {k: v @ v * 1e-3 + noise * 1e-6 for k, v in state.items()}
+    loss = sum(jnp.sum(v) for v in new.values())
+    return new, key, loss
+
+
 def main() -> None:
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((2048, 2048)),
-                    jnp.float32)
-
-    @jax.jit
-    def step(x):
-        for _ in range(4):
-            x = x @ x * 1e-3
-        return x
-
-    jax.block_until_ready(step(x))  # compile
-    total = 200
-    for depth in (1, 10, 20, 50, 100, 200):
-        y = x
-        t0 = time.time()
-        for i in range(total):
-            y = step(y)
-            if (i + 1) % depth == 0:
-                jax.block_until_ready(y)
-        jax.block_until_ready(y)
-        dt = (time.time() - t0) / total * 1000
-        print(f"queue depth {depth:4d}: {dt:8.2f} ms/step")
+    variants = (
+        ("donated", partial(jax.jit, donate_argnums=(0,))(body)),
+        ("plain  ", jax.jit(body)),
+    )
+    for name, step in variants:
+        state, key = make_state(), jax.random.PRNGKey(0)
+        state, key, loss = step(state, key)
+        jax.block_until_ready(loss)
+        for depth, total in ((1, 20), (20, 100), (100, 200)):
+            t0 = time.time()
+            for i in range(total):
+                state, key, loss = step(state, key)
+                if (i + 1) % depth == 0:
+                    float(loss)  # forced scalar readback, like the trainer
+            float(loss)
+            dt = (time.time() - t0) / total * 1000
+            print(f"{name} readback every {depth:3d}: {dt:9.2f} ms/step")
 
 
 if __name__ == "__main__":

@@ -52,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel mesh axis (multi-device training)")
     ap.add_argument("--tp", type=int, default=1,
-                    help="tensor-parallel mesh axis (heads/FFN sharding)")
+                    help="tensor-parallel mesh axis (heads/FFN sharding; "
+                         "with --experts it shards experts instead)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel mesh axis (ring attention over "
+                         "the context; for ctx lengths beyond one chip)")
     return ap
 
 

@@ -14,6 +14,8 @@ from .sharding import (
     make_sharded_device_train_step,
     make_sharded_eval,
     make_sharded_train_step,
+    make_sp_device_train_step,
+    make_sp_eval,
     make_sp_train_step,
 )
 
@@ -32,6 +34,8 @@ __all__ = [
     "make_sharded_device_train_step",
     "make_sharded_eval",
     "make_sp_train_step",
+    "make_sp_device_train_step",
+    "make_sp_eval",
     "make_pp_loss",
     "make_pp_train_step",
     "make_pp_1f1b_grads",

@@ -35,6 +35,8 @@ __all__ = [
     "make_sharded_device_train_step",
     "make_sharded_eval",
     "make_sp_train_step",
+    "make_sp_device_train_step",
+    "make_sp_eval",
     "dryrun_multichip",
 ]
 
@@ -163,6 +165,94 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
         step,
         in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
         out_shardings=(param_sh, opt_state_sh, repl_leaf),
+    )
+
+
+def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
+                              *, base_lr: float, min_lr: float, warmup: int,
+                              max_steps: int, weight_decay: float,
+                              lr_embed_scale: float = 1.0,
+                              lr_head_scale: float = 1.0):
+    """Device-resident sequence-parallel step over a (dp, sp) mesh.
+
+    Same loop contract as ``make_sharded_device_train_step`` (corpus
+    replicated, windows sampled in-jit), but the batch is sharded
+    (dp, sp) — activations carry T sharded over 'sp' and attention runs
+    the ppermute ring (``parallel.ring``). Parameters replicated.
+    """
+    from ..train.optim import AdamWState, adamw_update, gpt_lr_scales, \
+        gpt_wd_mask, warmup_cosine
+    from .ring import make_ring_attention
+
+    ring = make_ring_attention(mesh, axis="sp", causal=True,
+                               batch_axis="dp")
+    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+
+    repl = NamedSharding(mesh, P())
+    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
+                            is_leaf=lambda v: isinstance(v, P))
+    batch_sh = NamedSharding(mesh, P("dp", "sp"))
+    opt_sh = AdamWState(m=param_sh, v=param_sh, t=repl)
+    B, T = batch_size, cfg.ctx_len
+
+    def step(params, opt_state, data_ids, key):
+        key, sub = jax.random.split(key)
+        L = data_ids.shape[0]
+        ix = jax.random.randint(sub, (B,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = jax.lax.with_sharding_constraint(data_ids[offs], batch_sh)
+        y = jax.lax.with_sharding_constraint(data_ids[offs + 1], batch_sh)
+        loss, grads = jax.value_and_grad(
+            lambda p, xx, yy: gpt_loss(p, xx, yy, cfg, attn_fn=attn_fn)
+        )(params, x, y)
+        lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
+                           warmup=warmup, max_steps=max_steps)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
+                                head=lr_head_scale)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree, lr_scales=lr_tree)
+        return params, opt_state, key, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_sh, repl, repl),
+        out_shardings=(param_sh, opt_sh, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_sp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int):
+    """Device-resident (dp, sp) eval companion to make_sp_device_train_step."""
+    from .ring import make_ring_attention
+
+    ring = make_ring_attention(mesh, axis="sp", causal=True,
+                               batch_axis="dp")
+    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+    repl = NamedSharding(mesh, P())
+    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
+                            is_leaf=lambda v: isinstance(v, P))
+    batch_sh = NamedSharding(mesh, P("dp", "sp"))
+    T = cfg.ctx_len
+
+    def evaluate(params, val_ids, key):
+        L = val_ids.shape[0]
+
+        def body(carry, k):
+            ix = jax.random.randint(k, (batch,), 0, L - T - 1)
+            offs = ix[:, None] + jnp.arange(T)[None, :]
+            x = jax.lax.with_sharding_constraint(val_ids[offs], batch_sh)
+            y = jax.lax.with_sharding_constraint(val_ids[offs + 1], batch_sh)
+            return carry + gpt_loss(params, x, y, cfg, attn_fn=attn_fn), None
+
+        keys = jax.random.split(key, batches)
+        total, _ = jax.lax.scan(body, jnp.float32(0), keys)
+        return total / batches
+
+    return jax.jit(
+        evaluate,
+        in_shardings=(param_sh, repl, repl),
+        out_shardings=repl,
     )
 
 

@@ -178,10 +178,19 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
             params = init_gpt_params(cfg, seed=123)
     assert args.batch_size % dp == 0, "batch_size must divide by dp"
 
-    # For an MoE model the model-parallel axis shards EXPERTS ('ep'), not
-    # heads: the CLI's --tp degree becomes the ep axis size.
+    # Model-parallel axis selection: MoE shards EXPERTS ('ep') with the
+    # --tp degree; --sp shards the SEQUENCE (ring attention) instead.
+    sp = int(getattr(args, "sp", 1) or 1)
     is_moe = isinstance(cfg, MoEGPTConfig)
-    if is_moe:
+    is_sp = sp > 1
+    if is_sp:
+        assert tp == 1, "--sp composes with --dp only (not --tp)"
+        assert not is_moe, "--sp with --experts is not supported"
+        assert cfg.ctx_len % sp == 0, "ctx_len must divide by sp"
+        mesh = make_mesh((dp, sp), ("dp", "sp"))
+        pspecs = jax.tree.map(lambda s: P(), gpt_param_specs(None),
+                              is_leaf=lambda v: isinstance(v, P))
+    elif is_moe:
         from ..parallel.expert import (make_ep_device_train_step, make_ep_eval,
                                        moe_param_specs)
 
@@ -209,8 +218,14 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     val_ids = jax.device_put(jnp.asarray(ids[split:]), replicated)
 
     base_lr = args.lr_model
-    make_step = make_ep_device_train_step if is_moe \
-        else make_sharded_device_train_step
+    if is_sp:
+        from ..parallel.sharding import make_sp_device_train_step, make_sp_eval
+
+        make_step = make_sp_device_train_step
+    elif is_moe:
+        make_step = make_ep_device_train_step
+    else:
+        make_step = make_sharded_device_train_step
     step_fn = make_step(
         cfg, mesh, args.batch_size,
         base_lr=base_lr, min_lr=base_lr / 10, warmup=200,
@@ -220,7 +235,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
                        if base_lr else 1.0),
     )
-    make_eval = make_ep_eval if is_moe else make_sharded_eval
+    make_eval = (make_sp_eval if is_sp
+                 else make_ep_eval if is_moe else make_sharded_eval)
     eval_fn = make_eval(cfg, mesh, args.batch_size, 10)
 
     best = 1e9
@@ -257,7 +273,8 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     """Run the training loop; returns (params, cfg, stoi, itos)."""
     dp = int(getattr(args, "dp", 1) or 1)
     tp = int(getattr(args, "tp", 1) or 1)
-    if dp * tp > 1:
+    sp = int(getattr(args, "sp", 1) or 1)
+    if dp * tp * sp > 1:
         return train_sharded(args, dp, tp)
     text = load_text(getattr(args, "data", None))
 

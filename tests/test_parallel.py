@@ -402,3 +402,30 @@ class TestPallasRingAttention:
         ref = sdpa(q, k, v, causal_mask(q.shape[2]))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestSequenceParallelCLI:
+    def test_train_sp_via_cli_flags(self, tmp_path):
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "10", "--eval_every", "10",
+            "--batch_size", "8", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir", str(tmp_path),
+            "--dp", "2", "--sp", "4",
+        ])
+        params, cfg, stoi, itos = train(args)
+        assert (tmp_path / "chars_gpt_best.npz").exists()
+
+    def test_sp_rejects_tp_and_moe(self, tmp_path):
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "1", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir",
+            str(tmp_path / "x"), "--tp", "2", "--sp", "2",
+        ])
+        with pytest.raises(AssertionError, match="composes with --dp"):
+            train(args)
