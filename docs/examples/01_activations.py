@@ -6,6 +6,18 @@ differences and against jax.grad (which executes the same closed forms via
 custom_vjp). Run: ``python docs/examples/01_activations.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root, so the walkthrough runs standalone
+_os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")  # axon sitecustomize overrides env
+_jax.config.update("jax_enable_x64", True)  # reference f64 tolerances
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,6 +5,18 @@ Runnable equivalent of the reference's 02_normalization.ipynb (its Part 4
 against autodiff). Run: ``python docs/examples/02_normalization.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root, so the walkthrough runs standalone
+_os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")  # axon sitecustomize overrides env
+_jax.config.update("jax_enable_x64", True)  # reference f64 tolerances
+
 import jax
 import jax.numpy as jnp
 import numpy as np

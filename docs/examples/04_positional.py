@@ -5,6 +5,18 @@ RoPE relative-position property and the KV-cache decode offset.
 Run: ``python docs/examples/04_positional.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))  # repo root, so the walkthrough runs standalone
+_os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")  # axon sitecustomize overrides env
+_jax.config.update("jax_enable_x64", True)  # reference f64 tolerances
+
 import numpy as np
 
 from linalg_tpu.nn import (
