@@ -140,7 +140,6 @@ def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
         step,
         in_shardings=(param_sh, opt_sh, scalar_sh, scalar_sh),
         out_shardings=(param_sh, opt_sh, scalar_sh, scalar_sh),
-        donate_argnums=(0, 1),  # in-place param/opt update
     )
 
 

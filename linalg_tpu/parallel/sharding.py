@@ -218,7 +218,6 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
         step,
         in_shardings=(param_sh, opt_sh, repl, repl),
         out_shardings=(param_sh, opt_sh, repl, repl),
-        donate_argnums=(0, 1),
     )
 
 
@@ -304,7 +303,6 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
         step,
         in_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh, scalar_sh),
-        donate_argnums=(0, 1),  # in-place param/opt update
     )
 
 

@@ -45,7 +45,10 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         for ours in lay:
             arrays[f"l{i}_{ours}"] = lay[ours][i]
     path = ckpt_dir / CKPT_NAME
-    np.savez_compressed(path, **arrays)
+    # uncompressed: zlib on ~50 MB of params costs ~8-10 s per save (the
+    # trainer saves on every val improvement); the reference's shipped
+    # checkpoint is uncompressed npz too (96.7 MB ~= raw f32 params).
+    np.savez(path, **arrays)
     meta = {
         "stoi": stoi,
         "itos": {str(k): v for k, v in itos.items()},

@@ -69,10 +69,12 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
     T = cfg.ctx_len
     loss_fn = _loss_fn_for(cfg)
 
-    # params/opt_state are donated: AdamW rewrites all ~3x param-size
-    # state every step, and donation lets XLA update the buffers in place
-    # instead of allocating fresh outputs (callers rebind both anyway).
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # NOT donated: donating params/opt_state here measured +9.5 ms/step
+    # (+52%) on this runtime even at the every-20-step sync cadence — the
+    # donated execution serializes with the periodic scalar readback
+    # (docs/repro_dispatch_queue.py). The in-place-update memory win is
+    # not worth a 1.5x step time on the bench hardware.
+    @jax.jit
     def train_step(params, opt_state, data_ids, key):
         key, sub = jax.random.split(key)  # RNG advances on device
         L = data_ids.shape[0]

@@ -40,6 +40,20 @@ def test_svd_fuzz(shape, seed):
     assert np.allclose(s, s_np, atol=1e-9)
 
 
+@pytest.mark.parametrize("shape", [(9, 4), (12, 12), (5, 11), (20, 5)])
+@pytest.mark.parametrize("seed", [6, 7])
+def test_svd_jacobi_fuzz(shape, seed):
+    # the one-sided Jacobi route must satisfy the same contract as eigh
+    A = np.random.default_rng(seed).standard_normal(shape)
+    U, s, Vt = (np.asarray(x) for x in la.svd(A, method="jacobi"))
+    assert np.linalg.norm(U @ np.diag(s) @ Vt - A) < 1e-9 * max(1, np.linalg.norm(A))
+    k = min(shape)
+    assert np.linalg.norm(U.T @ U - np.eye(U.shape[1])) < 1e-9
+    assert np.linalg.norm(Vt @ Vt.T - np.eye(Vt.shape[0])) < 1e-9
+    s_np = np.linalg.svd(A, compute_uv=False)
+    assert np.allclose(s[:k], s_np, atol=1e-9)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_rank_nullspace_fuzz(seed):
     rng = np.random.default_rng(seed + 100)
