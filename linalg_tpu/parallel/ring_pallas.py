@@ -114,25 +114,34 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, kv, m_s, l_s, acc_s,
             credit.wait_recv()  # downstream finished with the target slot
             kv_copy.start()
 
-        # ---- compute on the current slot while the DMA flies
+        # ---- compute on the current slot while the DMA flies.  Chunks
+        # entirely in the causal future (src > my_sp) contribute nothing:
+        # skip their matmuls (the K/V rotation must still complete, so
+        # only the compute is gated — on average this halves the MXU work)
         src = lax.rem(my_sp.astype(jnp.int32) - s + jnp.int32(n),
                       jnp.int32(n))  # origin chunk of this K/V block
-        k = kv[cur, 0].astype(jnp.float32)
-        v = kv[cur, 1].astype(jnp.float32)
-        sc = scale * lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if causal:
-            cols = src * Tl + lax.broadcasted_iota(jnp.int32, (Tl, Tl), 1)
-            sc = jnp.where(cols <= rows, sc, _NEG)
-        m_new = jnp.maximum(m_s[:], jnp.max(sc, axis=-1, keepdims=True))
-        p = jnp.exp(sc - m_new)
-        alpha = jnp.exp(m_s[:] - m_new)
-        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_s[:] = acc_s[:] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
-        m_s[:] = m_new
+
+        live = (src <= my_sp) if causal else jnp.bool_(True)
+
+        @pl.when(live)
+        def _():
+            k = kv[cur, 0].astype(jnp.float32)
+            v = kv[cur, 1].astype(jnp.float32)
+            sc = scale * lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if causal:
+                cols = src * Tl + lax.broadcasted_iota(
+                    jnp.int32, (Tl, Tl), 1)
+                sc = jnp.where(cols <= rows, sc, _NEG)
+            m_new = jnp.maximum(m_s[:], jnp.max(sc, axis=-1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            alpha = jnp.exp(m_s[:] - m_new)
+            l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_s[:] = acc_s[:] * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32)
+            m_s[:] = m_new
 
         @pl.when(s < n - 2)
         def _():
