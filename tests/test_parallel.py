@@ -375,12 +375,15 @@ class TestPallasRingAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
-    def test_grads_route_through_xla_ring(self):
+    @pytest.mark.parametrize("n_dev", [2, 4, 8])
+    def test_pallas_backward_matches_xla_ring(self, n_dev):
+        # the bundle-lap Pallas backward (dk/dv travel the ring) must give
+        # the same gradients as autodiff through the ppermute ring
         from linalg_tpu.parallel import (make_ring_attention,
                                          make_ring_attention_pallas)
 
-        q, k, v = self._qkv(seed=2)
-        mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+        q, k, v = self._qkv(seed=2, T=32 if n_dev != 8 else 64)
+        mesh = make_mesh((n_dev,), ("sp",), jax.devices()[:n_dev])
         g_p = jax.grad(lambda q, k, v: jnp.sum(
             make_ring_attention_pallas(mesh)(q, k, v) ** 2),
             argnums=(0, 1, 2))(q, k, v)
@@ -388,6 +391,22 @@ class TestPallasRingAttention:
             make_ring_attention(mesh)(q, k, v) ** 2),
             argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_p, g_x):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_pallas_backward_non_causal(self):
+        from linalg_tpu.nn.functional import sdpa as _sdpa
+        from linalg_tpu.parallel import make_ring_attention_pallas
+
+        q, k, v = self._qkv(seed=9)
+        mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+        zero = jnp.zeros((q.shape[2], q.shape[2]), jnp.float32)
+        g_p = jax.grad(lambda q, k, v: jnp.sum(
+            make_ring_attention_pallas(mesh, causal=False)(q, k, v) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        g_d = jax.grad(lambda q, k, v: jnp.sum(
+            _sdpa(q, k, v, zero) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_p, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
 
