@@ -127,7 +127,8 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
 
 
 def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
-                       lr: float = 3e-4, weight_decay: float = 0.01):
+                       lr: float = 3e-4, weight_decay: float = 0.01,
+                       pallas: bool = False):
     """Sequence-parallel training step over a (dp, sp) mesh.
 
     Context parallelism: the batch is sharded (dp, sp) — every activation
@@ -136,11 +137,20 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     ring (K/V chunks rotate over ICI, ``parallel.ring``). Parameters are
     replicated. This is how a ctx length that doesn't fit one chip's HBM
     trains; for short ctx prefer dp x tp.
-    """
-    from .ring import make_ring_attention
 
-    ring = make_ring_attention(mesh, axis="sp", causal=True,
-                               batch_axis="dp")
+    ``pallas=True`` swaps in the in-kernel DMA ring (forward AND backward
+    Pallas kernels, ``parallel.ring_pallas``) for compute/comm overlap.
+    """
+    if pallas:
+        from .ring_pallas import make_ring_attention_pallas
+
+        ring = make_ring_attention_pallas(mesh, axis="sp", causal=True,
+                                          batch_axis="dp")
+    else:
+        from .ring import make_ring_attention
+
+        ring = make_ring_attention(mesh, axis="sp", causal=True,
+                                   batch_axis="dp")
     attn_fn = lambda q, k, v, mask: ring(q, k, v)
 
     repl_leaf = NamedSharding(mesh, P())
