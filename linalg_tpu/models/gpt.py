@@ -172,9 +172,10 @@ def _pick_attn(T: int, d_head: int):
 
             if T <= FLASH_MAX_T:
                 return lambda q, k, v, mask: flash_attention(q, k, v, True)
-            # flash_long wins below ~4k (0.86 vs 1.71 ms fwd+bwd at T=4096),
-            # but its backward blows up the TPU compile helper at T=8192;
-            # the streaming kernel takes over beyond 4096.
+            # flash_long wins below ~4k (0.86 vs 1.71 ms fwd+bwd at T=4096);
+            # at 8192 the streaming kernel is faster (4.5 vs 5.8 ms f+b)
+            # and compiles in seconds where flash_long takes ~4 minutes,
+            # so stream takes over beyond 4096.
             if T <= 4096:
                 return lambda q, k, v, mask: flash_attention_long(q, k, v, True)
             return lambda q, k, v, mask: flash_attention_stream(q, k, v, True)
