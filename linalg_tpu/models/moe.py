@@ -110,7 +110,10 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
     B, T, D = x.shape
     E = Wr.shape[-1]
 
-    router_logits = x @ Wr                       # (B, T, E)
+    # Router math in f32 regardless of the compute dtype (bf16 softmax
+    # perturbs routing decisions and the load-balance loss — standard
+    # MoE practice keeps the router full precision).
+    router_logits = (x @ Wr).astype(jnp.float32)  # (B, T, E)
     probs = jax.nn.softmax(router_logits, axis=-1)
     vals, idxs = lax.top_k(probs, top_k)         # (B, T, K)
     if top_k == 1:
@@ -119,6 +122,7 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
         # GShard: renormalize so the combine is a convex mix of experts
         gates = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True),
                                    1e-9)
+    gates = gates.astype(x.dtype)
 
     # Capacity is granted level by level (GShard semantics): every token's
     # first choice queues ahead of any token's second choice, and within a
@@ -149,8 +153,9 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
     out = jnp.einsum("btec,becd->btd", combine, out_e)
 
     # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e, with f
-    # the first-choice assignment fraction (GShard aux uses first choices)
-    f = jnp.mean(onehot1, axis=(0, 1))
+    # the first-choice assignment fraction (GShard aux uses first choices);
+    # f32 like the router, independent of the compute dtype
+    f = jnp.mean(onehot1.astype(jnp.float32), axis=(0, 1))
     P_mean = jnp.mean(probs, axis=(0, 1))
     aux = E * jnp.sum(f * P_mean)
     return out, aux
@@ -191,7 +196,15 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
     if attn_fn is None:
         attn_fn = _pick_attn(T, cfg.d_head)
     h, rope = _embed(params, x_ids, cfg, T)
-    mask = causal_mask(T, dtype=h.dtype)
+
+    # mixed precision, mirroring gpt_apply: f32 masters, compute in
+    # cfg.compute_dtype (the router inside moe_ffn stays f32)
+    dt = cfg.compute_dtype
+    h = h.astype(dt)
+    if rope is not None:
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
+    mask = causal_mask(T, dtype=dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, T)  # per-row routing groups
 
     def body(carry, lp):
@@ -199,8 +212,9 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
                                  cap, cfg.router_top_k)
         return out, aux
 
-    h, auxes = lax.scan(body, h, params["layers"])
-    logits = h @ params["tok_W"].T + params["head_b"]
+    h, auxes = lax.scan(body, h, layers)
+    logits = (h @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
     return logits, jnp.mean(auxes)
 
 

@@ -476,3 +476,41 @@ class TestPipelineParallel:
         mesh = make_mesh((4,), ("pp",), jax.devices()[:4])
         with pytest.raises(AssertionError):
             make_pp_loss(cfg, mesh, n_microbatches=2)
+
+
+class TestMoEBF16:
+    def test_bf16_close_to_f32_and_trains(self):
+        from linalg_tpu.train.optim import adamw_update, gpt_wd_mask
+
+        common = dict(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                      d_ff=64, ctx_len=16, n_experts=4, router_top_k=2)
+        cfg32 = MoEGPTConfig(**common)
+        cfg16 = MoEGPTConfig(dtype="bfloat16", **common)
+        params = init_moe_params(cfg32, seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 17, (4, 16)), jnp.int32)
+        y = jnp.asarray(rng.integers(0, 17, (4, 16)), jnp.int32)
+        l32, a32 = moe_gpt_apply(params, x, cfg32)
+        l16, a16 = moe_gpt_apply(params, x, cfg16)
+        assert l16.dtype == jnp.float32  # CE stays f32
+        # bf16 tracks f32 within bf16 resolution; the f32 router keeps the
+        # aux loss (routing statistics) nearly exact
+        assert float(jnp.max(jnp.abs(l16 - l32))) < 0.15
+        assert float(jnp.abs(a16 - a32)) < 1e-2
+
+        @jax.jit
+        def step(p, o):
+            loss, g = jax.value_and_grad(
+                lambda p: moe_gpt_loss(p, x, y, cfg16))(p)
+            p, o = adamw_update(p, g, o, 1e-2, gpt_wd_mask(p, 0.0))
+            return p, o, loss
+
+        opt = adamw_init(params)
+        first = None
+        for _ in range(30):
+            params, opt, loss = step(params, opt)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < first
+        # master params remain f32
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
