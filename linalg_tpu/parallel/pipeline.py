@@ -75,12 +75,15 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
         mb = B // M
         x_mb = x.reshape(M, mb, T)
         y_mb = y.reshape(M, mb, T)
-        mask = causal_mask(T, dtype=jnp.float32)
+        dt = cfg.compute_dtype  # bf16 also halves the ppermute ICI bytes
+        mask = causal_mask(T, dtype=dt)
         tok_W = params["tok_W"]
+        layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
         D = tok_W.shape[1]
 
         if cfg.pos == "rope":
-            rope = rope_tables(cfg.d_head, jnp.arange(T))
+            r32 = rope_tables(cfg.d_head, jnp.arange(T))
+            rope = (r32[0].astype(dt), r32[1].astype(dt))
             pe = None
         else:
             rope = None
@@ -89,13 +92,13 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
         def embed(m_idx):
             ids = x_mb[jnp.clip(m_idx, 0, M - 1)]
             h = tok_W[ids]
-            return h if pe is None else h + pe[None]
+            return (h if pe is None else h + pe[None]).astype(dt)
 
         def run_stage(h):
             def body(c, lp):
                 out, _ = _layer(c, lp, mask, cfg.n_heads, attn_fn, rope)
                 return out, None
-            out, _ = lax.scan(body, h, params["layers"])
+            out, _ = lax.scan(body, h, layers)
             return out
 
         perm = [(i, i + 1) for i in range(S - 1)]  # stage i -> i+1, no wrap
@@ -107,7 +110,8 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
             # microbatch retiring at the last stage this tick
             m_idx = t - (S - 1)
             yb = y_mb[jnp.clip(m_idx, 0, M - 1)]
-            logits = h_out @ tok_W.T + params["head_b"]
+            logits = (h_out @ tok_W.T.astype(dt)
+                      + params["head_b"].astype(dt)).astype(jnp.float32)
             logz = jax.nn.logsumexp(logits, axis=-1)
             gold = jnp.take_along_axis(logits, yb[..., None], axis=-1)[..., 0]
             ce = jnp.sum(logz - gold)
@@ -116,7 +120,7 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
             state = lax.ppermute(h_out, "pp", perm)
             return (state, loss_sum), None
 
-        init = (jnp.zeros((mb, T, D), jnp.float32), jnp.float32(0.0))
+        init = (jnp.zeros((mb, T, D), dt), jnp.float32(0.0))
         (_, loss_sum), _ = lax.scan(tick, init, jnp.arange(M + S - 1))
 
         axes = ("pp",) if dp_axis is None else (dp_axis, "pp")
@@ -211,18 +215,28 @@ def _pp_1f1b_local(cfg: GPTConfig, n_microbatches: int, attn_fn,
 
             One function for every stage keeps the SPMD trace uniform: the
             head/CE part only contributes to gradients when its cotangent
-            seed is nonzero (last stage).
+            seed is nonzero (last stage).  Compute runs in
+            cfg.compute_dtype; the pipeline buffers/cotangents stay f32
+            (params are f32 masters, so vjp grads come out f32).
             """
+            dt = cfg.compute_dtype
+            mask_dt = mask.astype(dt)
+            rope_dt = (None if rope is None
+                       else (rope[0].astype(dt), rope[1].astype(dt)))
+            layers = jax.tree.map(lambda w: w.astype(dt), p["layers"])
+
             def body(c, lp):
-                out, _ = _layer(c, lp, mask, cfg.n_heads, attn_fn, rope)
+                out, _ = _layer(c, lp, mask_dt, cfg.n_heads, attn_fn,
+                                rope_dt)
                 return out, None
 
-            h_out, _ = lax.scan(body, h_in, p["layers"])
-            logits = h_out @ p["tok_W"].T + p["head_b"]
+            h_out, _ = lax.scan(body, h_in.astype(dt), layers)
+            logits = (h_out @ p["tok_W"].T.astype(dt)
+                      + p["head_b"].astype(dt)).astype(jnp.float32)
             logz = jax.nn.logsumexp(logits, axis=-1)
             gold = jnp.take_along_axis(logits, yb[..., None],
                                        axis=-1)[..., 0]
-            return h_out, jnp.sum(logz - gold)
+            return h_out.astype(jnp.float32), jnp.sum(logz - gold)
 
         up = [(i, i + 1) for i in range(S - 1)]
         down = [(i + 1, i) for i in range(S - 1)]

@@ -514,3 +514,25 @@ class TestMoEBF16:
         assert float(loss) < first
         # master params remain f32
         assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+
+
+class TestPipelineBF16:
+    def test_pp_and_1f1b_bf16_track_f32(self, _eight_devices):
+        from linalg_tpu.parallel import make_pp_1f1b_grads, make_pp_loss
+
+        common = dict(vocab_size=17, d_model=32, n_heads=4, n_layers=4,
+                      d_ff=64, ctx_len=16)
+        cfg32 = GPTConfig(**common)
+        cfg16 = GPTConfig(dtype="bfloat16", **common)
+        params = init_gpt_params(cfg32, seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 17, (8, 16)), jnp.int32)
+        y = jnp.asarray(rng.integers(0, 17, (8, 16)), jnp.int32)
+        mesh = make_mesh((4,), ("pp",), jax.devices()[:4])
+        ref = float(make_pp_loss(cfg32, mesh, n_microbatches=4)(params, x, y))
+        l16 = float(make_pp_loss(cfg16, mesh, n_microbatches=4)(params, x, y))
+        assert abs(l16 - ref) < 0.05  # bf16 resolution, same computation
+        f1, grads = make_pp_1f1b_grads(cfg16, mesh, n_microbatches=4)(
+            params, x, y)
+        assert abs(float(f1) - ref) < 0.05
+        assert all(g.dtype == jnp.float32 for g in jax.tree.leaves(grads))
