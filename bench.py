@@ -15,7 +15,6 @@ by REPS. Accuracy gate: ||A - QR||_F / ||A||_F must be <= 1e-6.
 """
 
 import json
-import sys
 import time
 
 import numpy as np

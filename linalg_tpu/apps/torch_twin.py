@@ -14,7 +14,6 @@ and gradients.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import numpy as np

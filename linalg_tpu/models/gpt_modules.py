@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..nn.attention import MultiHeadAttention as MHA
 from ..nn.normalization import LayerNorm

@@ -22,7 +22,6 @@ import logging
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .elimination import _forward_eliminate_core
 from .qr import _as_float, qr

@@ -19,7 +19,7 @@ shard (``host_local_batch_slice``).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 
