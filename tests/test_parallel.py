@@ -482,3 +482,26 @@ class TestSequenceParallelPallasStep:
                         jax.tree.leaves(outs["pallas"][1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestPallasRingBF16:
+    def test_bf16_inputs_track_f32(self):
+        # kernels accumulate in f32 internally; bf16 in/out must track the
+        # f32 result within bf16 resolution, grads included
+        from linalg_tpu.parallel import make_ring_attention_pallas
+
+        rng = np.random.default_rng(11)
+        q32, k32, v32 = (jnp.asarray(rng.normal(size=(1, 2, 32, 8)),
+                                     jnp.float32) for _ in range(3))
+        mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+        attn = make_ring_attention_pallas(mesh)
+        o32 = attn(q32, k32, v32)
+        o16 = attn(q32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+                   v32.astype(jnp.bfloat16))
+        assert o16.dtype == jnp.bfloat16
+        assert float(jnp.max(jnp.abs(o16.astype(jnp.float32) - o32))) < 0.1
+        g16 = jax.grad(lambda q: jnp.sum(
+            attn(q, k32.astype(jnp.bfloat16),
+                 v32.astype(jnp.bfloat16)).astype(jnp.float32) ** 2))(
+            q32.astype(jnp.bfloat16))
+        assert bool(jnp.all(jnp.isfinite(g16.astype(jnp.float32))))
