@@ -23,8 +23,10 @@ sign and locate the real cliff:
    transfer, serializing a full pipeline drain per step.
 
 Practical rules encoded in the trainer (train/trainer.py):
-- keep donate_argnums on the step (big memory win, no cost at the right
-  sync cadence), and
+- do NOT donate the step's params/opt-state buffers: measured A/B at the
+  published config showed +52% step time even at the every-20-step sync
+  cadence (the donated execution serializes with the loss readback on
+  this runtime), so the trainer deliberately leaves donation off, and
 - read the loss back at most every ~20 steps.
 
 Run:  python docs/repro_dispatch_queue.py

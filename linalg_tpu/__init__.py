@@ -94,15 +94,24 @@ def _enable_compile_cache() -> None:
         return
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return  # user already configured it; jax reads the env var itself
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        # CPU AOT cache entries are machine-feature-pinned and can SIGILL
-        # when reloaded under a different feature set; the cache's value is
-        # the slow TPU compiles, so skip it for forced-CPU runs (tests,
-        # multichip dryruns).
-        return
     try:
         import jax
 
+        def _forced_cpu() -> bool:
+            # CPU AOT cache entries are machine-feature-pinned and can
+            # SIGILL when reloaded under a different feature set; the
+            # cache's value is the slow TPU compiles, so skip it for
+            # forced-CPU runs (tests, multichip dryruns). The env var alone
+            # is not enough: the axon sitecustomize overwrites JAX_PLATFORMS
+            # and tests force CPU via jax.config.update (conftest), so check
+            # the live config value too.
+            if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+                return True
+            plat = getattr(jax.config, "jax_platforms", None) or ""
+            return str(plat).startswith("cpu")
+
+        if _forced_cpu():
+            return
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "linalg_tpu", "xla_cache"
         )

@@ -23,6 +23,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from functools import partial
 from typing import Any, Callable, Dict, Optional
@@ -54,6 +55,8 @@ __all__ = [
 ]
 
 Params = Dict[str, Any]
+
+_logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,26 +165,51 @@ def _pick_attn(T: int, d_head: int):
     O(T^2) memory the flash kernel exists to avoid is still small, and
     XLA's fused softmax has less launch overhead); the crossover is
     between 256 and 512 (T=512: flash 14.7 vs sdpa 15.9).
-    """
-    try:
-        if (jax.default_backend() == "tpu" and T >= 512 and T % 256 == 0
-                and d_head >= 8):
-            from ..nn.flash import FLASH_MAX_T, flash_attention
-            from ..nn.flash_long import flash_attention_long
-            from ..nn.flash_stream import flash_attention_stream
 
-            if T <= FLASH_MAX_T:
-                return lambda q, k, v, mask: flash_attention(q, k, v, True)
-            # flash_long wins below ~4k (0.86 vs 1.71 ms fwd+bwd at T=4096);
-            # at 8192 the streaming kernel is faster (4.5 vs 5.8 ms f+b)
-            # and compiles in seconds where flash_long takes ~4 minutes,
-            # so stream takes over beyond 4096.
-            if T <= 4096:
-                return lambda q, k, v, mask: flash_attention_long(q, k, v, True)
-            return lambda q, k, v, mask: flash_attention_stream(q, k, v, True)
-    except Exception:
-        pass
-    return sdpa
+    Ragged T: the kernels need T % 256 == 0, so any other length is
+    right-padded to the next 256 multiple and the output sliced back.
+    Right-padding is exact under the causal mask — real query rows i < T
+    only attend to keys j <= i < T, so padded keys never contribute, and
+    padded query rows' (finite) garbage is sliced off. Without this,
+    e.g. T=8191 silently fell to sdpa and its ~2 GB score tensor.
+    """
+    if not (jax.default_backend() == "tpu" and T >= 512 and d_head >= 8):
+        return sdpa
+    try:
+        from ..nn.flash import FLASH_MAX_T, flash_attention
+        from ..nn.flash_long import flash_attention_long
+        from ..nn.flash_stream import flash_attention_stream
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        # a broken Pallas install must be VISIBLE, not a silent 10-100x
+        # slowdown (and OOM at long T) on the sdpa path
+        _logger.warning("Pallas flash kernels unavailable (%s); "
+                        "falling back to sdpa", e)
+        return sdpa
+    Tp = ((T + 255) // 256) * 256
+    if Tp <= FLASH_MAX_T:
+        fn = flash_attention
+    elif Tp <= 4096:
+        # flash_long wins below ~4k (0.86 vs 1.71 ms fwd+bwd at T=4096);
+        # at 8192 the streaming kernel is faster (4.5 vs 5.8 ms f+b)
+        # and compiles in seconds where flash_long takes ~4 minutes,
+        # so stream takes over beyond 4096.
+        fn = flash_attention_long
+    else:
+        fn = flash_attention_stream
+    if Tp == T:
+        return lambda q, k, v, mask: fn(q, k, v, True)
+    return _padded_attn(fn, T, Tp)
+
+
+def _padded_attn(fn, T: int, Tp: int):
+    """Wrap a causal T%256==0 attention kernel to serve ragged T < Tp."""
+
+    def padded(q, k, v, mask):
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        out = fn(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), True)
+        return out[..., :T, :]
+
+    return padded
 
 
 def _embed(params: Params, x_ids, cfg: GPTConfig, T: int):

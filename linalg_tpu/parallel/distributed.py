@@ -53,7 +53,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     explicit = coordinator_address is not None
-    on_tpu_pod = jax.default_backend() == "tpu" and not explicit
+    # Detect a possible TPU pod WITHOUT touching the backend:
+    # jax.default_backend() initializes XLA, after which
+    # jax.distributed.initialize raises RuntimeError — and swallowing that
+    # would silently demote every pod run to single-process. Environment
+    # markers (set by the Cloud TPU runtime / libtpu) are backend-free.
+    # TPU_WORKER_HOSTNAMES is set even on single-host VMs (e.g.
+    # "localhost"), so a pod means MORE THAN ONE worker hostname.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([h for h in hostnames.split(",") if h.strip()]) > 1
+    on_tpu_pod = multi_worker or bool(
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not explicit and not on_tpu_pod:
         return False  # plain single-process run (CPU tests, one chip)
     if not _INITIALIZED:
@@ -64,8 +74,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
                 process_id=process_id,
             )
             _INITIALIZED = True
+        except RuntimeError:
+            # late initialization (backend already up) is a caller bug on a
+            # real pod — surface it rather than silently running local
+            raise
         except Exception:
-            # single-process TPU VM (no pod metadata): stay local
+            # single-process TPU VM (pod-like env but no pod metadata):
+            # stay local
             return False
     return jax.process_count() > 1
 
@@ -92,13 +107,14 @@ def host_local_batch_slice(global_batch: int) -> Tuple[int, int]:
 
 def global_mesh_shape(n_heads: int) -> Tuple[int, int]:
     """Default (dp, tp) over ALL devices in the (possibly multi-host) job:
-    tp = the largest divisor of both the global device count and n_heads
-    that fits within one host's chips (so tensor-parallel collectives stay
-    on intra-host ICI); dp takes the rest (DCN-friendly)."""
+    tp = the largest divisor of the global device count, n_heads, AND the
+    local device count (so contiguous tp groups in the row-major mesh never
+    straddle a host boundary and tensor-parallel collectives stay on
+    intra-host ICI); dp takes the rest (DCN-friendly)."""
     n_global = len(jax.devices())
     n_local = len(jax.local_devices())
     tp = 1
     for cand in range(1, min(n_local, n_global) + 1):
-        if n_global % cand == 0 and n_heads % cand == 0:
+        if n_global % cand == 0 and n_heads % cand == 0 and n_local % cand == 0:
             tp = cand
     return n_global // tp, tp

@@ -34,5 +34,10 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    arr = np.asarray(devices).reshape(tuple(shape))
+    n = int(np.prod(shape))
+    assert n <= len(devices), (
+        f"mesh shape {tuple(shape)} needs {n} devices, "
+        f"have {len(devices)}"
+    )
+    arr = np.asarray(devices[:n]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))

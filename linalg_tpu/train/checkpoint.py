@@ -17,7 +17,7 @@ import numpy as np
 
 from ..models.gpt import GPTConfig, Params, init_gpt_params
 
-__all__ = ["save_ckpt", "load_ckpt", "save_ckpt_orbax",
+__all__ = ["save_ckpt", "load_ckpt", "load_tokenizer", "save_ckpt_orbax",
            "load_ckpt_orbax", "CKPT_NAME", "META_NAME"]
 
 CKPT_NAME = "chars_gpt_best.npz"
@@ -25,7 +25,8 @@ META_NAME = "chars_gpt_meta.json"
 
 
 def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
-              stoi: Dict[str, int], itos: Dict[int, str]) -> pathlib.Path:
+              stoi: Dict[str, int], itos: Dict[int, str],
+              tokenizer=None) -> pathlib.Path:
     from ..utils.transfer import pull_pytree
 
     ckpt_dir = pathlib.Path(ckpt_dir)
@@ -52,6 +53,7 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
     meta = {
         "stoi": stoi,
         "itos": {str(k): v for k, v in itos.items()},
+        "vocab_size": cfg.vocab_size,
         "d_model": cfg.d_model,
         "heads": cfg.n_heads,
         "layers": cfg.n_layers,
@@ -60,12 +62,20 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         "d_ff": cfg.d_ff,  # None = the 4*d_model default
         "dtype": cfg.dtype,
     }
+    # a non-char tokenizer rides the sidecar (type + merge table); char
+    # checkpoints keep the reference's stoi/itos-only format for interop
+    from ..nn.tokenizers import BPETokenizer
+
+    if isinstance(tokenizer, BPETokenizer):
+        meta["tokenizer"] = "bpe"
+        meta["merges"] = [list(m) for m in tokenizer.merges]
     from ..models.moe import MoEGPTConfig
 
     if isinstance(cfg, MoEGPTConfig):
         meta["experts"] = cfg.n_experts
         meta["capacity_factor"] = cfg.capacity_factor
         meta["aux_weight"] = cfg.aux_weight
+        meta["router_top_k"] = cfg.router_top_k
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
 
@@ -82,7 +92,7 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
     stoi = meta["stoi"]
     itos = {int(k): v for k, v in meta["itos"].items()}
     common = dict(
-        vocab_size=len(stoi),
+        vocab_size=meta.get("vocab_size") or len(stoi),
         d_model=meta["d_model"],
         n_heads=meta["heads"],
         n_layers=meta["layers"],
@@ -98,6 +108,7 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
             n_experts=meta["experts"],
             capacity_factor=meta.get("capacity_factor", 1.25),
             aux_weight=meta.get("aux_weight", 0.01),
+            router_top_k=meta.get("router_top_k", 1),
             **common,
         )
         params = init_moe_params(cfg)
@@ -118,6 +129,23 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         "layers": lay,
     }
     return push_pytree(host), cfg, stoi, itos
+
+
+def load_tokenizer(ckpt_dir):
+    """Rebuild the tokenizer a checkpoint was trained with.
+
+    BPE checkpoints carry their merge table in the meta sidecar
+    (``meta["tokenizer"] == "bpe"``); everything else — including
+    reference-produced archives — is the char tokenizer rebuilt from
+    stoi/itos.
+    """
+    from ..nn.tokenizers import BPETokenizer, CharTokenizer
+
+    meta = json.loads((pathlib.Path(ckpt_dir) / META_NAME).read_text())
+    if meta.get("tokenizer") == "bpe":
+        return BPETokenizer.load({"merges": meta["merges"]})
+    itos = {int(k): v for k, v in meta["itos"].items()}
+    return CharTokenizer.from_pretrained(meta["stoi"], itos)
 
 
 # ---------------------------------------------------------------------------

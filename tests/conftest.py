@@ -8,6 +8,8 @@ Environment must be set before the first jax import.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# never write machine-feature-pinned CPU AOT entries into the shared cache
+os.environ.setdefault("LINALG_TPU_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

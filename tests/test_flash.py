@@ -96,3 +96,61 @@ class TestStreamBackwardKernels:
         for a, b in zip(g_pallas, g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
+
+
+class TestRaggedPadding:
+    """_padded_attn right-pads ragged T to a kernel-legal multiple of 256.
+
+    Padding must be EXACT under the causal mask (padded keys sit after
+    every real query, so they are masked out; padded query rows are
+    sliced off) — forward and gradients. Verified against sdpa as the
+    inner kernel so the check runs on CPU, plus (interpret-mode) against
+    a real Pallas kernel.
+    """
+
+    def _causal_sdpa(self, q, k, v, causal):
+        assert causal is True
+        return sdpa(q, k, v, causal_mask(q.shape[-2], dtype=q.dtype))
+
+    @pytest.mark.parametrize("T", [257, 300, 511])
+    def test_forward_exact(self, T):
+        from linalg_tpu.models.gpt import _padded_attn
+
+        B, h, d = 1, 2, 16
+        q, k, v = _rand((B, h, T, d), 30), _rand((B, h, T, d), 31), _rand((B, h, T, d), 32)
+        Tp = ((T + 255) // 256) * 256
+        padded = _padded_attn(self._causal_sdpa, T, Tp)
+        out = padded(q, k, v, None)
+        ref = sdpa(q, k, v, causal_mask(T))
+        assert out.shape == (B, h, T, d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_gradients_exact(self):
+        from linalg_tpu.models.gpt import _padded_attn
+
+        B, h, T, d = 1, 2, 300, 16
+        Tp = 512
+        q, k, v = _rand((B, h, T, d), 33), _rand((B, h, T, d), 34), _rand((B, h, T, d), 35)
+        w = _rand((B, h, T, d), 36)
+        padded = _padded_attn(self._causal_sdpa, T, Tp)
+        g1 = jax.grad(lambda q, k, v: jnp.sum(padded(q, k, v, None) * w),
+                      argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(
+            lambda q, k, v: jnp.sum(sdpa(q, k, v, causal_mask(T)) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_forward_exact_pallas(self):
+        from linalg_tpu.models.gpt import _padded_attn
+
+        B, h, T, d = 1, 2, 300, 16
+        q, k, v = _rand((B, h, T, d), 37), _rand((B, h, T, d), 38), _rand((B, h, T, d), 39)
+        padded = _padded_attn(flash_attention_stream, T, 512)
+        with pltpu.force_tpu_interpret_mode():
+            out = padded(q, k, v, None)
+            ref = sdpa(q, k, v, causal_mask(T))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
