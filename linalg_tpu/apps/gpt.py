@@ -57,14 +57,33 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sp", type=int, default=1,
                     help="sequence-parallel mesh axis (ring attention over "
                          "the context; for ctx lengths beyond one chip)")
+    ap.add_argument("--ring", type=str, default="auto",
+                    choices=("auto", "pallas", "xla"),
+                    help="sp attention ring implementation: in-kernel DMA "
+                         "Pallas ring or XLA ppermute (auto = Pallas on "
+                         "TPU, XLA elsewhere)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel mesh axis (layer stack sharded "
+                         "over stages, 1F1B microbatch schedule)")
+    ap.add_argument("--microbatches", type=int, default=0,
+                    help="pipeline microbatch count (0 = auto: 2*pp when "
+                         "the batch divides, else pp)")
+    ap.add_argument("--tokenizer", type=str, default="char",
+                    choices=("char", "bpe"),
+                    help="tokenizer for a fresh model: char (reference "
+                         "default) or byte-level BPE")
+    ap.add_argument("--vocab_size", type=int, default=512,
+                    help="BPE vocabulary size (used with --tokenizer bpe; "
+                         "char vocab is always the corpus character set)")
     return ap
 
 
 def repl(args) -> None:
-    from ..train.checkpoint import load_ckpt
+    from ..train.checkpoint import load_ckpt, load_tokenizer
     from ..train.trainer import sample
 
     params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+    tok = load_tokenizer(args.ckpt_dir)  # char or BPE, from the sidecar
     print("\nREPL — type a prompt, Ctrl+C to exit.\n")
     while True:
         try:
@@ -74,12 +93,12 @@ def repl(args) -> None:
             break
         if not s.strip():
             continue
-        ctx = np.asarray([stoi[c] for c in s if c in stoi], dtype=np.int32)
+        ctx = np.asarray(tok.encode(s), dtype=np.int32)
         if ctx.size == 0:
             print("(no known characters in prompt)")
             continue
         for ch in sample(
-            params, cfg, ctx, itos,
+            params, cfg, ctx, tok,
             steps=args.gen_tokens,
             temperature=args.temperature,
             top_k=args.top_k,

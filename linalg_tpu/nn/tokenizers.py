@@ -203,8 +203,13 @@ class BPETokenizer(BaseTokenizer):
             ids = self._merge(ids, best, best_rank)
         return np.asarray(ids, dtype=np.int32)
 
-    def decode(self, ids) -> str:
-        expand: Dict[int, bytes] = {}
+    def token_bytes(self, i: int) -> bytes:
+        """Raw byte expansion of one token id (for streaming decode: feed
+        these through an incremental UTF-8 decoder so multi-byte characters
+        split across tokens reassemble correctly)."""
+        if not hasattr(self, "_expand"):
+            self._expand: Dict[int, bytes] = {}
+        expand = self._expand
 
         def to_bytes(i: int) -> bytes:
             if i < 256:
@@ -214,7 +219,11 @@ class BPETokenizer(BaseTokenizer):
                 expand[i] = to_bytes(a) + to_bytes(b)
             return expand[i]
 
-        data = b"".join(to_bytes(int(i)) for i in np.asarray(ids).ravel())
+        return to_bytes(int(i))
+
+    def decode(self, ids) -> str:
+        data = b"".join(self.token_bytes(int(i))
+                        for i in np.asarray(ids).ravel())
         return data.decode("utf-8", errors="replace")
 
     @property

@@ -38,6 +38,8 @@ __all__ = [
     "make_pp_train_step",
     "make_pp_1f1b_grads",
     "make_pp_1f1b_train_step",
+    "make_pp_device_train_step",
+    "make_pp_eval",
 ]
 
 
@@ -409,4 +411,108 @@ def make_pp_train_step(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
         step,
         in_shardings=(param_sh, opt_state_sh, batch_sh, batch_sh),
         out_shardings=(param_sh, opt_state_sh, scalar_sh),
+    )
+
+
+def make_pp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
+                              *, n_microbatches: int, base_lr: float,
+                              min_lr: float, warmup: int, max_steps: int,
+                              weight_decay: float,
+                              lr_embed_scale: float = 1.0,
+                              lr_head_scale: float = 1.0):
+    """Device-resident pipeline train step over a (dp, pp) mesh.
+
+    Same loop contract as ``sharding.make_sharded_device_train_step``
+    (corpus replicated, windows sampled in-jit, warmup-cosine schedule
+    driven by the AdamW step counter, per-group lr scales) — but gradients
+    come from the explicit 1F1B schedule (O(S) activation memory,
+    ``_pp_1f1b_local``), making pipeline parallelism reachable from the
+    CLI trainer rather than only as a library demo.
+    """
+    from ..train.optim import (AdamWState, adamw_update, gpt_lr_scales,
+                               gpt_wd_mask, warmup_cosine)
+
+    assert cfg.n_layers % mesh.shape["pp"] == 0, (
+        "n_layers must divide by the pp axis size"
+    )
+    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, "dp")
+    pspecs = pp_param_specs("dp")
+    batch_spec = P("dp", None)
+    loss_and_grads = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, batch_spec, batch_spec),
+        out_specs=(P(), pspecs),
+        check_vma=False,
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, batch_spec)
+    opt_sh = AdamWState(m=param_sh, v=param_sh, t=repl)
+    B, T = batch_size, cfg.ctx_len
+
+    def step(params, opt_state, data_ids, key):
+        key, sub = jax.random.split(key)
+        L = data_ids.shape[0]
+        ix = jax.random.randint(sub, (B,), 0, L - T - 1)
+        offs = ix[:, None] + jnp.arange(T)[None, :]
+        x = lax.with_sharding_constraint(data_ids[offs], batch_sh)
+        y = lax.with_sharding_constraint(data_ids[offs + 1], batch_sh)
+        loss, grads = loss_and_grads(params, x, y)
+        lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
+                           warmup=warmup, max_steps=max_steps)
+        wd_tree = gpt_wd_mask(params, weight_decay)
+        lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
+                                head=lr_head_scale)
+        params, opt_state = adamw_update(params, grads, opt_state, lr,
+                                         wd_tree, lr_scales=lr_tree)
+        return params, opt_state, key, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(param_sh, opt_sh, repl, repl),
+        out_shardings=(param_sh, opt_sh, repl, repl),
+    )
+
+
+def make_pp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int, *,
+                 n_microbatches: int):
+    """Device-resident (dp, pp) eval companion to
+    ``make_pp_device_train_step`` — GPipe forward-only loss (no backward,
+    so the cheaper schedule), mean over ``batches`` sampled batches."""
+    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    local = _pp_local_loss(cfg, n_microbatches, attn_fn, "dp")
+    pspecs = pp_param_specs("dp")
+    batch_spec = P("dp", None)
+    loss_fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, batch_spec, batch_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda v: isinstance(v, P))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, batch_spec)
+    T = cfg.ctx_len
+
+    def evaluate(params, val_ids, key):
+        L = val_ids.shape[0]
+
+        def body(carry, k):
+            ix = jax.random.randint(k, (batch,), 0, L - T - 1)
+            offs = ix[:, None] + jnp.arange(T)[None, :]
+            x = lax.with_sharding_constraint(val_ids[offs], batch_sh)
+            y = lax.with_sharding_constraint(val_ids[offs + 1], batch_sh)
+            return carry + loss_fn(params, x, y), None
+
+        keys = jax.random.split(key, batches)
+        total, _ = lax.scan(body, jnp.float32(0), keys)
+        return total / batches
+
+    return jax.jit(
+        evaluate,
+        in_shardings=(param_sh, repl, repl),
+        out_shardings=repl,
     )

@@ -141,17 +141,7 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     ``pallas=True`` swaps in the in-kernel DMA ring (forward AND backward
     Pallas kernels, ``parallel.ring_pallas``) for compute/comm overlap.
     """
-    if pallas:
-        from .ring_pallas import make_ring_attention_pallas
-
-        ring = make_ring_attention_pallas(mesh, axis="sp", causal=True,
-                                          batch_axis="dp")
-    else:
-        from .ring import make_ring_attention
-
-        ring = make_ring_attention(mesh, axis="sp", causal=True,
-                                   batch_axis="dp")
-    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+    attn_fn = _sp_ring(mesh, pallas)
 
     repl_leaf = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl_leaf, gpt_param_specs(None),
@@ -178,25 +168,42 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     )
 
 
+def _sp_ring(mesh: Mesh, pallas: bool):
+    """The sp attention ring: in-kernel DMA Pallas ring (compute/comm
+    overlap, the TPU training default) or the XLA ppermute ring."""
+    if pallas:
+        from .ring_pallas import make_ring_attention_pallas
+
+        ring = make_ring_attention_pallas(mesh, axis="sp", causal=True,
+                                          batch_axis="dp")
+    else:
+        from .ring import make_ring_attention
+
+        ring = make_ring_attention(mesh, axis="sp", causal=True,
+                                   batch_axis="dp")
+    return lambda q, k, v, mask: ring(q, k, v)
+
+
 def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
                               *, base_lr: float, min_lr: float, warmup: int,
                               max_steps: int, weight_decay: float,
                               lr_embed_scale: float = 1.0,
-                              lr_head_scale: float = 1.0):
+                              lr_head_scale: float = 1.0,
+                              pallas: bool = False):
     """Device-resident sequence-parallel step over a (dp, sp) mesh.
 
     Same loop contract as ``make_sharded_device_train_step`` (corpus
     replicated, windows sampled in-jit), but the batch is sharded
     (dp, sp) — activations carry T sharded over 'sp' and attention runs
-    the ppermute ring (``parallel.ring``). Parameters replicated.
+    the ring. ``pallas=True`` (the trainer's TPU default) uses the
+    in-kernel remote-DMA ring with fwd+bwd Pallas kernels
+    (``parallel.ring_pallas``); ``False`` the XLA ppermute ring.
+    Parameters replicated.
     """
     from ..train.optim import AdamWState, adamw_update, gpt_lr_scales, \
         gpt_wd_mask, warmup_cosine
-    from .ring import make_ring_attention
 
-    ring = make_ring_attention(mesh, axis="sp", causal=True,
-                               batch_axis="dp")
-    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+    attn_fn = _sp_ring(mesh, pallas)
 
     repl = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
@@ -231,13 +238,10 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
     )
 
 
-def make_sp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int):
+def make_sp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int,
+                 pallas: bool = False):
     """Device-resident (dp, sp) eval companion to make_sp_device_train_step."""
-    from .ring import make_ring_attention
-
-    ring = make_ring_attention(mesh, axis="sp", causal=True,
-                               batch_axis="dp")
-    attn_fn = lambda q, k, v, mask: ring(q, k, v)
+    attn_fn = _sp_ring(mesh, pallas)
     repl = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
                             is_leaf=lambda v: isinstance(v, P))
@@ -400,11 +404,25 @@ def dryrun_multichip(n_devices: int) -> None:
     ref = sdpa(*qkv, causal_mask(8 * n_devices))
     ring_ok = bool(jnp.max(jnp.abs(ring_out - ref)) < 1e-4)
 
-    # Pallas ring (in-kernel remote-DMA rotation) must agree too
+    # Pallas ring (in-kernel remote-DMA rotation) must agree too —
+    # forward AND backward (the custom_vjp dk/dv/dq ring kernels), so the
+    # artifact certifies gradients, not just losses
     from .ring_pallas import make_ring_attention_pallas
 
-    pring = make_ring_attention_pallas(sp_mesh)(*qkv)
+    pring_fn = make_ring_attention_pallas(sp_mesh)
+    pring = pring_fn(*qkv)
     ring_ok = ring_ok and bool(jnp.max(jnp.abs(pring - ref)) < 1e-4)
+    w = jnp.asarray(rng2.normal(size=ref.shape), jnp.float32)
+    g_pallas = jax.grad(
+        lambda q, k, v: jnp.sum(pring_fn(q, k, v) * w), argnums=(0, 1, 2)
+    )(*qkv)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(sdpa(q, k, v, causal_mask(ref.shape[2]))
+                                * w),
+        argnums=(0, 1, 2),
+    )(*qkv)
+    for gp, gr in zip(g_pallas, g_ref):
+        ring_ok = ring_ok and bool(jnp.max(jnp.abs(gp - gr)) < 1e-3)
 
     # pipeline-parallel path: GPipe microbatch schedule over a 'pp' ring
     # must reproduce the unsharded loss exactly
@@ -426,13 +444,32 @@ def dryrun_multichip(n_devices: int) -> None:
     _, _, pp_loss = pp_step(pp_params, adamw_init(pp_params), xpp, ypp)
     pp_ok = abs(float(pp_loss) - ref_pp) < 1e-4
 
-    # 1F1B schedule (explicit fwd/bwd slots, O(S) activation ring) must
-    # agree with the same unsharded loss
+    # 1F1B schedule (explicit fwd/bwd slots, O(S) activation ring):
+    # loss AND GRADS must match the unsharded jax.grad exactly
     from .pipeline import make_pp_1f1b_grads
 
-    f1_loss, _ = make_pp_1f1b_grads(pp_cfg, pp_mesh, n_microbatches=2,
-                                    dp_axis="dp")(pp_params, xpp, ypp)
+    f1_loss, f1_grads = make_pp_1f1b_grads(pp_cfg, pp_mesh, n_microbatches=2,
+                                           dp_axis="dp")(pp_params, xpp, ypp)
     pp_ok = pp_ok and abs(float(f1_loss) - ref_pp) < 1e-4
+    ref_grads = jax.grad(gpt_loss)(pp_params, xpp, ypp, pp_cfg)
+    for a, b in zip(jax.tree.leaves(f1_grads), jax.tree.leaves(ref_grads)):
+        pp_ok = pp_ok and bool(jnp.max(jnp.abs(a - b)) < 1e-4)
+
+    # one OPTIMIZER step through the trainer's pp path (the
+    # device-resident 1F1B step the CLI --pp flag uses)
+    from .pipeline import make_pp_device_train_step
+
+    pp_step2 = make_pp_device_train_step(
+        pp_cfg, pp_mesh, Bpp, n_microbatches=2, base_lr=1e-3, min_lr=1e-4,
+        warmup=10, max_steps=100, weight_decay=0.0)
+    data_ids = jnp.asarray(rng.integers(0, 37, size=(512,), dtype=np.int32))
+    pkey = jax.random.PRNGKey(0)
+    p2, o2, pkey, pp_train_loss = pp_step2(
+        pp_params, adamw_init(pp_params), data_ids, pkey)
+    pp_ok = pp_ok and bool(jnp.isfinite(pp_train_loss))
+    # params must actually move (the optimizer ran)
+    moved = jnp.max(jnp.abs(p2["tok_W"] - pp_params["tok_W"]))
+    pp_ok = pp_ok and bool(moved > 0)
 
     # expert-parallel path: MoE-GPT with experts sharded on 'ep'
     from ..models.moe import MoEGPTConfig, init_moe_params, moe_gpt_loss

@@ -1,4 +1,5 @@
-"""Char-GPT trainer: jitted train step, eval, best-val checkpointing, sampling.
+"""Char/BPE-GPT trainer: jitted train step, eval, best-val checkpointing,
+sampling.
 
 Capability parity with the reference's training loop
 (/root/reference/gpt.py:255-478): AdamW(lr 3e-4, betas (0.9, 0.95), wd
@@ -8,7 +9,10 @@ save-best-checkpoint, resume-or-init on start.
 
 TPU-first: the whole step (forward, hand-derived backward via custom_vjp,
 AdamW update, LR schedule) is ONE jitted XLA computation; only batch
-sampling and checkpoint writes cross the host boundary.
+sampling and checkpoint writes cross the host boundary. Multi-device
+training (``--dp/--tp/--sp/--pp``, and ``--experts`` for expert
+parallelism) shares this single loop — each axis only swaps which
+device-resident step/eval builder is used.
 """
 
 from __future__ import annotations
@@ -22,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.gpt import GPTConfig, gpt_loss, gpt_prefill, init_gpt_params
-from .checkpoint import load_ckpt, save_ckpt
-from .data import build_char_vocab, encode, load_text
+from .checkpoint import load_ckpt, load_tokenizer, save_ckpt
+from .data import load_text
 from .optim import (adamw_init, adamw_update, gpt_lr_scales, gpt_wd_mask,
                     warmup_cosine)
 
@@ -131,16 +135,142 @@ def _eval_device(params, val_ids, key, cfg: GPTConfig, batch: int, batches: int)
     return total / batches
 
 
+# ---------------------------------------------------------------------------
+# shared resume-or-init + training loop (used by every parallelism axis)
+# ---------------------------------------------------------------------------
+
+
+def _make_tokenizer(args, text: str):
+    """Fresh-model tokenizer from CLI flags: char (reference default) or
+    byte-level BPE (``--tokenizer bpe --vocab_size N``)."""
+    kind = getattr(args, "tokenizer", "char") or "char"
+    if kind == "bpe":
+        from ..nn.tokenizers import BPETokenizer
+
+        return BPETokenizer.train(
+            text, int(getattr(args, "vocab_size", 512) or 512))
+    from ..nn.tokenizers import CharTokenizer
+
+    return CharTokenizer(text)
+
+
+def _tok_maps(tok) -> Tuple[dict, dict]:
+    """(stoi, itos) for the meta sidecar: the reference's char maps, or
+    empty dicts for BPE (whose state is the merge table)."""
+    if hasattr(tok, "stoi"):
+        return tok.stoi, tok.itos
+    return {}, {}
+
+
+def _resume_or_init(args):
+    """Reference resume-or-init semantics (gpt.py:264-273): try the
+    checkpoint; on ANY failure build a fresh model from the flags.
+
+    Returns (text, params, cfg, tok, stoi, itos).
+    """
+    text = load_text(getattr(args, "data", None))
+    try:
+        params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+        tok = load_tokenizer(args.ckpt_dir)
+        print(f"resumed from {args.ckpt_dir}")
+        return text, params, cfg, tok, stoi, itos
+    except Exception:
+        print("Error loading checkpoint, starting from scratch")
+    tok = _make_tokenizer(args, text)
+    stoi, itos = _tok_maps(tok)
+    common = dict(
+        vocab_size=tok.vocab_size,
+        d_model=args.d_model,
+        n_heads=args.heads,
+        n_layers=args.layers,
+        ctx_len=args.ctx_len,
+        pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
+        dtype=getattr(args, "dtype", "float32") or "float32",
+    )
+    n_experts = int(getattr(args, "experts", 0) or 0)
+    if n_experts > 0:
+        from ..models.moe import MoEGPTConfig, init_moe_params
+
+        cfg = MoEGPTConfig(
+            n_experts=n_experts,
+            router_top_k=int(getattr(args, "router_top_k", 1) or 1),
+            **common,
+        )
+        params = init_moe_params(cfg, seed=123)
+    else:
+        cfg = GPTConfig(**common)
+        params = init_gpt_params(cfg, seed=123)
+    return text, params, cfg, tok, stoi, itos
+
+
+def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
+                train_ids, val_ids, tok, stoi, itos, desc: str):
+    """The one training loop every axis shares.
+
+    ``step_fn(params, opt_state, train_ids, key) -> (params, opt_state,
+    key, loss)`` and ``eval_fn(params, val_ids, key) -> scalar`` are the
+    only axis-specific pieces. Printing every 20 steps is the only host
+    sync; it also caps the async dispatch queue (deep queues degrade
+    badly on this runtime — docs/repro_dispatch_queue.py).
+    """
+    from ..utils.profiling import StepTimer, trace
+
+    best = 1e9
+    t0 = time.time()
+    tokens_per_step = args.batch_size * cfg.ctx_len
+    timer = StepTimer(tokens_per_step, window=10)
+    last_sync = 0
+    with trace(getattr(args, "profile", None)):
+        for step in range(1, args.steps + 1):
+            params, opt_state, key, loss = step_fn(
+                params, opt_state, train_ids, key
+            )
+            if step % 20 == 0 or step == 1:
+                loss_f = float(loss)  # the host sync point
+                timer.tick(step - last_sync)
+                last_sync = step
+                rate = (f"  ({timer.steps_per_sec:.1f} steps/s, "
+                        f"{timer.tokens_per_sec:.0f} tok/s)"
+                        if step > 1 else "")
+                print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
+            if step % args.eval_every == 0:
+                key, sub = jax.random.split(key)
+                val_loss = float(eval_fn(params, val_ids, sub))
+                print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
+                if val_loss < best:
+                    best = val_loss
+                    path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos,
+                                     tokenizer=tok)
+                    print(f"  saved best -> {path}  (val {best:.4f})")
+    dt = time.time() - t0
+    print(f"done in {dt:.1f}s  ({desc}{args.steps / dt:.2f} steps/s, "
+          f"{args.steps * tokens_per_step / dt:.0f} tok/s)")
+    return params
+
+
+def _lr_kwargs(args):
+    base_lr = args.lr_model
+    return dict(
+        base_lr=base_lr, min_lr=base_lr / 10, warmup=200,
+        max_steps=args.steps, weight_decay=args.weight_decay,
+        lr_embed_scale=(getattr(args, "lr_embed", base_lr) / base_lr
+                        if base_lr else 1.0),
+        lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
+                       if base_lr else 1.0),
+    )
+
+
 def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
-    """Multi-device training over a dp x tp mesh (GSPMD shardings).
+    """Multi-device training over a dp x {tp|sp|pp|ep} mesh (GSPMD/shard_map).
 
     Same loop semantics as ``train``, and the same device-resident data
     path: the corpus is uploaded once (replicated over the mesh), batch
-    windows are sampled with jax.random INSIDE the jitted step and
-    constrained to the dp axis, eval runs as one device computation —
-    no per-step host upload. Attention runs the fused flash kernel via
-    shard_map (heads tp-local). Requires dp * tp <= len(jax.devices())
-    and batch_size % dp == 0.
+    windows are sampled with jax.random INSIDE the jitted step, eval runs
+    as one device computation — no per-step host upload.
+
+    Axis selection: ``--tp`` shards heads/FFN (megatron) — or EXPERTS when
+    ``--experts`` is set; ``--sp`` shards the sequence (ring attention);
+    ``--pp`` shards the layer stack (1F1B pipeline).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -150,42 +280,38 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         make_sharded_device_train_step,
         make_sharded_eval,
     )
-    from ..utils.profiling import StepTimer
     from .optim import AdamWState
 
-    from ..models.moe import MoEGPTConfig, init_moe_params
+    from ..models.moe import MoEGPTConfig
 
-    text = load_text(getattr(args, "data", None))
-    try:
-        params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
-        print(f"resumed from {args.ckpt_dir}")
-    except Exception:
-        print("Error loading checkpoint, starting from scratch")
-        stoi, itos = build_char_vocab(text)
-        common = dict(vocab_size=len(stoi), d_model=args.d_model,
-                      n_heads=args.heads, n_layers=args.layers,
-                      ctx_len=args.ctx_len,
-                      pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
-                      dtype=getattr(args, "dtype", "float32") or "float32")
-        n_experts = int(getattr(args, "experts", 0) or 0)
-        if n_experts > 0:
-            cfg = MoEGPTConfig(
-                n_experts=n_experts,
-                router_top_k=int(getattr(args, "router_top_k", 1) or 1),
-                **common,
-            )
-            params = init_moe_params(cfg, seed=123)
-        else:
-            cfg = GPTConfig(**common)
-            params = init_gpt_params(cfg, seed=123)
+    text, params, cfg, tok, stoi, itos = _resume_or_init(args)
     assert args.batch_size % dp == 0, "batch_size must divide by dp"
 
     # Model-parallel axis selection: MoE shards EXPERTS ('ep') with the
-    # --tp degree; --sp shards the SEQUENCE (ring attention) instead.
+    # --tp degree; --sp shards the SEQUENCE (ring attention); --pp shards
+    # the LAYER STACK (1F1B pipeline schedule).
     sp = int(getattr(args, "sp", 1) or 1)
+    pp = int(getattr(args, "pp", 1) or 1)
     is_moe = isinstance(cfg, MoEGPTConfig)
     is_sp = sp > 1
-    if is_sp:
+    is_pp = pp > 1
+    microbatches = 0
+    if is_pp:
+        assert tp == 1 and not is_sp, "--pp composes with --dp only"
+        assert not is_moe, "--pp with --experts is not supported"
+        assert cfg.n_layers % pp == 0, "layers must divide by pp"
+        from ..parallel.pipeline import pp_param_specs
+
+        microbatches = int(getattr(args, "microbatches", 0) or 0)
+        if microbatches <= 0:  # auto: 2*pp keeps the 1F1B bubble small
+            microbatches = 2 * pp if args.batch_size % (dp * 2 * pp) == 0 \
+                else pp
+        assert args.batch_size % (dp * microbatches) == 0, (
+            "batch_size must divide by dp * microbatches"
+        )
+        mesh = make_mesh((dp, pp), ("dp", "pp"))
+        pspecs = pp_param_specs("dp")
+    elif is_sp:
         assert tp == 1, "--sp composes with --dp only (not --tp)"
         assert not is_moe, "--sp with --experts is not supported"
         assert cfg.ctx_len % sp == 0, "ctx_len must divide by sp"
@@ -214,60 +340,46 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         AdamWState(m=param_sh, v=param_sh, t=replicated),
     )
 
-    ids = encode(text, stoi)
+    ids = tok.encode(text)
     split = int(0.9 * len(ids))
     train_ids = jax.device_put(jnp.asarray(ids[:split]), replicated)
     val_ids = jax.device_put(jnp.asarray(ids[split:]), replicated)
 
-    base_lr = args.lr_model
-    if is_sp:
-        from ..parallel.sharding import make_sp_device_train_step, make_sp_eval
+    lr_kwargs = _lr_kwargs(args)
+    if is_pp:
+        from ..parallel.pipeline import make_pp_device_train_step, make_pp_eval
 
-        make_step = make_sp_device_train_step
+        step_fn = make_pp_device_train_step(
+            cfg, mesh, args.batch_size, n_microbatches=microbatches,
+            **lr_kwargs)
+        eval_fn = make_pp_eval(cfg, mesh, args.batch_size, 10,
+                               n_microbatches=microbatches)
+    elif is_sp:
+        from ..parallel.sharding import (make_sp_device_train_step,
+                                         make_sp_eval)
+
+        ring_kind = getattr(args, "ring", "auto") or "auto"
+        pallas = (jax.default_backend() == "tpu" if ring_kind == "auto"
+                  else ring_kind == "pallas")
+        step_fn = make_sp_device_train_step(cfg, mesh, args.batch_size,
+                                            pallas=pallas, **lr_kwargs)
+        eval_fn = make_sp_eval(cfg, mesh, args.batch_size, 10, pallas=pallas)
     elif is_moe:
-        make_step = make_ep_device_train_step
+        step_fn = make_ep_device_train_step(cfg, mesh, args.batch_size,
+                                            **lr_kwargs)
+        eval_fn = make_ep_eval(cfg, mesh, args.batch_size, 10)
     else:
-        make_step = make_sharded_device_train_step
-    step_fn = make_step(
-        cfg, mesh, args.batch_size,
-        base_lr=base_lr, min_lr=base_lr / 10, warmup=200,
-        max_steps=args.steps, weight_decay=args.weight_decay,
-        lr_embed_scale=(getattr(args, "lr_embed", base_lr) / base_lr
-                        if base_lr else 1.0),
-        lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
-                       if base_lr else 1.0),
-    )
-    make_eval = (make_sp_eval if is_sp
-                 else make_ep_eval if is_moe else make_sharded_eval)
-    eval_fn = make_eval(cfg, mesh, args.batch_size, 10)
+        step_fn = make_sharded_device_train_step(cfg, mesh, args.batch_size,
+                                                 **lr_kwargs)
+        eval_fn = make_sharded_eval(cfg, mesh, args.batch_size, 10)
 
-    best = 1e9
-    t0 = time.time()
-    timer = StepTimer(args.batch_size * cfg.ctx_len, window=10)
-    last_sync = 0
     key = jax.device_put(jax.random.PRNGKey(args.seed), replicated)
-    for step in range(1, args.steps + 1):
-        params, opt_state, key, loss = step_fn(
-            params, opt_state, train_ids, key
-        )
-        if step % 20 == 0 or step == 1:
-            loss_f = float(loss)
-            timer.tick(step - last_sync)
-            last_sync = step
-            rate = (f"  ({timer.steps_per_sec:.1f} steps/s, "
-                    f"{timer.tokens_per_sec:.0f} tok/s)" if step > 1 else "")
-            print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
-        if step % args.eval_every == 0:
-            key, sub = jax.random.split(key)
-            val_loss = float(eval_fn(params, val_ids, sub))
-            print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
-            if val_loss < best:
-                best = val_loss
-                path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos)
-                print(f"  saved best -> {path}  (val {best:.4f})")
-    dt = time.time() - t0
-    print(f"done in {dt:.1f}s  (mesh dp={dp} tp={tp}, "
-          f"{args.steps / dt:.2f} steps/s)")
+    axis = ("pp" if is_pp else "sp" if is_sp else "ep" if is_moe and tp > 1
+            else "tp")
+    deg = pp if is_pp else sp if is_sp else tp
+    params = _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
+                         train_ids, val_ids, tok, stoi, itos,
+                         desc=f"mesh dp={dp} {axis}={deg}, ")
     return params, cfg, stoi, itos
 
 
@@ -276,106 +388,34 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     dp = int(getattr(args, "dp", 1) or 1)
     tp = int(getattr(args, "tp", 1) or 1)
     sp = int(getattr(args, "sp", 1) or 1)
-    if dp * tp * sp > 1:
+    pp = int(getattr(args, "pp", 1) or 1)
+    if dp * tp * sp * pp > 1:
         return train_sharded(args, dp, tp)
-    text = load_text(getattr(args, "data", None))
+    text, params, cfg, tok, stoi, itos = _resume_or_init(args)
 
-    try:
-        params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
-        print(f"resumed from {args.ckpt_dir}")
-    except Exception:
-        print("Error loading checkpoint, starting from scratch")
-        stoi, itos = build_char_vocab(text)
-        common = dict(
-            vocab_size=len(stoi),
-            d_model=args.d_model,
-            n_heads=args.heads,
-            n_layers=args.layers,
-            ctx_len=args.ctx_len,
-            pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
-            dtype=getattr(args, "dtype", "float32") or "float32",
-        )
-        n_experts = int(getattr(args, "experts", 0) or 0)
-        if n_experts > 0:
-            from ..models.moe import MoEGPTConfig, init_moe_params
-
-            cfg = MoEGPTConfig(
-                n_experts=n_experts,
-                router_top_k=int(getattr(args, "router_top_k", 1) or 1),
-                **common,
-            )
-            params = init_moe_params(cfg, seed=123)
-        else:
-            cfg = GPTConfig(**common)
-            params = init_gpt_params(cfg, seed=123)
-
-    ids = encode(text, stoi)
+    ids = tok.encode(text)
     split = int(0.9 * len(ids))
     train_ids = jnp.asarray(ids[:split])  # whole corpus on device, once
     val_ids = jnp.asarray(ids[split:])
 
     opt_state = adamw_init(params)
-    base_lr = args.lr_model
-    train_step = make_device_train_step(
-        cfg,
-        args.batch_size,
-        base_lr=base_lr,
-        min_lr=base_lr / 10,
-        warmup=200,
-        max_steps=args.steps,
-        weight_decay=args.weight_decay,
-        lr_embed_scale=(getattr(args, "lr_embed", base_lr) / base_lr
-                        if base_lr else 1.0),
-        lr_head_scale=(getattr(args, "lr_head", base_lr) / base_lr
-                       if base_lr else 1.0),
-    )
-
-    from ..utils.profiling import StepTimer, trace
-
-    best = 1e9
-    t0 = time.time()
-    tokens_per_step = args.batch_size * cfg.ctx_len
-    timer = StepTimer(tokens_per_step, window=10)
-    last_sync = 0
+    step_fn = make_device_train_step(cfg, args.batch_size, **_lr_kwargs(args))
+    eval_fn = lambda p, v, k: _eval_device(p, v, k, cfg, args.batch_size, 20)
     key = jax.random.PRNGKey(args.seed)
-    profile_ctx = trace(getattr(args, "profile", None))
-    profile_ctx.__enter__()
-    for step in range(1, args.steps + 1):
-        params, opt_state, key, loss = train_step(
-            params, opt_state, train_ids, key,
-        )
-        # Printing every 20 steps is the only host sync; it also caps the
-        # async dispatch queue (deep queues degrade badly on this runtime).
-        if step % 20 == 0 or step == 1:
-            loss_f = float(loss)  # the host sync point
-            timer.tick(step - last_sync)
-            last_sync = step
-            rate = (f"  ({timer.steps_per_sec:.1f} steps/s, "
-                    f"{timer.tokens_per_sec:.0f} tok/s)" if step > 1 else "")
-            print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
-        if step % args.eval_every == 0:
-            key, sub = jax.random.split(key)
-            val_loss = float(
-                _eval_device(params, val_ids, sub, cfg, args.batch_size, 20)
-            )
-            print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
-            if val_loss < best:
-                best = val_loss
-                path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos)
-                print(f"  saved best -> {path}  (val {best:.4f})")
-    profile_ctx.__exit__(None, None, None)
-    dt = time.time() - t0
-    print(
-        f"done in {dt:.1f}s  "
-        f"({args.steps / dt:.2f} steps/s, {args.steps * tokens_per_step / dt:.0f} tok/s)"
-    )
+    params = _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
+                         train_ids, val_ids, tok, stoi, itos, desc="")
     return params, cfg, stoi, itos
 
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
            temperature: float = 1.0, top_k: int = 0, seed: int = 0,
            chunk: int = 256):
-    """Streaming generator of characters — KV-cached incremental decode.
+    """Streaming generator of text pieces — KV-cached incremental decode.
+
+    ``itos`` is either the char id->char dict (reference API) or any
+    tokenizer object with ``token_bytes``/``decode`` (BPE): BPE tokens
+    stream through an incremental UTF-8 decoder so multi-byte characters
+    split across tokens reassemble correctly.
 
     Unlike the reference sampler (full O(T^2 L) forward per token,
     gpt.py:518-546), this prefills the prompt once and then samples
@@ -392,6 +432,16 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
         from ..models.gpt import gpt_decode_chunk
 
         prefill_fn = gpt_prefill
+
+    if hasattr(itos, "token_bytes"):  # BPE-style tokenizer
+        import codecs
+
+        utf8 = codecs.getincrementaldecoder("utf-8")("replace")
+        emit = lambda t: utf8.decode(itos.token_bytes(t))
+    elif hasattr(itos, "itos"):  # char tokenizer object
+        emit = itos.itos.__getitem__
+    else:  # plain id->char dict (reference API)
+        emit = itos.__getitem__
 
     key = jax.random.PRNGKey(seed)
     ids = list(int(i) for i in np.asarray(ctx_ids).ravel())
@@ -426,8 +476,8 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
         toks, logits, cache = gpt_decode_chunk(
             params, cache, logits, sub, cfg, n, temperature, top_k
         )
-        emit = min(n, remaining)
-        for t in np.asarray(toks[0])[:emit]:
+        emit_n = min(n, remaining)
+        for t in np.asarray(toks[0])[:emit_n]:
             ids.append(int(t))
-            yield itos[int(t)]
-        remaining -= emit
+            yield emit(int(t))
+        remaining -= emit_n
