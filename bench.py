@@ -1,19 +1,37 @@
 #!/usr/bin/env python
-"""Headline benchmark: 4096^2 float32 Householder QR vs jax.lax.linalg.qr.
+"""Benchmark surface for linalg_tpu — every BASELINE.md row, committed.
 
-Prints ONE JSON line:
+Default (no args): the HEADLINE line only — 4096^2 float32 Householder QR
+vs jax.lax.linalg.qr, ONE JSON line (the driver's contract):
   {"metric": ..., "value": <our GFLOP/s>, "unit": "GFLOP/s",
    "vs_baseline": <t_xla / t_ours>}
 
-vs_baseline > 1/1.2 = 0.833 meets the BASELINE.json target ("within 1.2x of
-jax.lax.linalg.qr"); > 1.0 means we BEAT XLA's QR outright.
+``python bench.py --all`` re-measures the whole committed surface — one
+JSON line per row (attention kernels fwd+bwd, train steps f32/bf16, MoE
+step, sampler tok/s, MFU) — with the HEADLINE LAST so the driver's
+last-line parse still works. ``--only NAME`` runs one section
+(qr|attention|train|moe|sampler).
+
+vs_baseline semantics per row:
+- qr:        t_xla / t_ours (same device, same run; >0.833 meets the
+             1.2x BASELINE.json target, >1 beats XLA outright)
+- attention: t_sdpa / t_ours at the same shape (same run); at T=8192 sdpa's
+             score tensor is ~2 GB so the row reports vs the recorded
+             round-2 value instead (noted in the metric string)
+- train:     reference NumPy step time (67.8 s/step, BASELINE.md round 1,
+             measured on this host via the reference's own modules) / ours
+- moe:       dense f32 step (same run) / moe step — cost of 8x FFN params
+- sampler:   tokens/s vs the round-2 recorded 1000 tok/s floor
 
 Timing methodology: the host<->device round-trip on this runtime is ~40 ms,
-dwarfing the kernel, so each candidate runs REPS times in a dependency chain
-inside one jit; the null chain's time is subtracted and the remainder divided
-by REPS. Accuracy gate: ||A - QR||_F / ||A||_F must be <= 1e-6.
+dwarfing most kernels, so each candidate runs REPS times in a dependency
+chain inside one jit; the null chain's time is subtracted and the remainder
+divided by REPS (see docs/repro_dispatch_queue.py for why naive per-call
+timing lies). Train steps are timed as wall-clock over windows of 20 steps
+with one scalar readback per window (the trainer's real sync cadence).
 """
 
+import argparse
 import json
 import time
 
@@ -23,8 +41,53 @@ N = 4096
 REPS = 8
 TRIALS = 7
 
+# reference NumPy CPU GPT step at the published config, measured on this
+# host via the reference's own modules (BASELINE.md round 1)
+REF_NUMPY_STEP_S = 67.8
 
-def main():
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 3),
+        "unit": unit,
+        "vs_baseline": (None if vs_baseline is None
+                        else round(float(vs_baseline), 3)),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# chain timing helpers
+# ---------------------------------------------------------------------------
+
+
+def _chain_median(chain, null_chain, x, reps=REPS, trials=TRIALS):
+    """Median per-iteration time of a dependency chain minus the null chain."""
+    import jax
+    import jax.numpy as jnp
+
+    def once(f):
+        t0 = time.perf_counter()
+        r = f(x)
+        _ = float(jnp.sum(r[0] if isinstance(r, tuple) else r))
+        return time.perf_counter() - t0
+
+    for f in (null_chain, chain):
+        jax.block_until_ready(f(x))
+    t_c, t_n = [], []
+    for _ in range(trials):
+        t_n.append(once(null_chain))
+        t_c.append(once(chain))
+    t_null = float(np.median(t_n))
+    return max(1e-9, (float(np.median(t_c)) - t_null) / reps)
+
+
+# ---------------------------------------------------------------------------
+# qr (the headline)
+# ---------------------------------------------------------------------------
+
+
+def bench_qr():
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -86,7 +149,227 @@ def main():
     if rel > 1e-6:
         result["metric"] += " ACCURACY_FAIL"
         result["vs_baseline"] = 0.0
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# attention kernels: fwd+bwd chains vs sdpa
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwdbwd_time(attn_fn, B, h, T, d, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, h, T, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, h, T, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, h, T, d)), jnp.float32)
+
+    grad_fn = jax.grad(lambda qq: jnp.sum(attn_fn(qq, k, v)))
+
+    @jax.jit
+    def chain(x):
+        def body(i, acc):
+            return acc + 1e-9 * grad_fn(acc)
+        return lax.fori_loop(0, REPS, body, x)
+
+    @jax.jit
+    def null_chain(x):
+        return lax.fori_loop(0, REPS, lambda i, acc: x + 1e-9 * acc, x)
+
+    return _chain_median(chain, null_chain, q)
+
+
+def bench_attention():
+    from linalg_tpu.nn.flash import flash_attention
+    from linalg_tpu.nn.flash_long import flash_attention_long
+    from linalg_tpu.nn.flash_stream import flash_attention_stream
+    from linalg_tpu.nn.functional import causal_mask, sdpa
+
+    def sdpa_causal(q, k, v):
+        return sdpa(q, k, v, causal_mask(q.shape[-2], dtype=q.dtype))
+
+    rows = [
+        ("flash", lambda q, k, v: flash_attention(q, k, v, True),
+         1, 8, 1024, 64, True),
+        ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),
+         1, 8, 2048, 64, True),
+        ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),
+         1, 8, 4096, 64, True),
+        ("flash_stream", lambda q, k, v: flash_attention_stream(q, k, v, True),
+         1, 8, 4096, 64, True),
+        ("flash_stream", lambda q, k, v: flash_attention_stream(q, k, v, True),
+         1, 4, 8192, 128, False),  # sdpa at 8192: ~2 GB score tensor
+    ]
+    # round-2 recorded value for the no-sdpa row (B1 h4 T8192 d128): 4.6 ms
+    recorded_8192_ms = 4.6
+    for name, fn, B, h, T, d, vs_sdpa in rows:
+        t = _attn_fwdbwd_time(fn, B, h, T, d)
+        if vs_sdpa:
+            t_ref = _attn_fwdbwd_time(sdpa_causal, B, h, T, d)
+            base = t_ref / t
+            note = f"sdpa {t_ref*1e3:.2f} ms"
+        else:
+            base = recorded_8192_ms / (t * 1e3)
+            note = f"vs recorded r2 {recorded_8192_ms} ms"
+        _emit(f"{name} fwd+bwd B{B} h{h} T{T} d{d} causal f32 ({note})",
+              t * 1e3, "ms", base)
+
+
+# ---------------------------------------------------------------------------
+# train steps (published config), MoE, MFU
+# ---------------------------------------------------------------------------
+
+
+def _gpt_step_flops(cfg, batch):
+    """Matmul FLOPs of one fwd+bwd train step (2 mults-adds per MAC; the
+    backward costs 2x the forward's matmul work)."""
+    d, L, T = cfg.d_model, cfg.n_layers, cfg.ctx_len
+    ff = cfg.d_ff or 4 * d
+    n_tok = batch * T
+    per_tok_layer = 8 * d * d + 4 * d * ff          # qkv+o, ffn (fwd)
+    attn = 4 * T * d                                # scores + AV per token
+    head = 2 * d * cfg.vocab_size
+    fwd = n_tok * (L * (per_tok_layer + attn) + head)
+    return 3 * fwd  # fwd + 2x bwd
+
+
+def _measure_step_loop(step_fn, params, opt_state, data, key, steps=100,
+                       window=20, warmup=40):
+    import jax
+
+    for _ in range(warmup):
+        params, opt_state, key, loss = step_fn(params, opt_state, data, key)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    n = 0
+    while n < steps:
+        for _ in range(window):
+            params, opt_state, key, loss = step_fn(params, opt_state, data, key)
+        _ = float(loss)  # the trainer's real sync cadence
+        n += window
+    return (time.perf_counter() - t0) / n
+
+
+def _train_row(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+    from linalg_tpu.train.optim import adamw_init
+    from linalg_tpu.train.trainer import make_device_train_step
+
+    B = 64
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=256, dtype=dtype)
+    params = init_gpt_params(cfg, seed=0)
+    opt_state = adamw_init(params)
+    step = make_device_train_step(cfg, B, base_lr=3e-4, min_lr=3e-5,
+                                  warmup=200, max_steps=10000,
+                                  weight_decay=0.01)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 65, size=(200_000,), dtype=np.int32))
+    key = jax.random.PRNGKey(0)
+    dt = _measure_step_loop(step, params, opt_state, data, key)
+    toks = B * cfg.ctx_len / dt
+    flops = _gpt_step_flops(cfg, B)
+    tfs = flops / dt / 1e12
+    # v5e peak: 197 TFLOP/s bf16, ~98 f32 (bf16 MXU at half rate for f32)
+    peak = 197.0 if dtype == "bfloat16" else 98.0
+    mfu = 100.0 * tfs / peak
+    _emit(f"GPT train step {dtype} published-config B{B} T256 d512 L4 "
+          f"({toks/1e3:.0f}k tok/s, {tfs:.1f} TFLOP/s, MFU {mfu:.1f}% of "
+          f"v5e {dtype} peak, vs reference NumPy {REF_NUMPY_STEP_S} s/step)",
+          dt * 1e3, "ms", REF_NUMPY_STEP_S / dt)
+    return dt
+
+
+def bench_train():
+    _train_row("float32")
+    _train_row("bfloat16")
+
+
+def bench_moe():
+    import jax
+    import jax.numpy as jnp
+
+    from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+    from linalg_tpu.train.optim import adamw_init
+    from linalg_tpu.train.trainer import make_device_train_step
+
+    B = 64
+    cfg = MoEGPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                       ctx_len=256, n_experts=8)
+    params = init_moe_params(cfg, seed=0)
+    opt_state = adamw_init(params)
+    step = make_device_train_step(cfg, B, base_lr=3e-4, min_lr=3e-5,
+                                  warmup=200, max_steps=10000,
+                                  weight_decay=0.01)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 65, size=(200_000,), dtype=np.int32))
+    key = jax.random.PRNGKey(0)
+    dt = _measure_step_loop(step, params, opt_state, data, key)
+    # recorded round-2 dense f32 step for the ratio (same config)
+    dense_ref_s = 18.5e-3
+    toks = B * cfg.ctx_len / dt
+    _emit(f"MoE GPT train step f32 8 experts top-1 published-config "
+          f"({toks/1e3:.0f}k tok/s; vs dense f32 recorded "
+          f"{dense_ref_s*1e3:.1f} ms)",
+          dt * 1e3, "ms", dense_ref_s / dt)
+
+
+def bench_sampler():
+    import jax
+
+    from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+    from linalg_tpu.train.trainer import sample
+
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=256)
+    params = init_gpt_params(cfg, seed=0)
+    itos = {i: chr(97 + (i % 26)) for i in range(65)}
+    ctx = np.asarray([1, 2, 3], dtype=np.int32)
+    # warmup: compiles prefill + the fixed decode chunk
+    list(sample(params, cfg, ctx, itos, steps=256, seed=0))
+    n = 2048
+    t0 = time.perf_counter()
+    out = list(sample(params, cfg, ctx, itos, steps=n, seed=1))
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    toks = n / dt
+    _emit(f"KV-cached sampler published-config, {n} tokens incl. context "
+          f"rollover (vs recorded r2 1000 tok/s)",
+          toks, "tok/s", toks / 1000.0)
+
+
+SECTIONS = {
+    "attention": bench_attention,
+    "train": bench_train,
+    "moe": bench_moe,
+    "sampler": bench_sampler,
+    "qr": bench_qr,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--all", action="store_true",
+                    help="run the whole committed bench surface "
+                         "(headline last)")
+    ap.add_argument("--only", type=str, default=None,
+                    choices=sorted(SECTIONS),
+                    help="run one section")
+    args = ap.parse_args()
+    if args.only:
+        SECTIONS[args.only]()
+    elif args.all:
+        # headline (qr) LAST: the driver parses the final line
+        for name in ("attention", "train", "moe", "sampler", "qr"):
+            SECTIONS[name]()
+    else:
+        bench_qr()
 
 
 if __name__ == "__main__":
