@@ -136,25 +136,54 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, h * d)
 
 
-def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None):
+def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
+           fused: bool = False):
     """One pre-LN decoder block (reference gpt.py:161-169).
 
     ``rope`` is an optional (cos, sin) pair of (T, d_head/2) tables; when
     given, Q/K are rotated per position (RoPE replaces the additive PE).
+
+    ``fused=True`` routes the LN+QKV projections and the LN+FFN through
+    the fused Pallas kernels (``nn.fused_layer``): the normalized
+    activations and the (N, 4D) FFN hidden never round-trip HBM, and the
+    custom backward recomputes them instead of saving residuals.
     """
-    xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-    q = _heads(xn @ lp["Wq"], n_heads)
-    k = _heads(xn @ lp["Wk"], n_heads)
-    v = _heads(xn @ lp["Wv"], n_heads)
+    if fused:
+        from ..nn.fused_layer import ln_ffn, ln_qkv
+
+        qf, kf, vf = ln_qkv(h_in, lp["ln1_g"], lp["ln1_b"],
+                            lp["Wq"], lp["Wk"], lp["Wv"])
+        q, k, v = _heads(qf, n_heads), _heads(kf, n_heads), _heads(vf, n_heads)
+    else:
+        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+        q = _heads(xn @ lp["Wq"], n_heads)
+        k = _heads(xn @ lp["Wk"], n_heads)
+        v = _heads(xn @ lp["Wv"], n_heads)
     if rope is not None:
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
         k = rope_rotate(k, cos, sin)
     a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
     h1 = h_in + a
-    x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-    f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+    if fused:
+        f = ln_ffn(h1, lp["ln2_g"], lp["ln2_b"],
+                   lp["W1"], lp["b1"], lp["W2"], lp["b2"])
+    else:
+        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
     return h1 + f, (k, v)
+
+
+def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
+    """Use the fused LN kernels on TPU when shapes qualify (training-sized
+    batches; decode/prefill shapes fall back to the unfused path)."""
+    try:
+        from ..nn.fused_layer import fused_supported
+    except ImportError:  # pragma: no cover - environment-dependent
+        return False
+    return (jax.default_backend() == "tpu"
+            and fused_supported(B * T, cfg.d_model,
+                                cfg.d_ff or 4 * cfg.d_model))
 
 
 def _pick_attn(T: int, d_head: int):
@@ -243,9 +272,10 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
         rope = (rope[0].astype(dt), rope[1].astype(dt))
     mask = causal_mask(T, dtype=dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
+    fused = _pick_fused(x_ids.shape[0], T, cfg)
 
     def body(carry, lp):
-        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope)
+        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope, fused)
         return out, None
 
     # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
