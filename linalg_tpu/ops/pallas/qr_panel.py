@@ -198,15 +198,23 @@ def factor_panel(St, k, block: int):
     )(jnp.asarray([k], dtype=jnp.int32), St)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "precision", "inner"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "precision", "inner", "pair"))
 def householder_qr_pallas(A, block: int = 128,
                           precision=lax.Precision.HIGHEST,
-                          inner: int = 32):
+                          inner: int = 32, pair: bool = True):
     """Blocked economy Householder QR with the Pallas panel kernel.
 
     A must be (m, n) float32 with n % block == 0 and m >= n (the public
     wrapper in ops/qr.py pads/validates). Works entirely in the transposed
     layout; the only materialized transposes are on input and output.
+
+    ``pair=True`` aggregates adjacent panels into one rank-``2*block``
+    compact-WY operator for the FAR-FIELD updates (trailing columns beyond
+    the pair, and the Q rows below the pair): the same matmul FLOPs, but
+    the far-field block streams through HBM once per PAIR instead of once
+    per panel — halving the passes of the two phases that dominate the
+    4096^2 wall time (ROADMAP: trailing ~3.7 ms + Q ~3.9 ms of 9.6).
     """
     m, n = A.shape
     dtype = A.dtype
@@ -249,6 +257,34 @@ def householder_qr_pallas(A, block: int = 128,
             return new_live
         return jnp.concatenate([Xt[:, :kq], new_live], axis=1)
 
+    def wy_merge(Vt1, Tt1, Vt2, Tt2, kq: int):
+        """Merge two transposed WY factors into one rank-(r1+r2) factor.
+
+        (I - V1 T1 V1^T)(I - V2 T2 V2^T) = I - Vc Tc Vc^T with
+        Vc = [V1; V2] and Tc = [[T1, -T1 (V1^T V2) T2], [0, T2]];
+        transposed: Ttc lower-left = -Tt2 (Vt2 Vt1^T) Tt1. The SAME Ttc
+        serves the trailing (transpose_t=False) and Q (True) sides, just
+        like a single panel's Tt.
+        """
+        r1, r2 = Vt1.shape[0], Vt2.shape[0]
+        gram = jax.lax.dot_general(
+            Vt2[:, kq:], Vt1[:, kq:], (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=dtype,
+        )  # (r2, r1) = V2^T V1 over live lanes
+        cross = -jnp.dot(
+            jnp.dot(Tt2, gram, precision=precision,
+                    preferred_element_type=dtype),
+            Tt1, precision=precision, preferred_element_type=dtype,
+        )
+        Ttc = jnp.concatenate(
+            [
+                jnp.concatenate([Tt1, jnp.zeros((r1, r2), dtype)], axis=1),
+                jnp.concatenate([cross, Tt2], axis=1),
+            ],
+            axis=0,
+        )
+        return jnp.concatenate([Vt1, Vt2], axis=0), Ttc
+
     # Factorization: carry only the SHRINKING trailing block (no functional
     # updates of the full matrix — those cost a 64 MB copy per panel at
     # n = 4096). Processed R rows accumulate in a list, concatenated once.
@@ -280,33 +316,12 @@ def householder_qr_pallas(A, block: int = 128,
             Pt = rest
         St = (done_rows[0] if len(done_rows) == 1
               else jnp.concatenate(done_rows, axis=0))
-        # Merge WY factors: (I - V1 T1 V1^T)(I - V2 T2 V2^T) =
-        # I - [V1;V2]^T_combined[V1;V2]^T with the off-diagonal block
-        # T12 = -T1 (V1^T V2) T2; transposed: Tt_lower-left =
-        # -Tt2 (Vt2 Vt1^T) Tt1. Strip Gram/merge dots are tiny vs the sweep.
+        # Merge the strip WY factors into one (block, block) factor; the
+        # strip Gram/merge dots are tiny vs the sweep.
         Vt, Tt = sub[0]
         kq = kq_of(k)
         for Vt_i, Tt_i in sub[1:]:
-            r = Vt.shape[0]
-            gram = jax.lax.dot_general(
-                Vt_i[:, kq:], Vt[:, kq:], (((1,), (1,)), ((), ())),
-                precision=precision, preferred_element_type=dtype,
-            )  # (b_in, r) = Vt_i Vt^T over live lanes
-            cross = -jnp.dot(
-                jnp.dot(Tt_i, gram, precision=precision,
-                        preferred_element_type=dtype),
-                Tt, precision=precision, preferred_element_type=dtype,
-            )  # (b_in, r)
-            Tt = jnp.concatenate(
-                [
-                    jnp.concatenate(
-                        [Tt, jnp.zeros((r, Vt_i.shape[0]), dtype)], axis=1
-                    ),
-                    jnp.concatenate([cross, Tt_i], axis=1),
-                ],
-                axis=0,
-            )
-            Vt = jnp.concatenate([Vt, Vt_i], axis=0)
+            Vt, Tt = wy_merge(Vt, Tt, Vt_i, Tt_i, kq)
         return St, Vt, Tt
 
     # Factorization over ONE fixed (n, m) buffer: each panel reads its rows
@@ -315,19 +330,45 @@ def householder_qr_pallas(A, block: int = 128,
     # buffer in place, where the previous shrinking-concat formulation
     # re-materialized (and copied the cold lanes of) the whole trailing
     # block every panel (~0.5-1 GB of pure copy traffic at 4096^2).
+    #
+    # With ``pair``: panel 2i updates only its NEAR field (the next panel's
+    # rows), then the merged rank-2b operator of panels (2i, 2i+1) sweeps
+    # the far field once.
     M = A.T  # (n, m): row j is column j
-    panels = []
-    for k in range(0, n, block):
-        Pt = lax.dynamic_slice(M, (k, 0), (block, m))
-        St, Vt, Tt = factor_block(Pt, k)
-        M = lax.dynamic_update_slice(M, St, (k, 0))
-        if k + block < n:
-            kq = kq_of(k)
-            live = lax.dynamic_slice(
-                M, (k + block, kq), (n - k - block, m - kq))
-            live = apply_live(live, Vt[:, kq:], Tt, transpose_t=False)
-            M = lax.dynamic_update_slice(M, live, (k + block, kq))
-        panels.append((k, Vt, Tt))
+    groups = []  # lists of (k, Vt, Tt), 1 or 2 panels each
+    ks = list(range(0, n, block))
+    i = 0
+    while i < len(ks):
+        k1 = ks[i]
+        Pt = lax.dynamic_slice(M, (k1, 0), (block, m))
+        St, Vt1, Tt1 = factor_block(Pt, k1)
+        M = lax.dynamic_update_slice(M, St, (k1, 0))
+        kq = kq_of(k1)
+        if pair and i + 1 < len(ks):
+            k2 = ks[i + 1]
+            # near field: panel 2's own rows
+            near = lax.dynamic_slice(M, (k2, kq), (block, m - kq))
+            near = apply_live(near, Vt1[:, kq:], Tt1, transpose_t=False)
+            M = lax.dynamic_update_slice(M, near, (k2, kq))
+            Pt2 = lax.dynamic_slice(M, (k2, 0), (block, m))
+            St2, Vt2, Tt2 = factor_block(Pt2, k2)
+            M = lax.dynamic_update_slice(M, St2, (k2, 0))
+            if k2 + block < n:
+                Vc, Ttc = wy_merge(Vt1, Tt1, Vt2, Tt2, kq)
+                live = lax.dynamic_slice(
+                    M, (k2 + block, kq), (n - k2 - block, m - kq))
+                live = apply_live(live, Vc[:, kq:], Ttc, transpose_t=False)
+                M = lax.dynamic_update_slice(M, live, (k2 + block, kq))
+            groups.append([(k1, Vt1, Tt1), (k2, Vt2, Tt2)])
+            i += 2
+        else:
+            if k1 + block < n:
+                live = lax.dynamic_slice(
+                    M, (k1 + block, kq), (n - k1 - block, m - kq))
+                live = apply_live(live, Vt1[:, kq:], Tt1, transpose_t=False)
+                M = lax.dynamic_update_slice(M, live, (k1 + block, kq))
+            groups.append([(k1, Vt1, Tt1)])
+            i += 1
 
     # Economy Q (transposed), reverse accumulation with a GROWING block in
     # one zero-initialized (n, m) buffer: before panel p touches them, rows
@@ -336,13 +377,15 @@ def householder_qr_pallas(A, block: int = 128,
     # G = X V^T is just a slice of Vt (no matmul), so the big dot only
     # reads the previously-accumulated rows; lanes < kq stay zero in the
     # buffer so only live lanes are ever written.
-    Qt = jnp.zeros((n, m), dtype)
-    for k, Vt, Tt in reversed(panels):
-        kq = kq_of(k)
+    def e_top(k: int, Vt, Tt, kq: int):
+        """(I - V T V^T) applied to this panel's identity rows, live lanes.
+
+        E_b V^T is just a slice of Vt — (b, b), no matmul. Rows of E at
+        global index >= m are zero (column-padded inputs), so the slice
+        is zero-padded to the panel width. E-block rows have their 1s at
+        lanes k..k+b >= kq: the untouched lanes < kq are exactly zero.
+        """
         Vl = Vt[:, kq:]
-        # E_b V^T is just a slice of Vt — (b, b), no matmul. Rows of E at
-        # global index >= m are zero (column-padded inputs), so the slice
-        # is zero-padded to the panel width.
         hi = min(k + block, m)
         G_top = Vl[:, k - kq : hi - kq].T
         if hi - k < block:
@@ -351,18 +394,38 @@ def householder_qr_pallas(A, block: int = 128,
             )
         H_top = jnp.dot(G_top, Tt, precision=precision,
                         preferred_element_type=dtype)
-        # E-block rows have their 1s at lanes k..k+b >= kq: the untouched
-        # lanes < kq are exactly zero.
         e_rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + k
         e_live = (e_rows == jnp.arange(kq, m)[None, :]).astype(dtype)
-        top_live = e_live - jnp.dot(H_top, Vl, precision=precision,
-                                    preferred_element_type=dtype)
-        if k + block < n:
-            prev = lax.dynamic_slice(
-                Qt, (k + block, kq), (n - k - block, m - kq))
-            prev = apply_live(prev, Vl, Tt, transpose_t=True)
-            Qt = lax.dynamic_update_slice(Qt, prev, (k + block, kq))
-        Qt = lax.dynamic_update_slice(Qt, top_live, (k, kq))
+        return e_live - jnp.dot(H_top, Vl, precision=precision,
+                                preferred_element_type=dtype)
+
+    Qt = jnp.zeros((n, m), dtype)
+    for grp in reversed(groups):
+        if len(grp) == 2:
+            (k1, Vt1, Tt1), (k2, Vt2, Tt2) = grp
+            kq = kq_of(k1)
+            # far field (rows below the pair) once, with the merged factor
+            if k2 + block < n:
+                Vc, Ttc = wy_merge(Vt1, Tt1, Vt2, Tt2, kq)
+                prev = lax.dynamic_slice(
+                    Qt, (k2 + block, kq), (n - k2 - block, m - kq))
+                prev = apply_live(prev, Vc[:, kq:], Ttc, transpose_t=True)
+                Qt = lax.dynamic_update_slice(Qt, prev, (k2 + block, kq))
+            # panel 2's identity rows, then panel 1 applied on top of them
+            top2 = e_top(k2, Vt2, Tt2, kq)
+            top2 = apply_live(top2, Vt1[:, kq:], Tt1, transpose_t=True)
+            Qt = lax.dynamic_update_slice(Qt, top2, (k2, kq))
+            Qt = lax.dynamic_update_slice(Qt, e_top(k1, Vt1, Tt1, kq),
+                                          (k1, kq))
+        else:
+            (k, Vt, Tt), = grp
+            kq = kq_of(k)
+            if k + block < n:
+                prev = lax.dynamic_slice(
+                    Qt, (k + block, kq), (n - k - block, m - kq))
+                prev = apply_live(prev, Vt[:, kq:], Tt, transpose_t=True)
+                Qt = lax.dynamic_update_slice(Qt, prev, (k + block, kq))
+            Qt = lax.dynamic_update_slice(Qt, e_top(k, Vt, Tt, kq), (k, kq))
 
     R = jnp.triu(M[:, :n].T)
     return Qt.T, R

@@ -133,3 +133,33 @@ class TestStripKernel:
             Q2, R2 = householder_qr_pallas(jnp.asarray(A), block=b, inner=b)
         np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), atol=2e-4)
         np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=2e-4)
+
+
+class TestPairAggregation:
+    """pair=True merges adjacent panels into rank-2b far-field operators;
+    results must match the per-panel path and the lax core exactly (same
+    reflectors, same arithmetic on the near field)."""
+
+    @pytest.mark.parametrize("n,block", [(64, 16), (96, 16), (80, 16)])
+    def test_pair_matches_single(self, n, block):
+        A = jnp.asarray(_rand((n, n), 11))
+        with pltpu.force_tpu_interpret_mode():
+            Qp, Rp = householder_qr_pallas(A, block=block, inner=8,
+                                           pair=True)
+            Qs, Rs = householder_qr_pallas(A, block=block, inner=8,
+                                           pair=False)
+        # merged vs sequential application differ only in f32 rounding
+        np.testing.assert_allclose(np.asarray(Qp), np.asarray(Qs),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Rp), np.asarray(Rs),
+                                   atol=2e-4)
+
+    def test_pair_reconstructs_tall(self):
+        m, n, block = 96, 48, 16
+        A = jnp.asarray(_rand((m, n), 12))
+        with pltpu.force_tpu_interpret_mode():
+            Q, R = householder_qr_pallas(A, block=block, inner=8, pair=True)
+        Q, R = np.asarray(Q), np.asarray(R)
+        assert np.linalg.norm(Q @ R - np.asarray(A)) / np.linalg.norm(
+            np.asarray(A)) < 1e-5
+        assert np.linalg.norm(Q.T @ Q - np.eye(n)) < 1e-4
