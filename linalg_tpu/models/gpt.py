@@ -253,14 +253,10 @@ def _embed(params: Params, x_ids, cfg: GPTConfig, T: int):
     return params["tok_W"][x_ids] + pe[None], None
 
 
-def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
-              attn_fn: Optional[Callable] = None) -> jnp.ndarray:
-    """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head.
-
-    ``attn_fn`` defaults to the fused Pallas flash kernel on TPU (causal) and
-    the einsum sdpa elsewhere; pass ``sdpa`` explicitly to force the naive
-    path.
-    """
+def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
+               attn_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Embedding + layer stack: token ids (B, T) -> final hidden (B, T, D)
+    in the compute dtype (everything except the tied head)."""
     T = x_ids.shape[-1]
     if attn_fn is None:
         attn_fn = _pick_attn(T, cfg.d_head)
@@ -284,14 +280,45 @@ def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
     # runtime (remat of a scan body containing a Pallas custom_vjp), so it
     # is deliberately NOT applied.
     h, _ = lax.scan(body, h, layers)
+    return h
+
+
+def gpt_apply(params: Params, x_ids, cfg: GPTConfig,
+              attn_fn: Optional[Callable] = None) -> jnp.ndarray:
+    """Forward pass: token ids (B, T) -> logits (B, T, V). Weight-tied head.
+
+    ``attn_fn`` defaults to the fused Pallas flash kernel on TPU (causal) and
+    the einsum sdpa elsewhere; pass ``sdpa`` explicitly to force the naive
+    path.
+    """
+    h = _gpt_trunk(params, x_ids, cfg, attn_fn)
+    dt = cfg.compute_dtype
     logits = h @ params["tok_W"].T.astype(dt) + params["head_b"].astype(dt)
     return logits.astype(jnp.float32)  # CE runs in f32 for stability
+
+
+# Vocabularies at least this wide take the chunked-CE path: the full
+# (B*T, V) logits tensor (which autodiff would also SAVE for backward)
+# stops fitting comfortably once BPE vocabs reach the tens of thousands.
+CE_CHUNK_THRESHOLD = 8192
 
 
 def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
              attn_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Mean softmax cross-entropy over all positions (reference
-    transformer.py:876-893 fused loss semantics)."""
+    transformer.py:876-893 fused loss semantics).
+
+    Small vocabularies use plain logits + logsumexp (XLA fuses this well
+    at V=65); wide ones (>= CE_CHUNK_THRESHOLD, e.g. large BPE vocabs)
+    stream the tied head through the chunked fused CE so the (B*T, V)
+    logits tensor is never materialized (``nn.losses``).
+    """
+    if cfg.vocab_size >= CE_CHUNK_THRESHOLD:
+        from ..nn.losses import chunked_softmax_ce
+
+        h = _gpt_trunk(params, x_ids, cfg, attn_fn)
+        return chunked_softmax_ce(h, params["tok_W"], params["head_b"],
+                                  y_ids)
     logits = gpt_apply(params, x_ids, cfg, attn_fn)
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, y_ids[..., None], axis=-1)[..., 0]
