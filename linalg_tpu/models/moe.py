@@ -162,14 +162,24 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
 
 
 def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
-               rope, capacity: int, top_k: int = 1):
+               rope, capacity: int, top_k: int = 1, fused: bool = False):
     """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
 
-    Returns (out, (k, v), aux) — the K/V pair feeds the decode cache."""
-    xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-    q = _heads(xn @ lp["Wq"], n_heads)
-    k = _heads(xn @ lp["Wk"], n_heads)
-    v = _heads(xn @ lp["Wv"], n_heads)
+    Returns (out, (k, v), aux) — the K/V pair feeds the decode cache.
+    ``fused=True`` uses the fused LN+QKV Pallas kernel for the attention
+    half (the MoE FFN keeps its routed dispatch)."""
+    if fused:
+        from ..nn.fused_layer import ln_qkv
+
+        qf, kf, vf = ln_qkv(h_in, lp["ln1_g"], lp["ln1_b"],
+                            lp["Wq"], lp["Wk"], lp["Wv"])
+        q, k, v = (_heads(qf, n_heads), _heads(kf, n_heads),
+                   _heads(vf, n_heads))
+    else:
+        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+        q = _heads(xn @ lp["Wq"], n_heads)
+        k = _heads(xn @ lp["Wk"], n_heads)
+        v = _heads(xn @ lp["Wv"], n_heads)
     if rope is not None:
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
@@ -206,10 +216,13 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
     mask = causal_mask(T, dtype=dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, T)  # per-row routing groups
+    from .gpt import _pick_fused
+
+    fused = _pick_fused(B, T, cfg)
 
     def body(carry, lp):
         out, _, aux = _moe_layer(carry, lp, mask, cfg.n_heads, attn_fn, rope,
-                                 cap, cfg.router_top_k)
+                                 cap, cfg.router_top_k, fused)
         return out, aux
 
     h, auxes = lax.scan(body, h, layers)

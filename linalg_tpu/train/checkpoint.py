@@ -50,6 +50,13 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
     # trainer saves on every val improvement); the reference's shipped
     # checkpoint is uncompressed npz too (96.7 MB ~= raw f32 params).
     np.savez(path, **arrays)
+    meta = _build_meta(cfg, stoi, itos, tokenizer)
+    (ckpt_dir / META_NAME).write_text(json.dumps(meta))
+    return path
+
+
+def _build_meta(cfg: GPTConfig, stoi, itos, tokenizer=None) -> dict:
+    """The JSON meta sidecar shared by the npz and orbax backends."""
     meta = {
         "stoi": stoi,
         "itos": {str(k): v for k, v in itos.items()},
@@ -76,8 +83,7 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         meta["capacity_factor"] = cfg.capacity_factor
         meta["aux_weight"] = cfg.aux_weight
         meta["router_top_k"] = cfg.router_top_k
-    (ckpt_dir / META_NAME).write_text(json.dumps(meta))
-    return path
+    return meta
 
 
 def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, str]]:
@@ -91,29 +97,12 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
     meta = json.loads((ckpt_dir / META_NAME).read_text())
     stoi = meta["stoi"]
     itos = {int(k): v for k, v in meta["itos"].items()}
-    common = dict(
-        vocab_size=meta.get("vocab_size") or len(stoi),
-        d_model=meta["d_model"],
-        n_heads=meta["heads"],
-        n_layers=meta["layers"],
-        ctx_len=meta["ctx_len"],
-        pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
-        d_ff=meta.get("d_ff"),  # absent in reference-format meta -> default
-        dtype=meta.get("dtype", "float32"),
-    )
+    cfg = _cfg_from_meta(meta)
     if meta.get("experts", 0):
-        from ..models.moe import MoEGPTConfig, init_moe_params
+        from ..models.moe import init_moe_params
 
-        cfg = MoEGPTConfig(
-            n_experts=meta["experts"],
-            capacity_factor=meta.get("capacity_factor", 1.25),
-            aux_weight=meta.get("aux_weight", 0.01),
-            router_top_k=meta.get("router_top_k", 1),
-            **common,
-        )
         params = init_moe_params(cfg)
     else:
-        cfg = GPTConfig(**common)
         params = init_gpt_params(cfg)  # shapes; every leaf overwritten below
     from ..utils.transfer import push_pytree
     lay = {}
@@ -129,6 +118,32 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         "layers": lay,
     }
     return push_pytree(host), cfg, stoi, itos
+
+
+def _cfg_from_meta(meta: dict) -> GPTConfig:
+    """Rebuild the (dense or MoE) config from a meta sidecar, tolerating
+    reference-format metas (no pos/d_ff/dtype/vocab_size keys)."""
+    common = dict(
+        vocab_size=meta.get("vocab_size") or len(meta["stoi"]),
+        d_model=meta["d_model"],
+        n_heads=meta["heads"],
+        n_layers=meta["layers"],
+        ctx_len=meta["ctx_len"],
+        pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
+        d_ff=meta.get("d_ff"),  # absent in reference-format meta -> default
+        dtype=meta.get("dtype", "float32"),
+    )
+    if meta.get("experts", 0):
+        from ..models.moe import MoEGPTConfig
+
+        return MoEGPTConfig(
+            n_experts=meta["experts"],
+            capacity_factor=meta.get("capacity_factor", 1.25),
+            aux_weight=meta.get("aux_weight", 0.01),
+            router_top_k=meta.get("router_top_k", 1),
+            **common,
+        )
+    return GPTConfig(**common)
 
 
 def load_tokenizer(ckpt_dir):
@@ -154,11 +169,13 @@ def load_tokenizer(ckpt_dir):
 
 
 def save_ckpt_orbax(ckpt_dir, params: Params, cfg: GPTConfig,
-                    stoi: Dict[str, int], itos: Dict[int, str]):
+                    stoi: Dict[str, int], itos: Dict[int, str],
+                    tokenizer=None):
     """Save via orbax (sharding-aware, async-capable); meta stays JSON.
 
     Use for large/sharded models; ``save_ckpt`` remains the
-    reference-compatible default.
+    reference-compatible default. The meta sidecar is identical to the
+    npz backend's (dtype/MoE/tokenizer fields included).
     """
     import orbax.checkpoint as ocp
 
@@ -167,16 +184,7 @@ def save_ckpt_orbax(ckpt_dir, params: Params, cfg: GPTConfig,
     path = ckpt_dir / "orbax"
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, params, force=True)
-    meta = {
-        "stoi": stoi,
-        "itos": {str(k): v for k, v in itos.items()},
-        "d_model": cfg.d_model,
-        "heads": cfg.n_heads,
-        "layers": cfg.n_layers,
-        "ctx_len": cfg.ctx_len,
-        "pos": cfg.pos,
-        "d_ff": cfg.d_ff,
-    }
+    meta = _build_meta(cfg, stoi, itos, tokenizer)
     (ckpt_dir / META_NAME).write_text(json.dumps(meta))
     return path
 
@@ -189,15 +197,7 @@ def load_ckpt_orbax(ckpt_dir):
     meta = json.loads((ckpt_dir / META_NAME).read_text())
     stoi = meta["stoi"]
     itos = {int(k): v for k, v in meta["itos"].items()}
-    cfg = GPTConfig(
-        vocab_size=len(stoi),
-        d_model=meta["d_model"],
-        n_heads=meta["heads"],
-        n_layers=meta["layers"],
-        ctx_len=meta["ctx_len"],
-        pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
-        d_ff=meta.get("d_ff"),
-    )
+    cfg = _cfg_from_meta(meta)
     with ocp.PyTreeCheckpointer() as ckptr:
         params = ckptr.restore(ckpt_dir / "orbax")
     return params, cfg, stoi, itos

@@ -162,3 +162,27 @@ class TestFusedGPTEquivalence:
         for a, r in zip(jax.tree.leaves(f_grads), jax.tree.leaves(ref_grads)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        atol=1e-4, rtol=1e-3)
+
+
+class TestFusedMoEEquivalence:
+    def test_moe_loss_and_grads_match(self, monkeypatch):
+        import linalg_tpu.models.gpt as G
+        import linalg_tpu.models.moe as M
+
+        cfg = M.MoEGPTConfig(vocab_size=17, d_model=128, n_heads=4,
+                             n_layers=2, d_ff=256, ctx_len=256, n_experts=2,
+                             capacity_factor=4.0)
+        params = M.init_moe_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 17, (1, 256)), jnp.int32)
+        y = jnp.asarray(rng.integers(0, 17, (1, 256)), jnp.int32)
+        ref_loss, ref_grads = jax.value_and_grad(M.moe_gpt_loss)(
+            params, x, y, cfg)
+        monkeypatch.setattr(G, "_pick_fused", lambda B, T, c: True)
+        with pltpu.force_tpu_interpret_mode():
+            f_loss, f_grads = jax.value_and_grad(M.moe_gpt_loss)(
+                params, x, y, cfg)
+        assert abs(float(f_loss) - float(ref_loss)) < 1e-5
+        for a, r in zip(jax.tree.leaves(f_grads), jax.tree.leaves(ref_grads)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-4, rtol=1e-3)
