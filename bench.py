@@ -276,8 +276,12 @@ def _train_row(dtype):
     toks = B * cfg.ctx_len / dt
     flops = _gpt_step_flops(cfg, B)
     tfs = flops / dt / 1e12
-    # v5e peak: 197 TFLOP/s bf16, ~98 f32 (bf16 MXU at half rate for f32)
-    peak = 197.0 if dtype == "bfloat16" else 98.0
+    # v5e MXU peak ~197 TFLOP/s bf16 — used for BOTH rows: XLA's default
+    # f32 matmul precision truncates operands to bf16 on the MXU (measured
+    # pure-matmul chain: 153 TFLOP/s for "f32" inputs, impossible against
+    # a ~98 TFLOP/s true-f32 peak), so the bf16 roofline is the honest
+    # denominator for the default-precision f32 step too.
+    peak = 197.0
     mfu = 100.0 * tfs / peak
     _emit(f"GPT train step {dtype} published-config B{B} T256 d512 L4 "
           f"({toks/1e3:.0f}k tok/s, {tfs:.1f} TFLOP/s, MFU {mfu:.1f}% of "

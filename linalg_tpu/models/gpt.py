@@ -213,8 +213,18 @@ def _pick_attn(T: int, d_head: int):
     padded query rows' (finite) garbage is sliced off. Without this,
     e.g. T=8191 silently fell to sdpa and its ~2 GB score tensor.
     """
-    if not (jax.default_backend() == "tpu" and T >= 512 and d_head >= 8):
+    if jax.default_backend() != "tpu":
         return sdpa
+    if T < 512 or d_head < 8:
+        # Short context: einsum sdpa, but REMATTED — the custom_vjp saves
+        # the (B, H, T, T) probability tensor per layer (67 MB f32 at the
+        # published config), and stacking it across the scan costs more
+        # HBM than recomputing softmax in the backward. Measured at the
+        # published config (chained trainer step): f32 18.2 -> 16.1
+        # ms/step; bf16 unchanged (12.9 vs 13.0 — the bf16 residual is
+        # half the bytes and XLA hides it). qkv-concat and (B,T,H,d)
+        # layout variants were also measured and LOSE (19.0 / 16.0+ ms).
+        return jax.checkpoint(lambda q, k, v, mask: sdpa(q, k, v, mask))
     try:
         from ..nn.flash import FLASH_MAX_T, flash_attention
         from ..nn.flash_long import flash_attention_long
