@@ -137,7 +137,7 @@ def _unheads(x):
 
 
 def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
-           fused: bool = False):
+           fused: bool = False, attn_btd: Optional[Callable] = None):
     """One pre-LN decoder block (reference gpt.py:161-169).
 
     ``rope`` is an optional (cos, sin) pair of (T, d_head/2) tables; when
@@ -147,7 +147,18 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
     the fused Pallas kernels (``nn.fused_layer``): the normalized
     activations and the (N, 4D) FFN hidden never round-trip HBM, and the
     custom backward recomputes them instead of saving residuals.
+
+    ``attn_btd``, when set, is a fused (B, T, H*d)-layout attention
+    (``nn.flash_btd``): the head split/merge relayouts disappear and the
+    raw QKV projection outputs feed the kernel directly.
     """
+    if attn_btd is not None and rope is None:
+        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+        a = attn_btd(xn @ lp["Wq"], xn @ lp["Wk"], xn @ lp["Wv"]) @ lp["Wo"]
+        h1 = h_in + a
+        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        return h1 + f, (None, None)
     if fused:
         from ..nn.fused_layer import ln_ffn, ln_qkv
 
@@ -195,6 +206,37 @@ def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
     return (jax.default_backend() == "tpu"
             and fused_supported(B * T, cfg.d_model,
                                 cfg.d_ff or 4 * cfg.d_model))
+
+
+def _pick_attn_btd(B: int, T: int, cfg: "GPTConfig"):
+    """Fused (B, T, H*d)-layout attention for the short-context hot path.
+
+    Eliminates the head relayouts AND the (B, H, T, T) HBM score traffic
+    below the flash crossover (T < 512) — yet measured A/B at the
+    published config (tools/ab_btd.py, v5e, trainer cadence) it LOSES to
+    the rematted einsum sdpa: 18.7 vs 16.2 ms/step f32, 13.4 vs 13.0
+    bf16 (losses identical). Per-head (256, 128) dots + VPU softmax in
+    an unrolled loop can't match XLA's big batched-einsum MXU schedule
+    at this size, the same verdict as the fused-LN kernels. Kept OPT-IN
+    (``LINALG_TPU_BTD_ATTN=1``) for regimes where score traffic dominates;
+    correctness is pinned by tests/test_flash_btd.py either way.
+    """
+    import os
+
+    if os.environ.get("LINALG_TPU_BTD_ATTN", "") != "1":
+        return None
+    if jax.default_backend() != "tpu" or cfg.pos == "rope":
+        return None
+    if not (T < 512 and T % 256 == 0):
+        return None
+    try:
+        from ..nn.flash_btd import attention_btd, btd_supported
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        _logger.warning("flash_btd unavailable (%s)", e)
+        return None
+    if not btd_supported(B, T, cfg.d_model, cfg.n_heads):
+        return None
+    return lambda q, k, v: attention_btd(q, k, v, cfg.n_heads, True)
 
 
 def _pick_attn(T: int, d_head: int):
@@ -279,7 +321,9 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
     """Embedding + layer stack: token ids (B, T) -> final hidden (B, T, D)
     in the compute dtype (everything except the tied head)."""
     T = x_ids.shape[-1]
+    attn_btd = None
     if attn_fn is None:
+        attn_btd = _pick_attn_btd(x_ids.shape[0], T, cfg)
         attn_fn = _pick_attn(T, cfg.d_head)
     h, rope = _embed(params, x_ids, cfg, T)
 
@@ -292,7 +336,8 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
     fused = _pick_fused(x_ids.shape[0], T, cfg)
 
     def body(carry, lp):
-        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope, fused)
+        out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope, fused,
+                        attn_btd)
         return out, None
 
     # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
