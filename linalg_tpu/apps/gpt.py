@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pp", type=int, default=1,
                     help="pipeline-parallel mesh axis (layer stack sharded "
                          "over stages, 1F1B microbatch schedule)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="split each batch into N sequential microbatches "
+                         "inside the step; one optimizer update on the "
+                         "averaged grads (1/N activation memory)")
     ap.add_argument("--microbatches", type=int, default=0,
                     help="pipeline microbatch count (0 = auto: 2*pp when "
                          "the batch divides, else pp)")

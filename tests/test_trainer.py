@@ -94,3 +94,45 @@ class TestBPETrainer:
         text = "".join(sample(params, cfg, ctx, tok, steps=10, seed=0))
         assert len(text) == 10
         assert all(ch in stoi for ch in text)
+
+
+class TestGradAccum:
+    """grad_accum=N must be the SAME step as the full batch (mean of equal
+    microbatch means == full mean), not merely similar."""
+
+    def test_step_matches_full_batch(self):
+        import jax
+        import jax.numpy as jnp
+
+        from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+        from linalg_tpu.train.optim import adamw_init
+        from linalg_tpu.train.trainer import make_device_train_step
+
+        cfg = GPTConfig(vocab_size=17, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=16)
+        params = init_gpt_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.integers(0, 17, size=(4096,), dtype=np.int32))
+        kw = dict(base_lr=1e-3, min_lr=1e-4, warmup=10, max_steps=100,
+                  weight_decay=0.01)
+        out = {}
+        for ga in (1, 4):
+            step = make_device_train_step(cfg, 8, grad_accum=ga, **kw)
+            p, o, k, loss = step(params, adamw_init(params),
+                                 data, jax.random.PRNGKey(7))
+            out[ga] = (p, float(loss))
+        assert abs(out[1][1] - out[4][1]) < 1e-5
+        for a, b in zip(jax.tree.leaves(out[1][0]), jax.tree.leaves(out[4][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_rejects_nondivisible(self):
+        from linalg_tpu.models.gpt import GPTConfig
+        from linalg_tpu.train.trainer import make_device_train_step
+
+        cfg = GPTConfig(vocab_size=17, d_model=32, n_heads=2, n_layers=1,
+                        ctx_len=16)
+        with pytest.raises(ValueError, match="grad_accum"):
+            make_device_train_step(cfg, 8, grad_accum=3, base_lr=1e-3,
+                                   min_lr=1e-4, warmup=10, max_steps=100,
+                                   weight_decay=0.0)
