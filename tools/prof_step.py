@@ -1,0 +1,185 @@
+"""Step-phase ablation profiler for the published-config GPT train step.
+
+Attributes the step time to phases by timing progressively smaller slices
+of the work, all with the trainer's exact measurement discipline: chained
+dispatch, scalar-loss readback every 20 iterations (the real sync cadence),
+no donation. Committed so BASELINE.md's phase-attribution claims are
+reproducible (round-2 VERDICT: perf numbers must come from committed
+harnesses).
+
+Usage:  python tools/prof_step.py [--dtype float32|bfloat16] [--batch 64]
+
+Rows:
+  step        full train step (fwd+bwd+AdamW), the bench.py number
+  fwd+bwd     value_and_grad only, no optimizer update
+  fwd         loss value only
+  trunk       layer stack forward only (no head/CE)
+  no-attn     fwd+bwd with attention replaced by identity (v passthrough)
+  no-ln       fwd+bwd with layer_norm replaced by an affine passthrough
+  matmul      pure chained matmuls of the step's matmul volume (roofline)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def loop_time(step_once, state0, *, reps=100, window=20, warmup=40,
+              scalar=lambda st: st[-1]):
+    """Trainer-cadence timing: ``step_once(state) -> state`` chained, a
+    ``float(scalar(state))`` readback every ``window`` iterations."""
+    st = state0
+    for _ in range(warmup):
+        st = step_once(st)
+    _ = float(scalar(st))
+    t0 = time.perf_counter()
+    n = 0
+    while n < reps:
+        for _ in range(window):
+            st = step_once(st)
+        _ = float(scalar(st))
+        n += window
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from linalg_tpu.models import gpt as G
+    from linalg_tpu.models.gpt import GPTConfig, gpt_loss, init_gpt_params
+    from linalg_tpu.train.optim import adamw_init
+    from linalg_tpu.train.trainer import make_device_train_step
+
+    B = args.batch
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=256, dtype=args.dtype)
+    params = init_gpt_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.integers(0, 65, size=(200_000,), dtype=np.int32))
+    x = jnp.asarray(rng.integers(0, 65, size=(B, 256), dtype=np.int32))
+    y = jnp.asarray(rng.integers(0, 65, size=(B, 256), dtype=np.int32))
+
+    rows = {}
+
+    # --- full step (identical to bench.py's loop) --------------------------
+    step = make_device_train_step(cfg, B, base_lr=3e-4, min_lr=3e-5,
+                                  warmup=200, max_steps=10000,
+                                  weight_decay=0.01)
+    st0 = (params, adamw_init(params), jax.random.PRNGKey(0),
+           jnp.float32(0))
+
+    def step_once(st):  # carry (params, opt, key, loss); sync on loss
+        p, o, k, _ = st
+        return step(p, o, data, k)
+
+    rows["step"] = loop_time(step_once, st0)
+
+    # --- fwd+bwd (grads folded into params with weight 0 for the chain) ----
+    @jax.jit
+    def fwdbwd(p, acc):
+        loss, g = jax.value_and_grad(gpt_loss)(p, x, y, cfg)
+        p2 = jax.tree.map(lambda a, b: a + 0e0 * b, p, g)
+        return p2, acc + loss
+
+    rows["fwd+bwd"] = loop_time(lambda st: fwdbwd(*st),
+                                (params, jnp.float32(0)))
+
+    # --- fwd ----------------------------------------------------------------
+    @jax.jit
+    def fwd(p, acc):
+        return p, acc + gpt_loss(p, x, y, cfg)
+
+    rows["fwd"] = loop_time(lambda st: fwd(*st), (params, jnp.float32(0)))
+
+    # --- trunk --------------------------------------------------------------
+    @jax.jit
+    def trunk(p, acc):
+        h = G._gpt_trunk(p, x, cfg)
+        return p, acc + jnp.sum(h[0, 0]).astype(jnp.float32)
+
+    rows["trunk"] = loop_time(lambda st: trunk(*st), (params, jnp.float32(0)))
+
+    # --- ablations ------------------------------------------------------------
+    ident_attn = lambda q, k, v, mask: v
+
+    @jax.jit
+    def no_attn(p, acc):
+        loss, g = jax.value_and_grad(gpt_loss)(p, x, y, cfg, ident_attn)
+        p2 = jax.tree.map(lambda a, b: a + 0e0 * b, p, g)
+        return p2, acc + loss
+
+    rows["no-attn"] = loop_time(lambda st: no_attn(*st),
+                                (params, jnp.float32(0)))
+
+    from linalg_tpu.nn import functional as F
+    real_ln = F.layer_norm
+    try:
+        F.layer_norm = lambda h, g, b: h * g + b
+        G.layer_norm = F.layer_norm
+
+        @jax.jit
+        def no_ln(p, acc):
+            loss, g = jax.value_and_grad(gpt_loss)(p, x, y, cfg)
+            p2 = jax.tree.map(lambda a, b: a + 0e0 * b, p, g)
+            return p2, acc + loss
+
+        rows["no-ln"] = loop_time(lambda st: no_ln(*st),
+                                  (params, jnp.float32(0)))
+    finally:
+        F.layer_norm = real_ln
+        G.layer_norm = real_ln
+
+    # --- matmul roofline: PURE chained matmuls, no elementwise ops ----------
+    # W is pre-scaled so activations stay bounded without a separate
+    # (bandwidth-bound) scaling op between dots.
+    dt = cfg.compute_dtype
+    N, D = B * cfg.ctx_len, cfg.d_model
+    from bench import _gpt_step_flops
+    total_flops = _gpt_step_flops(cfg, B)
+    per_mm = 2.0 * N * D * D
+    n_mm = max(1, round(total_flops / per_mm))
+    a0 = jnp.asarray(rng.standard_normal((N, D)), dt)
+    W = jnp.asarray(np.linalg.qr(rng.standard_normal((D, D)))[0], dt)
+
+    @jax.jit
+    def mm(a, acc):
+        def body(i, c):
+            return jax.lax.dot(c, W, preferred_element_type=dt)
+        out = jax.lax.fori_loop(0, n_mm, body, a)
+        return a, acc + out[0, 0].astype(jnp.float32)
+
+    rows["matmul"] = loop_time(lambda st: mm(*st), (a0, jnp.float32(0)),
+                               reps=40, window=10, warmup=10)
+
+    print(f"\nconfig: B={B} T256 d512 L4 V65 {args.dtype}   "
+          f"step matmul FLOPs {total_flops/1e9:.0f} G  "
+          f"({n_mm} chained {N}x{D}x{D} dots in the roofline row)")
+    base = rows["step"]
+    for k, v in rows.items():
+        extra = ""
+        if k in ("step", "matmul"):
+            extra = f"  ({total_flops/v/1e12:.0f} TFLOP/s equiv)"
+        print(f"{k:10s} {v*1e3:7.2f} ms  ({100*v/base:5.1f}% of step){extra}")
+    print(f"\nderived: optimizer+sampling ~"
+          f"{(rows['step']-rows['fwd+bwd'])*1e3:.2f} ms, "
+          f"bwd ~{(rows['fwd+bwd']-rows['fwd'])*1e3:.2f} ms, "
+          f"head+CE fwd ~{(rows['fwd']-rows['trunk'])*1e3:.2f} ms, "
+          f"attention (f+b) ~{(rows['fwd+bwd']-rows['no-attn'])*1e3:.2f} ms, "
+          f"layernorm (f+b) ~{(rows['fwd+bwd']-rows['no-ln'])*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
