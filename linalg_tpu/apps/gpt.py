@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pp", type=int, default=1,
                     help="pipeline-parallel mesh axis (layer stack sharded "
                          "over stages, 1F1B microbatch schedule)")
+    ap.add_argument("--clip_norm", type=float, default=0.0,
+                    help="clip gradients to this global L2 norm before "
+                         "AdamW (0 = off, the reference's behavior)")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="split each batch into N sequential microbatches "
                          "inside the step; one optimizer update on the "

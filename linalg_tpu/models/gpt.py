@@ -399,7 +399,8 @@ def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
 def init_decode_cache(cfg: GPTConfig, batch: int = 1) -> Dict[str, jnp.ndarray]:
     from ..nn.cache import fkv_init
 
-    return fkv_init(cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len, cfg.d_head)
+    return fkv_init(cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len,
+                    cfg.d_head, dtype=cfg.compute_dtype)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -418,20 +419,28 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
     """
     B, T = x_ids.shape
     h, rope = _embed(params, x_ids, cfg, T)
-    mask = causal_mask(T, dtype=h.dtype)
+    # mixed precision mirrors gpt_apply: bf16 weights/activations (and a
+    # bf16 KV cache — decode traffic halves), f32 logits
+    dt = cfg.compute_dtype
+    h = h.astype(dt)
+    if rope is not None:
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
+    mask = causal_mask(T, dtype=dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
         out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope)
         return out, (k, v)
 
-    h, (K, V) = lax.scan(body, h, params["layers"])
+    h, (K, V) = lax.scan(body, h, layers)
     if length is None:
         last = h[:, -1]
         n = jnp.asarray(T, jnp.int32)
     else:
         n = jnp.asarray(length, jnp.int32)
         last = h[jnp.arange(B), n - 1]
-    logits = last @ params["tok_W"].T + params["head_b"]
+    logits = (last @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
 
     pad = cfg.ctx_len - T
     K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
@@ -449,17 +458,22 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     """
     B = token.shape[0]
     pos = cache["length"]
+    dt = cfg.compute_dtype
     if cfg.pos == "rope":
         h = params["tok_W"][token][:, None, :]
         rope = rope_tables(cfg.d_head, pos[None])  # tables at the live slot
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
     else:
         pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
         h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
         rope = None
+    h = h.astype(dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     t_ids = jnp.arange(cfg.ctx_len)
     # position p attends to cache slots <= pos (itself included at slot pos)
-    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9)[None, None, None, :]
+    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9).astype(dt)[
+        None, None, None, :]
 
     def body(carry, xs):
         h_in = carry
@@ -479,8 +493,9 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
         return h1 + f, (k_l, v_l)
 
-    h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
-    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
+    logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
     new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
     return logits, new_cache
 

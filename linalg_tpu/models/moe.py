@@ -263,7 +263,14 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
     """
     B, T = x_ids.shape
     h, rope = _embed(params, x_ids, cfg, T)
-    mask = causal_mask(T, dtype=h.dtype)
+    # mixed precision mirrors moe_gpt_apply: bf16 weights/activations and
+    # KV cache, f32 router (inside moe_ffn) and f32 logits
+    dt = cfg.compute_dtype
+    h = h.astype(dt)
+    if rope is not None:
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
+    mask = causal_mask(T, dtype=dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, T)  # per-row routing groups
 
     def body(carry, lp):
@@ -271,14 +278,15 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
                                     rope, cap, cfg.router_top_k)
         return out, (k, v)
 
-    h, (K, V) = lax.scan(body, h, params["layers"])
+    h, (K, V) = lax.scan(body, h, layers)
     if length is None:
         last = h[:, -1]
         n = jnp.asarray(T, jnp.int32)
     else:
         n = jnp.asarray(length, jnp.int32)
         last = h[jnp.arange(B), n - 1]
-    logits = last @ params["tok_W"].T + params["head_b"]
+    logits = (last @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
     pad = cfg.ctx_len - T
     K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
     V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
@@ -290,17 +298,22 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     """One incremental decode step for the MoE GPT: O(T) per token, with
     the single live token routed to its top-1 expert."""
     pos = cache["length"]
+    dt = cfg.compute_dtype
     if cfg.pos == "rope":
         h = params["tok_W"][token][:, None, :]
         rope = rope_tables(cfg.d_head, pos[None])
+        rope = (rope[0].astype(dt), rope[1].astype(dt))
     else:
         pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
         h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
         rope = None
+    h = h.astype(dt)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, 1)  # one live token per routing group (row)
 
     t_ids = jnp.arange(cfg.ctx_len)
-    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9)[None, None, None, :]
+    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9).astype(dt)[
+        None, None, None, :]
 
     def body(carry, xs):
         h_in = carry
@@ -321,8 +334,9 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
                        lp["b2"], cap, cfg.router_top_k)
         return h1 + f, (k_l, v_l)
 
-    h, (K, V) = lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
-    logits = h[:, -1] @ params["tok_W"].T + params["head_b"]
+    h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
+    logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
     new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
     return logits, new_cache
 

@@ -18,8 +18,23 @@ from typing import Any, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["AdamWState", "adamw_init", "adamw_update", "gpt_wd_mask",
-           "gpt_lr_scales", "warmup_cosine"]
+__all__ = ["AdamWState", "adamw_init", "adamw_update", "clip_by_global_norm",
+           "gpt_wd_mask", "gpt_lr_scales", "warmup_cosine"]
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale the gradient pytree so its global L2 norm is <= ``max_norm``.
+
+    The standard large-model stabilizer (the reference has no equivalent —
+    its AdamW consumes raw grads, gpt.py:121-151). Returns (clipped_grads,
+    global_norm); the scale is computed in f32 regardless of grad dtype so
+    bf16 training clips on an accurate norm.
+    """
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+             for g in jax.tree.leaves(grads))
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads), norm
 
 
 class AdamWState(NamedTuple):

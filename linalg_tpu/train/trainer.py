@@ -62,7 +62,8 @@ def make_train_step(cfg: GPTConfig, *, base_lr: float, min_lr: float,
 def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
                            min_lr: float, warmup: int, max_steps: int,
                            weight_decay: float, lr_embed_scale: float = 1.0,
-                           lr_head_scale: float = 1.0, grad_accum: int = 1):
+                           lr_head_scale: float = 1.0, grad_accum: int = 1,
+                           clip_norm: float = 0.0):
     """Fully device-resident step: batch windows are SAMPLED ON DEVICE.
 
     The corpus token array is uploaded once; each step draws random windows
@@ -116,6 +117,10 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
             inv = 1.0 / grad_accum
             loss = loss * inv
             grads = jax.tree.map(lambda g: g * inv, grads)
+        if clip_norm > 0.0:
+            from .optim import clip_by_global_norm
+
+            grads, _ = clip_by_global_norm(grads, clip_norm)
         # the AdamW state's own step counter drives the schedule — no
         # per-step host scalar crosses the tunnel
         lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
@@ -431,6 +436,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     step_fn = make_device_train_step(
         cfg, args.batch_size,
         grad_accum=int(getattr(args, "grad_accum", 1) or 1),
+        clip_norm=float(getattr(args, "clip_norm", 0.0) or 0.0),
         **_lr_kwargs(args))
     eval_fn = lambda p, v, k: _eval_device(p, v, k, cfg, args.batch_size, 20)
     key = jax.random.PRNGKey(args.seed)

@@ -123,6 +123,31 @@ class TestGPT:
                 np.asarray(logits_d), full[:, -1], atol=2e-4
             )
 
+    def test_bf16_decode_matches_bf16_forward(self):
+        # prefill/decode mirror gpt_apply's mixed precision: bf16 weights,
+        # activations AND KV cache, f32 logits — a bf16-trained model must
+        # not silently decode in f32 (2x the weight traffic, different
+        # rounding than its own training forward)
+        cfg16 = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                          ctx_len=16, dtype="bfloat16")
+        params = _params()
+        rng = np.random.default_rng(11)
+        ids = rng.integers(0, 31, (1, 9)).astype(np.int32)
+        logits_p, cache = gpt_prefill(params, jnp.asarray(ids[:, :5]), cfg16)
+        assert cache["k"].dtype == jnp.bfloat16
+        assert logits_p.dtype == jnp.float32
+        full = np.asarray(gpt_apply(params, jnp.asarray(ids[:, :5]), cfg16))
+        np.testing.assert_allclose(np.asarray(logits_p), full[:, -1],
+                                   atol=2e-2)
+        for t in range(5, 9):
+            tok = jnp.asarray(ids[:, t])
+            logits_d, cache = gpt_decode_step(params, cache, tok, cfg16)
+            assert logits_d.dtype == jnp.float32
+            full = np.asarray(
+                gpt_apply(params, jnp.asarray(ids[:, : t + 1]), cfg16))
+            np.testing.assert_allclose(np.asarray(logits_d), full[:, -1],
+                                       atol=2e-2)
+
     def test_bf16_compute_close_to_f32(self):
         # mixed precision: same params, bfloat16 compute — logits stay f32
         # out and within bf16 resolution of the f32 forward; loss trains

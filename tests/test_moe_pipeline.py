@@ -315,6 +315,30 @@ class TestMoEDecode:
             np.testing.assert_allclose(np.asarray(outs[i][0]),
                                        np.asarray(full[0, t]), atol=1e-3)
 
+    def test_bf16_decode_matches_bf16_forward(self):
+        # MoE prefill/decode mirror moe_gpt_apply's mixed precision: bf16
+        # weights/activations/KV cache, f32 router and logits
+        import jax.numpy as jnp_
+
+        from linalg_tpu.models.moe import moe_decode_step, moe_prefill
+
+        cfg = MoEGPTConfig(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                           d_ff=64, ctx_len=16, n_experts=2,
+                           capacity_factor=4.0, dtype="bfloat16")
+        params = init_moe_params(cfg, seed=0)
+        rng = np.random.default_rng(3)
+        seq = jnp.asarray(rng.integers(0, 17, (1, 8)), jnp.int32)
+        logits_pre, cache = moe_prefill(params, seq[:, :4], cfg)
+        assert cache["k"].dtype == jnp_.bfloat16
+        assert logits_pre.dtype == jnp_.float32
+        full, _ = moe_gpt_apply(params, seq, cfg)
+        np.testing.assert_allclose(np.asarray(logits_pre[0]),
+                                   np.asarray(full[0, 3]), atol=3e-2)
+        for t in range(4, 8):
+            logits_t, cache = moe_decode_step(params, cache, seq[:, t], cfg)
+            np.testing.assert_allclose(np.asarray(logits_t[0]),
+                                       np.asarray(full[0, t]), atol=3e-2)
+
 
 @pytest.fixture()
 def _eight_devices():

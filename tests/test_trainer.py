@@ -136,3 +136,46 @@ class TestGradAccum:
             make_device_train_step(cfg, 8, grad_accum=3, base_lr=1e-3,
                                    min_lr=1e-4, warmup=10, max_steps=100,
                                    weight_decay=0.0)
+
+
+class TestClipNorm:
+    def test_clip_by_global_norm(self):
+        import jax
+        import jax.numpy as jnp
+
+        from linalg_tpu.train.optim import clip_by_global_norm
+
+        g = {"a": jnp.full((3,), 3.0), "b": jnp.full((4,), 4.0)}
+        # global norm = sqrt(9*3 + 16*4) = sqrt(91)
+        clipped, norm = clip_by_global_norm(g, 1.0)
+        np.testing.assert_allclose(float(norm), np.sqrt(91.0), rtol=1e-6)
+        total = sum(float(jnp.sum(jnp.square(x)))
+                    for x in jax.tree.leaves(clipped))
+        np.testing.assert_allclose(np.sqrt(total), 1.0, rtol=1e-5)
+        # under the threshold: unchanged
+        same, _ = clip_by_global_norm(g, 100.0)
+        for a, b in zip(jax.tree.leaves(same), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_clipped_step_trains(self):
+        import jax
+        import jax.numpy as jnp
+
+        from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+        from linalg_tpu.train.optim import adamw_init
+        from linalg_tpu.train.trainer import make_device_train_step
+
+        cfg = GPTConfig(vocab_size=17, d_model=32, n_heads=2, n_layers=1,
+                        ctx_len=16)
+        params = init_gpt_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.integers(0, 17, size=(4096,), dtype=np.int32))
+        step = make_device_train_step(cfg, 8, clip_norm=0.5, base_lr=1e-2,
+                                      min_lr=1e-3, warmup=2, max_steps=50,
+                                      weight_decay=0.0)
+        o = adamw_init(params)
+        k = jax.random.PRNGKey(0)
+        p, o, k, l0 = step(params, o, data, k)
+        for _ in range(30):
+            p, o, k, l = step(p, o, data, k)
+        assert float(l) < float(l0)
