@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--gen_tokens", type=int, default=200)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
+    ap.add_argument("--top_p", type=float, default=0.0,
+                    help="nucleus sampling: keep the smallest probability "
+                         "mass >= p (0 = off; composes with --top_k)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--data", type=str, default=None,
                     help="path to a local corpus text file (optional)")
@@ -109,6 +112,7 @@ def repl(args) -> None:
             steps=args.gen_tokens,
             temperature=args.temperature,
             top_k=args.top_k,
+            top_p=args.top_p,
             seed=args.seed,
             chunk=min(max(args.gen_tokens, 1), 256),
         ):

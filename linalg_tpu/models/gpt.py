@@ -501,18 +501,32 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
 
 
 @partial(jax.jit, static_argnames=("top_k",))
-def sample_token(key, logits, temperature=1.0, top_k: int = 0):
-    """Temperature + top-k categorical sampling (reference gpt.py:535-541)."""
+def sample_token(key, logits, temperature=1.0, top_k: int = 0, top_p=0.0):
+    """Temperature + top-k categorical sampling (reference gpt.py:535-541),
+    plus nucleus (top-p) sampling: keep the smallest probability mass
+    >= top_p (Holtzman et al. 2019; the reference has top-k only).
+    ``top_p`` is traced — 0 (or >= 1) disables it with no extra compile."""
     z = logits / jnp.maximum(1e-6, temperature)
     if top_k > 0:
         kth = lax.top_k(z, top_k)[0][..., -1:]
         z = jnp.where(z < kth, -1e9, z)
+    V = z.shape[-1]
+    p_eff = jnp.where((top_p > 0.0) & (top_p < 1.0), top_p, 1.0)
+    probs = jax.nn.softmax(z, axis=-1)
+    sp = lax.top_k(probs, V)[0]  # sorted descending
+    csum = jnp.cumsum(sp, axis=-1)
+    # keep tokens whose EXCLUSIVE cumulative mass is < p (the minimal set
+    # whose inclusive mass reaches p); threshold = smallest kept prob
+    keep = (csum - sp) < p_eff
+    thr = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1, keepdims=True)
+    z = jnp.where(probs >= thr, z, -1e9)
     return jax.random.categorical(key, z, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
 def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
-                     n_tokens: int, temperature=1.0, top_k: int = 0):
+                     n_tokens: int, temperature=1.0, top_k: int = 0,
+                     top_p=0.0):
     """Sample ``n_tokens`` autoregressively in ONE device computation.
 
     Each host dispatch costs a ~40 ms round trip on this runtime, so the
@@ -522,7 +536,7 @@ def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
 
     def body(carry, k):
         logits, cache = carry
-        tok = sample_token(k, logits, temperature, top_k)
+        tok = sample_token(k, logits, temperature, top_k, top_p)
         new_logits, cache = gpt_decode_step(params, cache, tok, cfg)
         return (new_logits, cache), tok
 

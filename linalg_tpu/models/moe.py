@@ -343,13 +343,14 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
 
 @_partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
 def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
-                     n_tokens: int, temperature=1.0, top_k: int = 0):
+                     n_tokens: int, temperature=1.0, top_k: int = 0,
+                     top_p=0.0):
     """Sample ``n_tokens`` autoregressively in ONE device computation."""
     from .gpt import sample_token
 
     def body(carry, k):
         logits, cache = carry
-        tok = sample_token(k, logits, temperature, top_k)
+        tok = sample_token(k, logits, temperature, top_k, top_p)
         new_logits, cache = moe_decode_step(params, cache, tok, cfg)
         return (new_logits, cache), tok
 

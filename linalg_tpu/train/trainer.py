@@ -447,7 +447,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
            temperature: float = 1.0, top_k: int = 0, seed: int = 0,
-           chunk: int = 256):
+           chunk: int = 256, top_p: float = 0.0):
     """Streaming generator of text pieces — KV-cached incremental decode.
 
     ``itos`` is either the char id->char dict (reference API) or any
@@ -512,7 +512,7 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
             logits, cache = _prefill(ids)
         key, sub = jax.random.split(key)
         toks, logits, cache = gpt_decode_chunk(
-            params, cache, logits, sub, cfg, n, temperature, top_k
+            params, cache, logits, sub, cfg, n, temperature, top_k, top_p
         )
         emit_n = min(n, remaining)
         for t in np.asarray(toks[0])[:emit_n]:

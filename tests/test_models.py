@@ -201,6 +201,31 @@ class TestGPT:
                 for i in range(20)]
         assert all(c == 2 for c in cold)
 
+    def test_sample_token_top_p(self):
+        # probs (0.5, 0.3, 0.2): nucleus at p=0.6 is {0, 1} — the smallest
+        # set with mass >= 0.6 (exclusive-cumsum rule keeps 0.5 then 0.3)
+        logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.2]]))
+        key = jax.random.PRNGKey(2)
+        seen = {int(sample_token(jax.random.fold_in(key, i), logits,
+                                 1.0, top_p=0.6)[0])
+                for i in range(300)}
+        assert seen == {0, 1}
+        # p=0 (off) keeps the full support
+        seen_all = {int(sample_token(jax.random.fold_in(key, i), logits,
+                                     1.0, top_p=0.0)[0])
+                    for i in range(300)}
+        assert seen_all == {0, 1, 2}
+        # composes with top_k: k=2 renormalizes to (0.625, 0.375), so
+        # p=0.6 keeps only the mode and p=0.7 keeps both (token 2 never)
+        seen_k6 = {int(sample_token(jax.random.fold_in(key, i), logits,
+                                    1.0, top_k=2, top_p=0.6)[0])
+                   for i in range(300)}
+        assert seen_k6 == {0}
+        seen_k7 = {int(sample_token(jax.random.fold_in(key, i), logits,
+                                    1.0, top_k=2, top_p=0.7)[0])
+                   for i in range(300)}
+        assert seen_k7 == {0, 1}
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
