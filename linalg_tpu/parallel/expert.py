@@ -98,7 +98,8 @@ def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
                               min_lr: float, warmup: int, max_steps: int,
                               weight_decay: float,
                               lr_embed_scale: float = 1.0,
-                              lr_head_scale: float = 1.0):
+                              lr_head_scale: float = 1.0,
+                              clip_norm: float = 0.0):
     """Device-resident dp x ep MoE step: (params, opt, data_ids, key) ->
     (params, opt, key, loss).
 
@@ -133,7 +134,8 @@ def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
         lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
                                 head=lr_head_scale)
         params, opt_state = adamw_update(params, grads, opt_state, lr,
-                                         wd_tree, lr_scales=lr_tree)
+                                         wd_tree, lr_scales=lr_tree,
+                                         clip_norm=clip_norm)
         return params, opt_state, key, loss
 
     return jax.jit(

@@ -419,7 +419,8 @@ def make_pp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
                               min_lr: float, warmup: int, max_steps: int,
                               weight_decay: float,
                               lr_embed_scale: float = 1.0,
-                              lr_head_scale: float = 1.0):
+                              lr_head_scale: float = 1.0,
+                              clip_norm: float = 0.0):
     """Device-resident pipeline train step over a (dp, pp) mesh.
 
     Same loop contract as ``sharding.make_sharded_device_train_step``
@@ -466,7 +467,8 @@ def make_pp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
         lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
                                 head=lr_head_scale)
         params, opt_state = adamw_update(params, grads, opt_state, lr,
-                                         wd_tree, lr_scales=lr_tree)
+                                         wd_tree, lr_scales=lr_tree,
+                                         clip_norm=clip_norm)
         return params, opt_state, key, loss
 
     return jax.jit(

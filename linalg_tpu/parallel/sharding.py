@@ -189,7 +189,8 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
                               max_steps: int, weight_decay: float,
                               lr_embed_scale: float = 1.0,
                               lr_head_scale: float = 1.0,
-                              pallas: bool = False):
+                              pallas: bool = False,
+                              clip_norm: float = 0.0):
     """Device-resident sequence-parallel step over a (dp, sp) mesh.
 
     Same loop contract as ``make_sharded_device_train_step`` (corpus
@@ -228,7 +229,8 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
         lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
                                 head=lr_head_scale)
         params, opt_state = adamw_update(params, grads, opt_state, lr,
-                                         wd_tree, lr_scales=lr_tree)
+                                         wd_tree, lr_scales=lr_tree,
+                                         clip_norm=clip_norm)
         return params, opt_state, key, loss
 
     return jax.jit(
@@ -274,7 +276,8 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
                                    min_lr: float, warmup: int,
                                    max_steps: int, weight_decay: float,
                                    lr_embed_scale: float = 1.0,
-                                   lr_head_scale: float = 1.0):
+                                   lr_head_scale: float = 1.0,
+                                   clip_norm: float = 0.0):
     """Device-resident sharded step: (params, opt, data_ids, key) ->
     (params, opt, key, loss).
 
@@ -310,7 +313,8 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
         lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
                                 head=lr_head_scale)
         params, opt_state = adamw_update(params, grads, opt_state, lr,
-                                         wd_tree, lr_scales=lr_tree)
+                                         wd_tree, lr_scales=lr_tree,
+                                         clip_norm=clip_norm)
         return params, opt_state, key, loss
 
     return jax.jit(

@@ -59,11 +59,18 @@ def adamw_update(
     b2: float = 0.95,
     eps: float = 1e-8,
     lr_scales=None,
+    clip_norm: float = 0.0,
 ) -> Tuple[Any, AdamWState]:
     """One AdamW step. ``wd_tree`` is a pytree of per-leaf weight-decay
     coefficients (floats), same structure as params. ``lr_scales`` is an
     optional pytree of per-leaf lr multipliers (param-group lr, reference
-    gpt.py's --lr_embed/--lr_head intent)."""
+    gpt.py's --lr_embed/--lr_head intent). ``clip_norm`` > 0 clips the
+    gradient pytree to that global L2 norm first — placed HERE so every
+    train-step builder (single-chip and all sharded axes) gets it from one
+    seam; under GSPMD/shard_map the grads arriving here are already the
+    globally-reduced full-batch grads, so the clip is the global one."""
+    if clip_norm > 0.0:
+        grads, _ = clip_by_global_norm(grads, clip_norm)
     t = state.t + 1
     tf = t.astype(jnp.float32)
     c1 = 1.0 - b1**tf

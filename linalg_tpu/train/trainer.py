@@ -117,10 +117,6 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
             inv = 1.0 / grad_accum
             loss = loss * inv
             grads = jax.tree.map(lambda g: g * inv, grads)
-        if clip_norm > 0.0:
-            from .optim import clip_by_global_norm
-
-            grads, _ = clip_by_global_norm(grads, clip_norm)
         # the AdamW state's own step counter drives the schedule — no
         # per-step host scalar crosses the tunnel
         lr = warmup_cosine(opt_state.t + 1, base=base_lr, min_lr=min_lr,
@@ -129,7 +125,8 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
         lr_tree = gpt_lr_scales(params, embed=lr_embed_scale,
                                 head=lr_head_scale)
         params, opt_state = adamw_update(params, grads, opt_state, lr, wd_tree,
-                                         lr_scales=lr_tree)
+                                         lr_scales=lr_tree,
+                                         clip_norm=clip_norm)
         return params, opt_state, key, loss
 
     return train_step
@@ -380,6 +377,14 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     val_ids = jax.device_put(jnp.asarray(ids[split:]), replicated)
 
     lr_kwargs = _lr_kwargs(args)
+    # global-norm clipping lives in adamw_update — one seam, every axis
+    lr_kwargs["clip_norm"] = float(getattr(args, "clip_norm", 0.0) or 0.0)
+    if int(getattr(args, "grad_accum", 1) or 1) > 1:
+        # explicit > silent: the sharded steps don't microbatch (shard the
+        # batch over dp instead, or drop the sharded axes)
+        raise ValueError("--grad_accum composes with the single-chip "
+                         "trainer only; use --dp to split the batch "
+                         "across devices instead")
     if is_pp:
         from ..parallel.pipeline import make_pp_device_train_step, make_pp_eval
 

@@ -505,3 +505,39 @@ class TestPallasRingBF16:
                  v32.astype(jnp.bfloat16)).astype(jnp.float32) ** 2))(
             q32.astype(jnp.bfloat16))
         assert bool(jnp.all(jnp.isfinite(g16.astype(jnp.float32))))
+
+
+class TestShardedClipNorm:
+    """--clip_norm reaches every sharded axis through the adamw_update seam:
+    a clipped sharded step must equal the clipped UNSHARDED step."""
+
+    def test_dp_clipped_step_matches_unsharded(self):
+        import jax
+        import jax.numpy as jnp
+
+        from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+        from linalg_tpu.parallel.mesh import make_mesh
+        from linalg_tpu.parallel.sharding import (
+            gpt_param_specs, make_sharded_device_train_step)
+        from linalg_tpu.train.optim import adamw_init
+        from linalg_tpu.train.trainer import make_device_train_step
+
+        cfg = GPTConfig(vocab_size=19, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16)
+        params = init_gpt_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.integers(0, 19, size=(4096,), dtype=np.int32))
+        kw = dict(base_lr=1e-3, min_lr=1e-4, warmup=10, max_steps=100,
+                  weight_decay=0.01, clip_norm=0.25)
+        key = jax.random.PRNGKey(3)
+
+        ref_step = make_device_train_step(cfg, 8, **kw)
+        p_ref, _, _, l_ref = ref_step(params, adamw_init(params), data, key)
+
+        mesh = make_mesh((2, 4), ("dp", "tp"))
+        step = make_sharded_device_train_step(cfg, mesh, 8, **kw)
+        p_sh, _, _, l_sh = step(params, adamw_init(params), data, key)
+        assert abs(float(l_sh) - float(l_ref)) < 1e-5
+        for a, b in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
