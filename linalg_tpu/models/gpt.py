@@ -71,7 +71,7 @@ class GPTConfig:
     dtype: str = "float32"  # compute dtype: "float32" or "bfloat16"
 
     def __post_init__(self):
-        if self.pos not in ("sinusoidal", "rope"):
+        if self.pos not in ("sinusoidal", "rope", "learned"):
             raise ValueError(f"Unknown positional encoding: {self.pos!r}")
         if self.pos == "rope" and (self.d_model // self.n_heads) % 2 != 0:
             raise ValueError("RoPE requires an even head dimension")
@@ -119,11 +119,18 @@ def init_gpt_params(cfg: GPTConfig, seed: int = 123) -> Params:
         "W2": he(F, (L, F, D)),
         "b2": jnp.zeros((L, D), jnp.float32),
     }
-    return {
+    out = {
         "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
         "head_b": jnp.zeros((V,), jnp.float32),
         "layers": layers,
     }
+    if cfg.pos == "learned":
+        # GPT-2-style trainable position table (the L2 component
+        # nn/positional.py::LearnedPositionalEmbedding as model params —
+        # reference positional.py:36-89, built there but never wired)
+        out["pos_W"] = jnp.asarray(
+            rng.normal(0.0, 0.02, size=(cfg.ctx_len, D)), jnp.float32)
+    return out
 
 
 def _heads(x, h: int):
@@ -312,7 +319,10 @@ def _embed(params: Params, x_ids, cfg: GPTConfig, T: int):
     """
     if cfg.pos == "rope":
         return params["tok_W"][x_ids], rope_tables(cfg.d_head, jnp.arange(T))
-    pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
+    if cfg.pos == "learned":
+        pe = params["pos_W"][:T]
+    else:
+        pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
     return params["tok_W"][x_ids] + pe[None], None
 
 
@@ -464,7 +474,8 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         rope = rope_tables(cfg.d_head, pos[None])  # tables at the live slot
         rope = (rope[0].astype(dt), rope[1].astype(dt))
     else:
-        pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
         h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
         rope = None
     h = h.astype(dt)

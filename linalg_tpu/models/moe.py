@@ -84,11 +84,15 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
         "W2": he(F, (L, E, F, D)),
         "b2": jnp.zeros((L, E, D), jnp.float32),
     }
-    return {
+    out = {
         "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
         "head_b": jnp.zeros((V,), jnp.float32),
         "layers": layers,
     }
+    if cfg.pos == "learned":
+        out["pos_W"] = jnp.asarray(
+            rng.normal(0.0, 0.02, size=(cfg.ctx_len, D)), jnp.float32)
+    return out
 
 
 def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
@@ -304,7 +308,8 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
         rope = rope_tables(cfg.d_head, pos[None])
         rope = (rope[0].astype(dt), rope[1].astype(dt))
     else:
-        pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
         h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
         rope = None
     h = h.astype(dt)

@@ -28,7 +28,7 @@ __all__ = [
 ]
 
 
-def moe_param_specs() -> dict:
+def moe_param_specs(cfg=None) -> dict:
     """PartitionSpecs for the MoE-GPT pytree: expert axis (axis 1 of the
     (L, E, ...) stacked weights) on 'ep'; attention/router/embeddings
     replicated."""
@@ -42,7 +42,10 @@ def moe_param_specs() -> dict:
         "W2": P(None, "ep", None, None),
         "b2": P(None, "ep", None),
     }
-    return {"tok_W": P(), "head_b": P(), "layers": layer_specs}
+    specs = {"tok_W": P(), "head_b": P(), "layers": layer_specs}
+    if cfg is not None and getattr(cfg, "pos", None) == "learned":
+        specs["pos_W"] = P()  # replicated learned-position table
+    return specs
 
 
 def make_ep_train_step(cfg: MoEGPTConfig, mesh: Mesh, *,
@@ -55,7 +58,7 @@ def make_ep_train_step(cfg: MoEGPTConfig, mesh: Mesh, *,
     assert cfg.n_experts % mesh.shape["ep"] == 0, (
         "n_experts must divide by the ep axis size"
     )
-    pspecs = moe_param_specs()
+    pspecs = moe_param_specs(cfg)
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda v: isinstance(v, P))
     scalar_sh = NamedSharding(mesh, P())
@@ -85,7 +88,7 @@ def _ep_shardings(cfg: MoEGPTConfig, mesh: Mesh):
         "n_experts must divide by the ep axis size"
     )
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                            moe_param_specs(),
+                            moe_param_specs(cfg),
                             is_leaf=lambda v: isinstance(v, P))
     scalar_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp", None))

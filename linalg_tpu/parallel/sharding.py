@@ -41,8 +41,11 @@ __all__ = [
 ]
 
 
-def gpt_param_specs(params) -> Dict[str, Any]:
-    """PartitionSpec pytree for the GPT param pytree (see module docstring)."""
+def gpt_param_specs(params, cfg=None) -> Dict[str, Any]:
+    """PartitionSpec pytree for the GPT param pytree (see module docstring).
+
+    Pass ``cfg`` (or a params dict) so configs with extra top-level leaves
+    (learned positions' ``pos_W``) get a matching replicated spec."""
     layer_specs = {
         "ln1_g": P(), "ln1_b": P(),
         "Wq": P(None, None, "tp"),
@@ -55,7 +58,11 @@ def gpt_param_specs(params) -> Dict[str, Any]:
         "W2": P(None, "tp", None),
         "b2": P(),
     }
-    return {"tok_W": P(), "head_b": P(), "layers": layer_specs}
+    specs = {"tok_W": P(), "head_b": P(), "layers": layer_specs}
+    if (params is not None and "pos_W" in params) or (
+            cfg is not None and getattr(cfg, "pos", None) == "learned"):
+        specs["pos_W"] = P()
+    return specs
 
 
 def _shardings(mesh: Mesh, spec_tree):
@@ -98,7 +105,7 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
                             attn_fn=None):
     """jitted (params, opt_state, x, y) -> (params, opt_state, loss) with
     dp x tp shardings bound via in/out_shardings."""
-    pspecs = gpt_param_specs(None)
+    pspecs = gpt_param_specs(None, cfg)
     param_sh = _shardings(mesh, pspecs)
     batch_sh = NamedSharding(mesh, P("dp", None))
     scalar_sh = NamedSharding(mesh, P())
@@ -144,7 +151,7 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     attn_fn = _sp_ring(mesh, pallas)
 
     repl_leaf = NamedSharding(mesh, P())
-    param_sh = jax.tree.map(lambda _: repl_leaf, gpt_param_specs(None),
+    param_sh = jax.tree.map(lambda _: repl_leaf, gpt_param_specs(None, cfg),
                             is_leaf=lambda v: isinstance(v, P))
     batch_sh = NamedSharding(mesh, P("dp", "sp"))
 
@@ -207,7 +214,7 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
     attn_fn = _sp_ring(mesh, pallas)
 
     repl = NamedSharding(mesh, P())
-    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
+    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None, cfg),
                             is_leaf=lambda v: isinstance(v, P))
     batch_sh = NamedSharding(mesh, P("dp", "sp"))
     opt_sh = AdamWState(m=param_sh, v=param_sh, t=repl)
@@ -245,7 +252,7 @@ def make_sp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int,
     """Device-resident (dp, sp) eval companion to make_sp_device_train_step."""
     attn_fn = _sp_ring(mesh, pallas)
     repl = NamedSharding(mesh, P())
-    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None),
+    param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None, cfg),
                             is_leaf=lambda v: isinstance(v, P))
     batch_sh = NamedSharding(mesh, P("dp", "sp"))
     T = cfg.ctx_len
@@ -289,7 +296,7 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
     """
     from ..train.optim import AdamWState, gpt_lr_scales, warmup_cosine
 
-    pspecs = gpt_param_specs(None)
+    pspecs = gpt_param_specs(None, cfg)
     param_sh = _shardings(mesh, pspecs)
     scalar_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp", None))
@@ -327,7 +334,7 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
 def make_sharded_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int):
     """Device-resident sharded eval: mean val loss over ``batches``
     randomly-windowed dp-sharded batches, one jit call, one readback."""
-    pspecs = gpt_param_specs(None)
+    pspecs = gpt_param_specs(None, cfg)
     param_sh = _shardings(mesh, pspecs)
     scalar_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp", None))
@@ -371,7 +378,7 @@ def dryrun_multichip(n_devices: int) -> None:
     params = init_gpt_params(cfg, seed=0)
     opt_state = adamw_init(params)
 
-    param_sh = _shardings(mesh, gpt_param_specs(None))
+    param_sh = _shardings(mesh, gpt_param_specs(None, cfg))
     params = jax.device_put(params, param_sh)
     from ..train.optim import AdamWState
 

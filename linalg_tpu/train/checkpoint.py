@@ -39,6 +39,8 @@ def save_ckpt(ckpt_dir, params: Params, cfg: GPTConfig,
         "head_W": tok_W.T,  # tied head, stored for reference compatibility
         "head_b": np.asarray(host["head_b"]),
     }
+    if "pos_W" in host:  # learned positional table (--pos learned)
+        arrays["pos_W"] = np.asarray(host["pos_W"])
     # every layer key present in the pytree is saved per layer — this covers
     # both the dense GPT (reference key set, gpt.py:438-464) and the MoE
     # extension (router Wr + expert-stacked W1/b1/W2/b2)
@@ -117,6 +119,8 @@ def load_ckpt(ckpt_dir) -> Tuple[Params, GPTConfig, Dict[str, int], Dict[int, st
         "head_b": np.asarray(z["head_b"], dtype=np.float32),
         "layers": lay,
     }
+    if "pos_W" in params:  # learned positions: template has the leaf
+        host["pos_W"] = np.asarray(z["pos_W"], dtype=np.float32)
     return push_pytree(host), cfg, stoi, itos
 
 

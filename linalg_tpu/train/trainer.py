@@ -329,6 +329,9 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     microbatches = 0
     if is_pp:
         assert tp == 1 and not is_sp, "--pp composes with --dp only"
+        assert cfg.pos != "learned", (
+            "--pos learned is not supported with --pp (the pipeline "
+            "stages hardcode sinusoidal/rope position handling)")
         assert not is_moe, "--pp with --experts is not supported"
         assert cfg.n_layers % pp == 0, "layers must divide by pp"
         from ..parallel.pipeline import pp_param_specs
@@ -347,7 +350,7 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         assert not is_moe, "--sp with --experts is not supported"
         assert cfg.ctx_len % sp == 0, "ctx_len must divide by sp"
         mesh = make_mesh((dp, sp), ("dp", "sp"))
-        pspecs = jax.tree.map(lambda s: P(), gpt_param_specs(None),
+        pspecs = jax.tree.map(lambda s: P(), gpt_param_specs(None, cfg),
                               is_leaf=lambda v: isinstance(v, P))
     elif is_moe:
         from ..parallel.expert import (make_ep_device_train_step, make_ep_eval,
@@ -355,11 +358,11 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
 
         assert cfg.n_experts % tp == 0, "n_experts must divide by tp (=ep)"
         mesh = make_mesh((dp, tp), ("dp", "ep"))
-        pspecs = moe_param_specs()
+        pspecs = moe_param_specs(cfg)
     else:
         assert cfg.n_heads % tp == 0, "n_heads must divide by tp"
         mesh = make_mesh((dp, tp), ("dp", "tp"))
-        pspecs = gpt_param_specs(None)
+        pspecs = gpt_param_specs(None, cfg)
     param_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), pspecs,
         is_leaf=lambda v: isinstance(v, P),

@@ -508,3 +508,49 @@ class TestStepTimer:
         t.tick(20)
         assert t.steps_per_sec > 0
         assert t.tokens_per_sec == pytest.approx(t.steps_per_sec * 10)
+
+
+class TestLearnedPositions:
+    """--pos learned wires nn/positional.py's LearnedPositionalEmbedding
+    capability (reference positional.py:36-89, built but never wired into a
+    model) into the GPT as trainable params."""
+
+    CFG = GPTConfig(vocab_size=23, d_model=32, n_heads=2, n_layers=2,
+                    ctx_len=16, pos="learned")
+
+    def test_params_and_grads(self):
+        params = init_gpt_params(self.CFG, seed=0)
+        assert params["pos_W"].shape == (16, 32)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(0, 23, (2, 16)), jnp.int32)
+        y = jnp.asarray(rng.integers(0, 23, (2, 16)), jnp.int32)
+        g = jax.grad(gpt_loss)(params, x, y, self.CFG)
+        assert float(jnp.max(jnp.abs(g["pos_W"]))) > 0  # positions train
+
+    def test_decode_matches_full_forward(self):
+        params = init_gpt_params(self.CFG, seed=1)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 23, (1, 9)).astype(np.int32)
+        logits_p, cache = gpt_prefill(params, jnp.asarray(ids[:, :5]),
+                                      self.CFG)
+        full = np.asarray(gpt_apply(params, jnp.asarray(ids[:, :5]),
+                                    self.CFG))
+        np.testing.assert_allclose(np.asarray(logits_p), full[:, -1],
+                                   atol=1e-5)
+        for t in range(5, 9):
+            tok = jnp.asarray(ids[:, t])
+            logits_d, cache = gpt_decode_step(params, cache, tok, self.CFG)
+            full = np.asarray(
+                gpt_apply(params, jnp.asarray(ids[:, : t + 1]), self.CFG))
+            np.testing.assert_allclose(np.asarray(logits_d), full[:, -1],
+                                       atol=2e-4)
+
+    def test_ckpt_roundtrip(self, tmp_path):
+        params = init_gpt_params(self.CFG, seed=2)
+        stoi = {chr(97 + i): i for i in range(23)}
+        itos = {i: ch for ch, i in stoi.items()}
+        save_ckpt(tmp_path, params, self.CFG, stoi, itos)
+        params2, cfg2, _, _ = load_ckpt(tmp_path)
+        assert cfg2.pos == "learned"
+        np.testing.assert_allclose(np.asarray(params2["pos_W"]),
+                                   np.asarray(params["pos_W"]))
