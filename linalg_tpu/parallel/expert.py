@@ -48,6 +48,16 @@ def moe_param_specs(cfg=None) -> dict:
     return specs
 
 
+def _einsum_cfg(cfg: MoEGPTConfig) -> MoEGPTConfig:
+    """ep-sharded steps keep the GShard dense-dispatch einsums: GSPMD turns
+    them into all-to-alls over ICI; gathers indexed across a sharded expert
+    axis lower to much worse collectives."""
+    import dataclasses as _dc
+
+    return cfg if cfg.dispatch == "einsum" else _dc.replace(
+        cfg, dispatch="einsum")
+
+
 def make_ep_train_step(cfg: MoEGPTConfig, mesh: Mesh, *,
                        lr: float = 3e-4, weight_decay: float = 0.01,
                        dp_axis: Optional[str] = None):
@@ -58,6 +68,7 @@ def make_ep_train_step(cfg: MoEGPTConfig, mesh: Mesh, *,
     assert cfg.n_experts % mesh.shape["ep"] == 0, (
         "n_experts must divide by the ep axis size"
     )
+    cfg = _einsum_cfg(cfg)
     pspecs = moe_param_specs(cfg)
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda v: isinstance(v, P))
@@ -116,6 +127,7 @@ def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
         warmup_cosine
     from .sharding import make_sharded_attn
 
+    cfg = _einsum_cfg(cfg)
     param_sh, opt_sh, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
     attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
                                 head_axis=None)
@@ -153,6 +165,7 @@ def make_ep_eval(cfg: MoEGPTConfig, mesh: Mesh, batch: int, batches: int):
     batches in one jit call (MoE twin of ``sharding.make_sharded_eval``)."""
     from .sharding import make_sharded_attn
 
+    cfg = _einsum_cfg(cfg)
     param_sh, _, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
     attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
                                 head_axis=None)

@@ -642,3 +642,60 @@ class TestPipelineCLI:
         ])
         with pytest.raises(AssertionError, match="divide by pp"):
             train(args)
+
+
+class TestDispatchModes:
+    """gather (int32 slot gathers) and einsum (dense one-hot) dispatch are
+    the same routing function — outputs AND gradients must match."""
+
+    def _rand(self, B, T, D, E, F, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+        Wr = jnp.asarray(rng.standard_normal((D, E)) * 0.1, jnp.float32)
+        W1 = jnp.asarray(rng.standard_normal((E, D, F)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((E, F)) * 0.1, jnp.float32)
+        W2 = jnp.asarray(rng.standard_normal((E, F, D)) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal((E, D)) * 0.1, jnp.float32)
+        return x, Wr, W1, b1, W2, b2
+
+    @pytest.mark.parametrize("top_k,cap", [(1, 8), (1, 2), (2, 6), (2, 2)])
+    def test_outputs_match(self, top_k, cap):
+        args = self._rand(3, 16, 8, 4, 16, seed=top_k * 10 + cap)
+        o_g, a_g = moe_ffn(*args, capacity=cap, top_k=top_k, mode="gather")
+        o_e, a_e = moe_ffn(*args, capacity=cap, top_k=top_k, mode="einsum")
+        np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_e),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(a_g), float(a_e), rtol=1e-6)
+
+    def test_grads_match(self):
+        args = self._rand(2, 12, 8, 4, 16, seed=5)
+
+        def loss(mode, *a):
+            o, aux = moe_ffn(*a, capacity=4, top_k=2, mode=mode)
+            return jnp.sum(jnp.sin(o)) + aux
+
+        g_g = jax.grad(lambda *a: loss("gather", *a), argnums=tuple(range(6)))(*args)
+        g_e = jax.grad(lambda *a: loss("einsum", *a), argnums=tuple(range(6)))(*args)
+        for a, b in zip(g_g, g_e):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ["einsum", "gather"])
+    def test_exact_routing_at_long_T_bf16(self, mode):
+        # slot bookkeeping must be exact past 256 tokens under bf16
+        # compute (a bf16 cumsum saturates at 256 -> misrouting): einsum
+        # counts in f32, gather in int32 — both compared against the
+        # all-f32 routing of the same (bf16-rounded) inputs
+        B, T, D, E, F = 1, 512, 8, 4, 16
+        x, Wr, W1, b1, W2, b2 = self._rand(B, T, D, E, F, seed=9)
+        xb = x.astype(jnp.bfloat16)
+        o_b, _ = moe_ffn(xb, Wr.astype(jnp.bfloat16), W1.astype(jnp.bfloat16),
+                         b1.astype(jnp.bfloat16), W2.astype(jnp.bfloat16),
+                         b2.astype(jnp.bfloat16), capacity=200, top_k=1,
+                         mode=mode)
+        o_f, _ = moe_ffn(xb.astype(jnp.float32), Wr, W1, b1, W2, b2,
+                         capacity=200, top_k=1, mode="einsum")
+        # bf16 tolerance; what matters is no token got MISROUTED (which
+        # shows up as O(1) errors, not rounding noise)
+        np.testing.assert_allclose(np.asarray(o_b, dtype=np.float32),
+                                   np.asarray(o_f), atol=0.15)
