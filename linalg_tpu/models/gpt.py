@@ -215,22 +215,31 @@ def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
                                 cfg.d_ff or 4 * cfg.d_model))
 
 
+# Measured btd-vs-rematted-sdpa crossover (tools/ab_btd.py, v5e, trainer
+# cadence, T=256 H=4 d128): the kernel pays per-program overhead but
+# removes ALL (B, H, T, T) HBM score traffic + head relayouts, so it wins
+# once that traffic is large enough.  B=64: 13.4 vs 13.0 ms bf16 (loses);
+# B=128: 25.0 vs 26.3 bf16 / 38.9 vs 41.1 f32 (wins); B=256: 51.3 vs 61.9
+# bf16 (-17%) / 86.0 vs 89.1 f32.  Gate on the score-tensor element count.
+_BTD_MIN_SCORE_ELEMS = 32 * 1024 * 1024  # ~B>=128 at the published config
+
+
 def _pick_attn_btd(B: int, T: int, cfg: "GPTConfig"):
     """Fused (B, T, H*d)-layout attention for the short-context hot path.
 
     Eliminates the head relayouts AND the (B, H, T, T) HBM score traffic
-    below the flash crossover (T < 512) — yet measured A/B at the
-    published config (tools/ab_btd.py, v5e, trainer cadence) it LOSES to
-    the rematted einsum sdpa: 18.7 vs 16.2 ms/step f32, 13.4 vs 13.0
-    bf16 (losses identical). Per-head (256, 128) dots + VPU softmax in
-    an unrolled loop can't match XLA's big batched-einsum MXU schedule
-    at this size, the same verdict as the fused-LN kernels. Kept OPT-IN
-    (``LINALG_TPU_BTD_ATTN=1``) for regimes where score traffic dominates;
-    correctness is pinned by tests/test_flash_btd.py either way.
+    below the flash crossover (T < 512). Auto-enabled when the per-layer
+    score tensor is big enough to pay for the kernel's per-program
+    overhead (see the measured crossover above); ``LINALG_TPU_BTD_ATTN``
+    =0/1 force it off/on for A/B runs. Correctness is pinned by
+    tests/test_flash_btd.py in both regimes.
     """
     import os
 
-    if os.environ.get("LINALG_TPU_BTD_ATTN", "") != "1":
+    force = os.environ.get("LINALG_TPU_BTD_ATTN", "")
+    if force == "0":
+        return None
+    if force != "1" and B * cfg.n_heads * T * T < _BTD_MIN_SCORE_ELEMS:
         return None
     if jax.default_backend() != "tpu" or cfg.pos == "rope":
         return None

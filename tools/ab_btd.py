@@ -14,7 +14,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def measure(dtype, btd: bool):
+def measure(dtype, btd: bool, B: int = 64):
     os.environ["LINALG_TPU_BTD_ATTN"] = "1" if btd else "0"
     import jax
     import jax.numpy as jnp
@@ -23,7 +23,6 @@ def measure(dtype, btd: bool):
     from linalg_tpu.train.optim import adamw_init
     from linalg_tpu.train.trainer import make_device_train_step
 
-    B = 64
     cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
                     ctx_len=256, dtype=dtype)
     params = init_gpt_params(cfg, seed=0)
@@ -51,6 +50,11 @@ def measure(dtype, btd: bool):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    a = ap.parse_args()
     for dtype in ("float32", "bfloat16"):
         for btd in (True, False):
-            measure(dtype, btd)
+            measure(dtype, btd, a.batch)
