@@ -192,8 +192,10 @@ def bench_attention():
         return sdpa(q, k, v, causal_mask(q.shape[-2], dtype=q.dtype))
 
     rows = [
+        # B=8 so the chain stays above the null-chain noise floor — at
+        # B1·h8·T1024 the fused kernel measured indistinguishable from 0
         ("flash", lambda q, k, v: flash_attention(q, k, v, True),
-         1, 8, 1024, 64, True),
+         8, 8, 1024, 64, True),
         ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),
          1, 8, 2048, 64, True),
         ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),

@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "fresh model (0 = dense FFN)")
     ap.add_argument("--router_top_k", type=int, default=1, choices=(1, 2),
                     help="experts per token: 1 = Switch, 2 = GShard top-2")
+    ap.add_argument("--dispatch", type=str, default="einsum",
+                    choices=("einsum", "gather"),
+                    help="MoE token dispatch: dense one-hot einsums "
+                         "(MXU/GSPMD-friendly, measured default) or int32 "
+                         "slot-table gathers")
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=("float32", "bfloat16"),
                     help="compute dtype for a fresh model (params stay f32; "

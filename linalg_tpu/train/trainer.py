@@ -225,6 +225,7 @@ def _resume_or_init(args):
         cfg = MoEGPTConfig(
             n_experts=n_experts,
             router_top_k=int(getattr(args, "router_top_k", 1) or 1),
+            dispatch=getattr(args, "dispatch", "einsum") or "einsum",
             **common,
         )
         params = init_moe_params(cfg, seed=123)
