@@ -199,23 +199,37 @@ def factor_panel(St, k, block: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "precision", "inner", "pair"))
+                   static_argnames=("block", "precision", "inner", "pair",
+                                    "agg"))
 def householder_qr_pallas(A, block: int = 128,
                           precision=lax.Precision.HIGHEST,
-                          inner: int = 32, pair: bool = True):
+                          inner: int = 32, pair: bool = True,
+                          agg: int = 0):
     """Blocked economy Householder QR with the Pallas panel kernel.
 
     A must be (m, n) float32 with n % block == 0 and m >= n (the public
     wrapper in ops/qr.py pads/validates). Works entirely in the transposed
     layout; the only materialized transposes are on input and output.
 
-    ``pair=True`` aggregates adjacent panels into one rank-``2*block``
+    ``agg`` aggregates runs of adjacent panels into one rank-``agg*block``
     compact-WY operator for the FAR-FIELD updates (trailing columns beyond
-    the pair, and the Q rows below the pair): the same matmul FLOPs, but
-    the far-field block streams through HBM once per PAIR instead of once
-    per panel — halving the passes of the two phases that dominate the
-    4096^2 wall time (ROADMAP: trailing ~3.7 ms + Q ~3.9 ms of 9.6).
+    the run, and the Q rows below it): the same matmul FLOPs, but the
+    far-field block streams through HBM once per RUN instead of once per
+    panel — dividing the passes of the two phases that dominate the
+    4096^2 wall time by ``agg`` (round-2 phase probe: trailing ~3.7 ms +
+    Q ~3.9 ms of 9.6). Inside a run, panel j's rows take one near-field
+    update with the running rank-``j*block`` prefix operator before being
+    factored. ``agg=0`` derives 2/1 from the legacy ``pair`` flag.
+
+    Measured on-chip at 4096^2 (interleaved A/B): agg=1 13.66 ms,
+    agg=2 6.81-7.94, agg=4 9.67, agg=8 11.71 (XLA 11.65-11.80) — TWO is
+    the optimum. Aggregation conserves FLOPs but converts far-field
+    big-matmul passes into per-panel near-field updates on only
+    ``block`` rows, which underutilize the MXU; past g=2 that loss
+    outweighs the halved far-field HBM traffic.
     """
+    if agg <= 0:
+        agg = 2 if pair else 1
     m, n = A.shape
     dtype = A.dtype
     # Reflectors of panel k are ZERO in lanes < k, so every block update
@@ -335,40 +349,42 @@ def householder_qr_pallas(A, block: int = 128,
     # rows), then the merged rank-2b operator of panels (2i, 2i+1) sweeps
     # the far field once.
     M = A.T  # (n, m): row j is column j
-    groups = []  # lists of (k, Vt, Tt), 1 or 2 panels each
+    # groups: (members [(k, Vt, Tt)], prefix_Ts [Ttc of panels [0..j+1)],
+    # kq). prefix V factors are concats of the members' Vt, rebuilt on use.
+    groups = []
     ks = list(range(0, n, block))
     i = 0
     while i < len(ks):
-        k1 = ks[i]
-        Pt = lax.dynamic_slice(M, (k1, 0), (block, m))
-        St, Vt1, Tt1 = factor_block(Pt, k1)
-        M = lax.dynamic_update_slice(M, St, (k1, 0))
-        kq = kq_of(k1)
-        if pair and i + 1 < len(ks):
-            k2 = ks[i + 1]
-            # near field: panel 2's own rows
-            near = lax.dynamic_slice(M, (k2, kq), (block, m - kq))
-            near = apply_live(near, Vt1[:, kq:], Tt1, transpose_t=False)
-            M = lax.dynamic_update_slice(M, near, (k2, kq))
-            Pt2 = lax.dynamic_slice(M, (k2, 0), (block, m))
-            St2, Vt2, Tt2 = factor_block(Pt2, k2)
-            M = lax.dynamic_update_slice(M, St2, (k2, 0))
-            if k2 + block < n:
-                Vc, Ttc = wy_merge(Vt1, Tt1, Vt2, Tt2, kq)
-                live = lax.dynamic_slice(
-                    M, (k2 + block, kq), (n - k2 - block, m - kq))
-                live = apply_live(live, Vc[:, kq:], Ttc, transpose_t=False)
-                M = lax.dynamic_update_slice(M, live, (k2 + block, kq))
-            groups.append([(k1, Vt1, Tt1), (k2, Vt2, Tt2)])
-            i += 2
-        else:
-            if k1 + block < n:
-                live = lax.dynamic_slice(
-                    M, (k1 + block, kq), (n - k1 - block, m - kq))
-                live = apply_live(live, Vt1[:, kq:], Tt1, transpose_t=False)
-                M = lax.dynamic_update_slice(M, live, (k1 + block, kq))
-            groups.append([(k1, Vt1, Tt1)])
-            i += 1
+        g = min(agg, len(ks) - i)
+        kq = kq_of(ks[i])
+        members = []
+        prefix_Ts = []
+        Vc = None  # running prefix factor (concat of member Vts)
+        Ttc = None
+        for j in range(g):
+            kj = ks[i + j]
+            if j > 0:
+                # near field: one update of panel j's rows with the
+                # rank-(j*block) prefix operator
+                near = lax.dynamic_slice(M, (kj, kq), (block, m - kq))
+                near = apply_live(near, Vc[:, kq:], Ttc, transpose_t=False)
+                M = lax.dynamic_update_slice(M, near, (kj, kq))
+            Pt = lax.dynamic_slice(M, (kj, 0), (block, m))
+            St, Vt, Tt = factor_block(Pt, kj)
+            M = lax.dynamic_update_slice(M, St, (kj, 0))
+            members.append((kj, Vt, Tt))
+            if j == 0:
+                Vc, Ttc = Vt, Tt
+            else:
+                Vc, Ttc = wy_merge(Vc, Ttc, Vt, Tt, kq)
+            prefix_Ts.append(Ttc)
+        k_end = ks[i + g - 1] + block
+        if k_end < n:
+            live = lax.dynamic_slice(M, (k_end, kq), (n - k_end, m - kq))
+            live = apply_live(live, Vc[:, kq:], Ttc, transpose_t=False)
+            M = lax.dynamic_update_slice(M, live, (k_end, kq))
+        groups.append((members, prefix_Ts, kq))
+        i += g
 
     # Economy Q (transposed), reverse accumulation with a GROWING block in
     # one zero-initialized (n, m) buffer: before panel p touches them, rows
@@ -400,32 +416,27 @@ def householder_qr_pallas(A, block: int = 128,
                                 preferred_element_type=dtype)
 
     Qt = jnp.zeros((n, m), dtype)
-    for grp in reversed(groups):
-        if len(grp) == 2:
-            (k1, Vt1, Tt1), (k2, Vt2, Tt2) = grp
-            kq = kq_of(k1)
-            # far field (rows below the pair) once, with the merged factor
-            if k2 + block < n:
-                Vc, Ttc = wy_merge(Vt1, Tt1, Vt2, Tt2, kq)
-                prev = lax.dynamic_slice(
-                    Qt, (k2 + block, kq), (n - k2 - block, m - kq))
-                prev = apply_live(prev, Vc[:, kq:], Ttc, transpose_t=True)
-                Qt = lax.dynamic_update_slice(Qt, prev, (k2 + block, kq))
-            # panel 2's identity rows, then panel 1 applied on top of them
-            top2 = e_top(k2, Vt2, Tt2, kq)
-            top2 = apply_live(top2, Vt1[:, kq:], Tt1, transpose_t=True)
-            Qt = lax.dynamic_update_slice(Qt, top2, (k2, kq))
-            Qt = lax.dynamic_update_slice(Qt, e_top(k1, Vt1, Tt1, kq),
-                                          (k1, kq))
-        else:
-            (k, Vt, Tt), = grp
-            kq = kq_of(k)
-            if k + block < n:
-                prev = lax.dynamic_slice(
-                    Qt, (k + block, kq), (n - k - block, m - kq))
-                prev = apply_live(prev, Vt[:, kq:], Tt, transpose_t=True)
-                Qt = lax.dynamic_update_slice(Qt, prev, (k + block, kq))
-            Qt = lax.dynamic_update_slice(Qt, e_top(k, Vt, Tt, kq), (k, kq))
+    for members, prefix_Ts, kq in reversed(groups):
+        g = len(members)
+        k_end = members[-1][0] + block
+        # far field (rows below the run) once, with the full merged factor
+        if k_end < n:
+            Vfull = jnp.concatenate([Vt for _, Vt, _ in members], axis=0)
+            prev = lax.dynamic_slice(Qt, (k_end, kq), (n - k_end, m - kq))
+            prev = apply_live(prev, Vfull[:, kq:], prefix_Ts[-1],
+                              transpose_t=True)
+            Qt = lax.dynamic_update_slice(Qt, prev, (k_end, kq))
+        # panel j's identity rows, then the rank-(j*block) prefix operator
+        # of the panels before it applied on top
+        for j in range(g - 1, -1, -1):
+            kj, Vt, Tt = members[j]
+            top = e_top(kj, Vt, Tt, kq)
+            if j > 0:
+                Vpre = jnp.concatenate(
+                    [V for _, V, _ in members[:j]], axis=0)
+                top = apply_live(top, Vpre[:, kq:], prefix_Ts[j - 1],
+                                 transpose_t=True)
+            Qt = lax.dynamic_update_slice(Qt, top, (kj, kq))
 
     R = jnp.triu(M[:, :n].T)
     return Qt.T, R

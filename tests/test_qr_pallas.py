@@ -163,3 +163,29 @@ class TestPairAggregation:
         assert np.linalg.norm(Q @ R - np.asarray(A)) / np.linalg.norm(
             np.asarray(A)) < 1e-5
         assert np.linalg.norm(Q.T @ Q - np.eye(n)) < 1e-4
+
+
+class TestAggregation:
+    """agg=4 (quad runs) must match agg=1 and reconstruct A = QR."""
+
+    @pytest.mark.parametrize("n,block,agg", [(64, 16, 4), (96, 16, 3),
+                                             (80, 16, 4)])
+    def test_agg_matches_single(self, n, block, agg):
+        rng = np.random.default_rng(41)
+        A = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            Qa, Ra = householder_qr_pallas(A, block=block, inner=8, agg=agg)
+            Q1, R1 = householder_qr_pallas(A, block=block, inner=8,
+                                           pair=False)
+        np.testing.assert_allclose(np.asarray(Qa), np.asarray(Q1), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Ra), np.asarray(R1), atol=2e-4)
+
+    def test_agg_reconstructs_tall(self):
+        rng = np.random.default_rng(42)
+        A = jnp.asarray(rng.standard_normal((96, 64)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            Q, R = householder_qr_pallas(A, block=16, inner=8, agg=4)
+        np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(64),
+                                   atol=3e-5)
