@@ -197,7 +197,7 @@ def bench_attention():
         ("flash", lambda q, k, v: flash_attention(q, k, v, True),
          8, 8, 1024, 64, True),
         ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),
-         1, 8, 2048, 64, True),
+         8, 8, 2048, 64, True),
         ("flash_long", lambda q, k, v: flash_attention_long(q, k, v, True),
          1, 8, 4096, 64, True),
         ("flash_stream", lambda q, k, v: flash_attention_stream(q, k, v, True),
