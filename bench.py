@@ -349,6 +349,27 @@ def bench_sampler():
           f"rollover (vs recorded r2 1000 tok/s)",
           toks, "tok/s", toks / 1000.0)
 
+    # batched serving: left-padded ragged prompts, one shared decode
+    # position for the whole batch (gpt_generate)
+    from linalg_tpu.models.gpt import gpt_generate
+
+    B = 8
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 65, size=(int(L),)).astype(np.int32)
+               for L in rng.integers(3, 120, size=(B,))]
+    n_new = 128
+    _ = gpt_generate(params, cfg, prompts, n_new, seed=0)  # compile
+    t0 = time.perf_counter()
+    reps = 8
+    for i in range(reps):
+        out = gpt_generate(params, cfg, prompts, n_new, seed=i)
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / reps
+    toks_b = B * n_new / dt
+    _emit(f"batched serving gpt_generate B{B} ragged prompts, {n_new} new "
+          f"tokens each (vs single-stream sampler above)",
+          toks_b, "tok/s", toks_b / max(toks, 1.0))
+
 
 SECTIONS = {
     "attention": bench_attention,

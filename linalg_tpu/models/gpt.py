@@ -50,6 +50,8 @@ __all__ = [
     "gpt_apply",
     "gpt_loss",
     "gpt_prefill",
+    "gpt_prefill_batched",
+    "gpt_generate",
     "gpt_decode_step",
     "sample_token",
 ]
@@ -469,6 +471,91 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
+    """Batched serving prefill: LEFT-padded prompts, per-sequence starts.
+
+    x_ids is (B, W) with each prompt right-aligned (content in
+    [start[b], W)); left-padding aligns every sequence's END, so the whole
+    batch shares ONE decode position — the fixed-shape cache keeps its
+    scalar length and each decode step serves all B sequences at once.
+    The per-sequence ``start`` rides in the cache and masks the pad slots
+    out of every subsequent attention.
+    """
+    B, W = x_ids.shape
+    dt = cfg.compute_dtype
+    start = jnp.asarray(start, jnp.int32)
+    cols = jnp.arange(W)
+    # left-padding shifts the window: sequence b's token at column t sits
+    # at LOGICAL position t - start[b] — index every positional encoding
+    # with that (clipped at 0 for the masked pad columns)
+    pos_idx = jnp.maximum(cols[None, :] - start[:, None], 0)  # (B, W)
+    rope = None
+    if cfg.pos == "rope":
+        h = params["tok_W"][x_ids]
+        c, s_ = rope_tables(cfg.d_head, pos_idx)  # (B, W, d/2)
+        rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    else:
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
+        h = params["tok_W"][x_ids] + pe[pos_idx]
+    h = h.astype(dt)
+    live = (cols[None, :, None] >= cols[None, None, :]) & (
+        cols[None, None, :] >= start[:, None, None])  # causal & >= start
+    mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]  # (B, 1, W, W)
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
+
+    def body(carry, lp):
+        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope)
+        return out, (k, v)
+
+    h, (K, V) = lax.scan(body, h, layers)
+    logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
+    pad = cfg.ctx_len - W
+    K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cache = {"k": K, "v": V, "length": jnp.asarray(W, jnp.int32),
+             "start": start}
+    return logits, cache
+
+
+def gpt_generate(params: Params, cfg: GPTConfig, prompts, n_tokens: int,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 0.0, seed: int = 0):
+    """Batched generation (the serving entry point): ragged prompts in,
+    (B, n_tokens) sampled ids out, ONE model pass per decode chunk for the
+    whole batch.
+
+    ``prompts`` is a list/array of token-id sequences of any lengths; they
+    are left-padded to one fixed window (aligned ends — every XLA shape
+    compiles once regardless of batch composition) and decoded together.
+    """
+    import numpy as _np
+
+    prompts = [
+        _np.asarray(p, dtype=_np.int32).ravel()[-(cfg.ctx_len - n_tokens):]
+        for p in prompts
+    ]
+    if n_tokens >= cfg.ctx_len:
+        raise ValueError("n_tokens must be < ctx_len (cache capacity)")
+    B = len(prompts)
+    W = cfg.ctx_len - n_tokens
+    buf = _np.zeros((B, W), dtype=_np.int32)
+    start = _np.empty((B,), dtype=_np.int32)
+    for b, p in enumerate(prompts):
+        if len(p) == 0:
+            raise ValueError(f"prompt {b} is empty")
+        start[b] = W - len(p)
+        buf[b, start[b]:] = p
+    logits, cache = gpt_prefill_batched(params, jnp.asarray(buf),
+                                        jnp.asarray(start), cfg)
+    toks, _, _ = gpt_decode_chunk(params, cache, logits,
+                                  jax.random.PRNGKey(seed), cfg, n_tokens,
+                                  temperature, top_k, top_p)
+    return toks  # (B, n_tokens)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     """One incremental decode step: token (B,) -> (logits (B, V), cache').
 
@@ -478,22 +565,28 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     B = token.shape[0]
     pos = cache["length"]
     dt = cfg.compute_dtype
+    # batched left-padded caches carry a per-sequence ``start``: cache
+    # slots before it are pad garbage (masked out below), and the token's
+    # LOGICAL position is pos - start[b] for every positional encoding
+    start = cache.get("start", jnp.zeros((), jnp.int32))
+    rel = jnp.atleast_1d(pos - start)  # (1,) unbatched, (B,) batched
     if cfg.pos == "rope":
         h = params["tok_W"][token][:, None, :]
-        rope = rope_tables(cfg.d_head, pos[None])  # tables at the live slot
-        rope = (rope[0].astype(dt), rope[1].astype(dt))
+        c, s_ = rope_tables(cfg.d_head, rel[:, None])  # (1|B, 1, d/2)
+        rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
-        h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+        h = params["tok_W"][token][:, None, :] + pe[rel][:, None, :]
         rope = None
     h = h.astype(dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     t_ids = jnp.arange(cfg.ctx_len)
     # position p attends to cache slots <= pos (itself included at slot pos)
-    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9).astype(dt)[
-        None, None, None, :]
+    live = (t_ids[None, :] <= pos) & (
+        t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
+    attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
 
     def body(carry, xs):
         h_in = carry
@@ -516,7 +609,7 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
     logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
               + params["head_b"].astype(dt)).astype(jnp.float32)
-    new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
+    new_cache = fkv_advance(dict(cache, k=K, v=V, length=pos), 1)
     return logits, new_cache
 
 

@@ -260,7 +260,7 @@ def rope_tables(d_head: int, positions, base: float = 10000.0,
     inv_freq = 1.0 / (
         base ** (jnp.arange(0, d_head, 2, dtype=jnp.float32) / d_head)
     )
-    angles = jnp.asarray(positions, jnp.float32)[:, None] * inv_freq[None, :]
+    angles = jnp.asarray(positions, jnp.float32)[..., None] * inv_freq
     return jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
 
 

@@ -554,3 +554,63 @@ class TestLearnedPositions:
         assert cfg2.pos == "learned"
         np.testing.assert_allclose(np.asarray(params2["pos_W"]),
                                    np.asarray(params["pos_W"]))
+
+
+class TestBatchedGenerate:
+    """Batched serving path: left-padded prefill + shared-position decode
+    must EXACTLY reproduce the unbatched path for every sequence."""
+
+    def test_batched_prefill_matches_unbatched(self):
+        from linalg_tpu.models.gpt import gpt_prefill_batched
+
+        params = _params()
+        rng = np.random.default_rng(5)
+        p1 = rng.integers(0, 31, (5,)).astype(np.int32)
+        p2 = rng.integers(0, 31, (9,)).astype(np.int32)
+        W = 12
+        buf = np.zeros((2, W), np.int32)
+        buf[0, W - 5:] = p1
+        buf[1, W - 9:] = p2
+        start = jnp.asarray([W - 5, W - 9], jnp.int32)
+        logits, cache = gpt_prefill_batched(params, jnp.asarray(buf),
+                                            start, CFG)
+        for b, p in enumerate((p1, p2)):
+            ref = np.asarray(gpt_apply(params, jnp.asarray(p[None]), CFG))
+            np.testing.assert_allclose(np.asarray(logits[b]), ref[0, -1],
+                                       atol=2e-4)
+
+    def test_batched_decode_matches_unbatched(self):
+        from linalg_tpu.models.gpt import gpt_prefill_batched
+
+        params = _params()
+        rng = np.random.default_rng(6)
+        p1 = rng.integers(0, 31, (4,)).astype(np.int32)
+        p2 = rng.integers(0, 31, (7,)).astype(np.int32)
+        forced = rng.integers(0, 31, (2, 4)).astype(np.int32)
+        W = 10
+        buf = np.zeros((2, W), np.int32)
+        buf[0, W - 4:] = p1
+        buf[1, W - 7:] = p2
+        start = jnp.asarray([W - 4, W - 7], jnp.int32)
+        _, cache = gpt_prefill_batched(params, jnp.asarray(buf), start, CFG)
+        seqs = [list(p1), list(p2)]
+        for t in range(4):
+            tok = jnp.asarray(forced[:, t])
+            logits, cache = gpt_decode_step(params, cache, tok, CFG)
+            for b in range(2):
+                seqs[b].append(int(forced[b, t]))
+                full = np.asarray(gpt_apply(
+                    params, jnp.asarray(np.asarray(seqs[b])[None]), CFG))
+                np.testing.assert_allclose(np.asarray(logits[b]),
+                                           full[0, -1], atol=3e-4)
+
+    def test_generate_shapes_and_determinism(self):
+        from linalg_tpu.models.gpt import gpt_generate
+
+        params = _params()
+        prompts = [np.asarray([1, 2, 3]), np.asarray([4, 5, 6, 7, 8])]
+        out1 = gpt_generate(params, CFG, prompts, n_tokens=6, seed=3)
+        out2 = gpt_generate(params, CFG, prompts, n_tokens=6, seed=3)
+        assert out1.shape == (2, 6)
+        assert (np.asarray(out1) == np.asarray(out2)).all()
+        assert int(jnp.max(out1)) < CFG.vocab_size
