@@ -547,11 +547,18 @@ def gpt_generate(params: Params, cfg: GPTConfig, prompts, n_tokens: int,
             raise ValueError(f"prompt {b} is empty")
         start[b] = W - len(p)
         buf[b, start[b]:] = p
-    logits, cache = gpt_prefill_batched(params, jnp.asarray(buf),
-                                        jnp.asarray(start), cfg)
-    toks, _, _ = gpt_decode_chunk(params, cache, logits,
-                                  jax.random.PRNGKey(seed), cfg, n_tokens,
-                                  temperature, top_k, top_p)
+    from .moe import MoEGPTConfig
+
+    if isinstance(cfg, MoEGPTConfig):
+        from .moe import moe_decode_chunk as decode_chunk
+        from .moe import moe_prefill_batched as prefill_batched
+    else:
+        decode_chunk, prefill_batched = gpt_decode_chunk, gpt_prefill_batched
+    logits, cache = prefill_batched(params, jnp.asarray(buf),
+                                    jnp.asarray(start), cfg)
+    toks, _, _ = decode_chunk(params, cache, logits,
+                              jax.random.PRNGKey(seed), cfg, n_tokens,
+                              temperature, top_k, top_p)
     return toks  # (B, n_tokens)
 
 

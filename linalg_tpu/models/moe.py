@@ -99,7 +99,7 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
 
 
 def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
-            top_k: int = 1, mode: str = "einsum",
+            top_k: int = 1, mode: str = "einsum", valid=None,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k routed expert FFN (k=1 Switch, k=2 GShard), per-row GROUPS.
 
@@ -131,6 +131,10 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
     B, T, D = x.shape
     E = Wr.shape[-1]
     C = capacity
+    # ``valid`` (B, T) bool excludes tokens from routing entirely (their
+    # output is zero; the residual carries them) — the batched serving
+    # path uses it so LEFT-pad tokens never steal capacity (pads precede
+    # real tokens in the positional cumsum) nor skew the aux loss.
 
     # Router math in f32 regardless of the compute dtype (bf16 softmax
     # perturbs routing decisions and the load-balance loss — standard
@@ -162,15 +166,21 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
         for lvl in range(top_k):
             e_id = idxs[..., lvl]                          # (B, T)
             oh = jax.nn.one_hot(e_id, E, dtype=jnp.int32)  # exact counts
+            if valid is not None:
+                oh = oh * valid[..., None].astype(jnp.int32)
             pos = jnp.cumsum(oh, axis=1) - oh              # (B, T, E)
             pos_tok = jnp.take_along_axis(
                 pos, e_id[..., None], axis=-1)[..., 0]
             pos_tok = pos_tok + jnp.take_along_axis(offset, e_id, axis=1)
             slot = jnp.minimum(pos_tok, C)                 # overflow -> C
+            if valid is not None:
+                slot = jnp.where(valid, slot, C)           # pads -> sink
             tok_slot = tok_slot.at[b_ix, e_id, slot].set(t_ix)
             lvl_slots.append((e_id, slot))
             offset = offset + jnp.sum(oh, axis=1)
         onehot1 = jax.nn.one_hot(idxs[..., 0], E, dtype=jnp.float32)
+        if valid is not None:
+            onehot1 = onehot1 * valid[..., None]
 
         # dispatch: gather token rows into expert slots (empty -> 0 row)
         x_pad = jnp.concatenate([x, jnp.zeros((B, 1, D), x.dtype)], axis=1)
@@ -194,6 +204,8 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
             # bookkeeping in f32: queue positions are COUNTS and must be
             # exact (bf16 integers saturate at 256 -> misrouting past it)
             oh = jax.nn.one_hot(idxs[..., lvl], E, dtype=jnp.float32)
+            if valid is not None:
+                oh = oh * valid[..., None].astype(jnp.float32)
             if lvl == 0:
                 onehot1 = oh
             pos = jnp.cumsum(oh, axis=1) - oh + offset[:, None, :]
@@ -217,15 +229,22 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
     # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e, with f
     # the first-choice assignment fraction (GShard aux uses first choices);
     # f32 like the router, independent of the compute dtype
-    f = jnp.mean(onehot1, axis=(0, 1))
-    P_mean = jnp.mean(probs, axis=(0, 1))
+    if valid is None:
+        f = jnp.mean(onehot1, axis=(0, 1))
+        P_mean = jnp.mean(probs, axis=(0, 1))
+    else:
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        f = jnp.sum(onehot1, axis=(0, 1)) / n_valid
+        P_mean = jnp.sum(
+            probs * valid[..., None].astype(jnp.float32), axis=(0, 1)
+        ) / n_valid
     aux = E * jnp.sum(f * P_mean)
     return out, aux
 
 
 def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
                rope, capacity: int, top_k: int = 1, fused: bool = False,
-               mode: str = "gather"):
+               mode: str = "gather", valid=None):
     """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
 
     Returns (out, (k, v), aux) — the K/V pair feeds the decode cache.
@@ -251,7 +270,7 @@ def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
     f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],
-                     capacity, top_k, mode)
+                     capacity, top_k, mode, valid)
     return h1 + f, (k, v), aux
 
 
@@ -358,27 +377,76 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
 
 
 @_partial(jax.jit, static_argnames=("cfg",))
+def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
+    """Batched serving prefill for the MoE GPT (see gpt_prefill_batched).
+
+    Beyond the dense version, LEFT-pad tokens are excluded from expert
+    ROUTING via the ``valid`` mask — pads precede real tokens in the
+    capacity cumsum and would otherwise steal every early slot.
+    """
+    B, W = x_ids.shape
+    dt = cfg.compute_dtype
+    start = jnp.asarray(start, jnp.int32)
+    cols = jnp.arange(W)
+    pos_idx = jnp.maximum(cols[None, :] - start[:, None], 0)
+    valid = cols[None, :] >= start[:, None]  # (B, W)
+    rope = None
+    if cfg.pos == "rope":
+        h = params["tok_W"][x_ids]
+        c, s_ = rope_tables(cfg.d_head, pos_idx)
+        rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    else:
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
+        h = params["tok_W"][x_ids] + pe[pos_idx]
+    h = h.astype(dt)
+    live = (cols[None, :, None] >= cols[None, None, :]) & (
+        cols[None, None, :] >= start[:, None, None])
+    mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
+    cap = _capacity(cfg, W)
+
+    def body(carry, lp):
+        out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
+                                    rope, cap, cfg.router_top_k,
+                                    mode=cfg.dispatch, valid=valid)
+        return out, (k, v)
+
+    h, (K, V) = lax.scan(body, h, layers)
+    logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
+              + params["head_b"].astype(dt)).astype(jnp.float32)
+    pad = cfg.ctx_len - W
+    K = jnp.pad(K, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    V = jnp.pad(V, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    return logits, {"k": K, "v": V, "length": jnp.asarray(W, jnp.int32),
+                    "start": start}
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
 def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     """One incremental decode step for the MoE GPT: O(T) per token, with
     the single live token routed to its top-1 expert."""
     pos = cache["length"]
     dt = cfg.compute_dtype
+    start = cache.get("start", jnp.zeros((), jnp.int32))
+    rel = jnp.atleast_1d(pos - start)  # logical positions (1,) or (B,)
     if cfg.pos == "rope":
         h = params["tok_W"][token][:, None, :]
-        rope = rope_tables(cfg.d_head, pos[None])
-        rope = (rope[0].astype(dt), rope[1].astype(dt))
+        c, s_ = rope_tables(cfg.d_head, rel[:, None])
+        rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
-        h = params["tok_W"][token][:, None, :] + pe[pos][None, None, :]
+        h = params["tok_W"][token][:, None, :] + pe[rel][:, None, :]
         rope = None
     h = h.astype(dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, 1)  # one live token per routing group (row)
 
     t_ids = jnp.arange(cfg.ctx_len)
-    attn_mask = jnp.where(t_ids <= pos, 0.0, -1e9).astype(dt)[
-        None, None, None, :]
+    live = (t_ids[None, :] <= pos) & (
+        t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
+    attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
 
     def body(carry, xs):
         h_in = carry
@@ -402,7 +470,7 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
     logits = (h[:, -1] @ params["tok_W"].T.astype(dt)
               + params["head_b"].astype(dt)).astype(jnp.float32)
-    new_cache = fkv_advance({"k": K, "v": V, "length": pos}, 1)
+    new_cache = fkv_advance(dict(cache, k=K, v=V, length=pos), 1)
     return logits, new_cache
 
 

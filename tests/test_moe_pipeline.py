@@ -699,3 +699,71 @@ class TestDispatchModes:
         # shows up as O(1) errors, not rounding noise)
         np.testing.assert_allclose(np.asarray(o_b, dtype=np.float32),
                                    np.asarray(o_f), atol=0.15)
+
+
+class TestMoEBatchedServing:
+    """MoE batched serving: valid-masked routing keeps left pads out of
+    expert capacity; batched prefill/decode match the unbatched path."""
+
+    CFG = MoEGPTConfig(vocab_size=17, d_model=32, n_heads=4, n_layers=2,
+                       d_ff=64, ctx_len=16, n_experts=2,
+                       capacity_factor=4.0)  # ample: no capacity drops
+
+    def test_batched_prefill_matches_unbatched(self):
+        from linalg_tpu.models.moe import moe_prefill_batched, moe_prefill
+
+        params = init_moe_params(self.CFG, seed=0)
+        rng = np.random.default_rng(0)
+        p1 = rng.integers(0, 17, (4,)).astype(np.int32)
+        p2 = rng.integers(0, 17, (8,)).astype(np.int32)
+        W = 10
+        buf = np.zeros((2, W), np.int32)
+        buf[0, W - 4:] = p1
+        buf[1, W - 8:] = p2
+        start = jnp.asarray([W - 4, W - 8], jnp.int32)
+        logits, cache = moe_prefill_batched(params, jnp.asarray(buf),
+                                            start, self.CFG)
+        assert int(cache["length"]) == W
+        for b, p in enumerate((p1, p2)):
+            ref, _ = moe_prefill(params, jnp.asarray(p[None]), self.CFG)
+            np.testing.assert_allclose(np.asarray(logits[b]),
+                                       np.asarray(ref[0]), atol=2e-4)
+
+    def test_batched_decode_matches_unbatched(self):
+        from linalg_tpu.models.moe import (moe_decode_step,
+                                           moe_prefill_batched, moe_prefill)
+
+        params = init_moe_params(self.CFG, seed=1)
+        rng = np.random.default_rng(1)
+        p1 = rng.integers(0, 17, (3,)).astype(np.int32)
+        p2 = rng.integers(0, 17, (6,)).astype(np.int32)
+        forced = rng.integers(0, 17, (2, 3)).astype(np.int32)
+        W = 8
+        buf = np.zeros((2, W), np.int32)
+        buf[0, W - 3:] = p1
+        buf[1, W - 6:] = p2
+        start = jnp.asarray([W - 3, W - 6], jnp.int32)
+        _, cache = moe_prefill_batched(params, jnp.asarray(buf), start,
+                                       self.CFG)
+        refs = []
+        for p in (p1, p2):
+            _, c = moe_prefill(params, jnp.asarray(p[None]), self.CFG)
+            refs.append(c)
+        for t in range(3):
+            tok = jnp.asarray(forced[:, t])
+            logits, cache = moe_decode_step(params, cache, tok, self.CFG)
+            for b in range(2):
+                rl, refs[b] = moe_decode_step(
+                    params, refs[b], jnp.asarray(forced[b:b + 1, t]),
+                    self.CFG)
+                np.testing.assert_allclose(np.asarray(logits[b]),
+                                           np.asarray(rl[0]), atol=3e-4)
+
+    def test_generate_dispatches_moe(self):
+        from linalg_tpu.models.gpt import gpt_generate
+
+        params = init_moe_params(self.CFG, seed=2)
+        prompts = [np.asarray([1, 2, 3]), np.asarray([4, 5])]
+        out = gpt_generate(params, self.CFG, prompts, n_tokens=5, seed=0)
+        assert out.shape == (2, 5)
+        assert int(jnp.max(out)) < self.CFG.vocab_size
