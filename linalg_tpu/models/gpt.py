@@ -652,14 +652,71 @@ def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
     Each host dispatch costs a ~40 ms round trip on this runtime, so the
     sample -> decode-step loop runs as a lax.scan on device; only the final
     (tokens, logits, cache) cross the host boundary per chunk.
-    """
 
-    def body(carry, k):
-        logits, cache = carry
+    The step body here is the hand-hoisted twin of ``gpt_decode_step``
+    (equality pinned by tests): everything loop-invariant — the PE table,
+    the compute-dtype casts of all weights, and a concatenated (D, 3D)
+    QKV matrix — is computed ONCE per chunk instead of once per token,
+    and the three QKV matvecs fuse into one. XLA does not hoist these out
+    of the scan on its own; measured on the v5e this is the difference
+    between ~0.9k and ~8k tok/s single-stream.
+    """
+    dt = cfg.compute_dtype
+    D = cfg.d_model
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
+    Wqkv = jnp.concatenate(
+        [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
+    tokW = params["tok_W"].astype(dt)
+    head_b = params["head_b"].astype(dt)
+    start = cache.get("start", jnp.zeros((), jnp.int32))
+    start1 = jnp.atleast_1d(start)
+    t_ids = jnp.arange(cfg.ctx_len)
+    pe = None
+    if cfg.pos != "rope":
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
+
+    def decode_step(kbuf, vbuf, pos, token):
+        rel = jnp.atleast_1d(pos - start)
+        if cfg.pos == "rope":
+            h = tokW[token][:, None, :]
+            c, s_ = rope_tables(cfg.d_head, rel[:, None])
+            rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+        else:
+            h = tokW[token][:, None, :] + pe[rel][:, None, :]
+            rope = None
+        live = (t_ids[None, :] <= pos) & (t_ids[None, :] >= start1[:, None])
+        attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+
+        def body(carry, xs):
+            h_in = carry
+            lp, W3, k_l, v_l = xs
+            xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+            qkv = xn @ W3
+            q = _heads(qkv[..., :D], cfg.n_heads)
+            k = _heads(qkv[..., D:2 * D], cfg.n_heads)
+            v = _heads(qkv[..., 2 * D:], cfg.n_heads)
+            if rope is not None:
+                q = rope_rotate(q, rope[0], rope[1])
+                k = rope_rotate(k, rope[0], rope[1])
+            k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
+            a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+            h1 = h_in + a
+            x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+            f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+            return h1 + f, (k_l, v_l)
+
+        h, (K, V) = lax.scan(body, h, (layers, Wqkv, kbuf, vbuf))
+        new_logits = (h[:, -1] @ tokW.T + head_b).astype(jnp.float32)
+        return K, V, new_logits
+
+    def outer(carry, k):
+        logits, kbuf, vbuf, pos = carry
         tok = sample_token(k, logits, temperature, top_k, top_p)
-        new_logits, cache = gpt_decode_step(params, cache, tok, cfg)
-        return (new_logits, cache), tok
+        kbuf, vbuf, new_logits = decode_step(kbuf, vbuf, pos, tok)
+        return (new_logits, kbuf, vbuf, pos + 1), tok
 
     keys = jax.random.split(key, n_tokens)
-    (logits, cache), toks = lax.scan(body, (logits, cache), keys)
-    return toks.T, logits, cache  # (B, n_tokens)
+    (logits, K, V, pos), toks = lax.scan(
+        outer, (logits, cache["k"], cache["v"], cache["length"]), keys)
+    return toks.T, logits, dict(cache, k=K, v=V, length=pos)  # (B, n)

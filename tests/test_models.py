@@ -614,3 +614,37 @@ class TestBatchedGenerate:
         assert out1.shape == (2, 6)
         assert (np.asarray(out1) == np.asarray(out2)).all()
         assert int(jnp.max(out1)) < CFG.vocab_size
+
+
+class TestDecodeChunkEquivalence:
+    """The hoisted-invariants chunk body must sample exactly the tokens the
+    reference per-step path (sample_token + gpt_decode_step) produces."""
+
+    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "learned"])
+    def test_chunk_matches_stepwise(self, pos):
+        from linalg_tpu.models.gpt import gpt_decode_chunk
+
+        cfg = GPTConfig(vocab_size=29, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, pos=pos)
+        params = init_gpt_params(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        prompt = jnp.asarray(rng.integers(0, 29, (1, 5)), jnp.int32)
+        logits0, cache0 = gpt_prefill(params, prompt, cfg)
+        key = jax.random.PRNGKey(9)
+        n = 6
+        toks, logits_c, cache_c = gpt_decode_chunk(
+            params, cache0, logits0, key, cfg, n, 0.8, 3)
+        # reference: the same loop with the per-step public API
+        keys = jax.random.split(key, n)
+        logits, cache = logits0, cache0
+        ref = []
+        for i in range(n):
+            tok = sample_token(keys[i], logits, 0.8, 3)
+            ref.append(int(tok[0]))
+            logits, cache = gpt_decode_step(params, cache, tok, cfg)
+        assert [int(t) for t in np.asarray(toks[0])] == ref
+        np.testing.assert_allclose(np.asarray(logits_c), np.asarray(logits),
+                                   atol=1e-4)
+        assert int(cache_c["length"]) == int(cache["length"])
+        np.testing.assert_allclose(np.asarray(cache_c["k"]),
+                                   np.asarray(cache["k"]), atol=1e-5)

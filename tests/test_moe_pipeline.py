@@ -767,3 +767,33 @@ class TestMoEBatchedServing:
         out = gpt_generate(params, self.CFG, prompts, n_tokens=5, seed=0)
         assert out.shape == (2, 5)
         assert int(jnp.max(out)) < self.CFG.vocab_size
+
+
+def test_moe_decode_chunk_matches_stepwise():
+    """The hoisted-invariants MoE chunk samples exactly the per-step path."""
+    import jax as _jax
+
+    from linalg_tpu.models.gpt import gpt_prefill, sample_token
+    from linalg_tpu.models.moe import (moe_decode_chunk, moe_decode_step,
+                                       moe_prefill)
+
+    cfg = MoEGPTConfig(vocab_size=19, d_model=32, n_heads=4, n_layers=2,
+                       d_ff=64, ctx_len=16, n_experts=2, capacity_factor=4.0)
+    params = init_moe_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 19, (1, 5)), jnp.int32)
+    logits0, cache0 = moe_prefill(params, prompt, cfg)
+    key = _jax.random.PRNGKey(4)
+    n = 5
+    toks, logits_c, cache_c = moe_decode_chunk(params, cache0, logits0, key,
+                                               cfg, n, 0.9, 3)
+    keys = _jax.random.split(key, n)
+    logits, cache = logits0, cache0
+    ref = []
+    for i in range(n):
+        tok = sample_token(keys[i], logits, 0.9, 3)
+        ref.append(int(tok[0]))
+        logits, cache = moe_decode_step(params, cache, tok, cfg)
+    assert [int(t) for t in np.asarray(toks[0])] == ref
+    np.testing.assert_allclose(np.asarray(logits_c), np.asarray(logits),
+                               atol=1e-4)
