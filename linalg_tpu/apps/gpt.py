@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--lr_head", type=float, default=3e-4,
                     help="lr for the output-head bias (weights are tied)")
     ap.add_argument("--pos", type=str, default="sinusoidal",
-                    choices=("sinusoidal", "rope", "learned"),
+                    choices=("sinusoidal", "rope", "learned", "alibi"),
                     help="positional encoding for a fresh model")
     ap.add_argument("--experts", type=int, default=0,
                     help="mixture-of-experts FFN: number of experts for a "

@@ -34,6 +34,7 @@ import numpy as np
 from jax import lax
 
 from ..nn.cache import fkv_advance, fkv_write
+from ..nn.positional import alibi_slopes
 from ..nn.functional import (
     causal_mask,
     layer_norm,
@@ -69,11 +70,11 @@ class GPTConfig:
     n_layers: int = 4
     d_ff: Optional[int] = None
     ctx_len: int = 256
-    pos: str = "sinusoidal"  # "sinusoidal" (additive PE) or "rope"
+    pos: str = "sinusoidal"  # "sinusoidal" | "rope" | "learned" | "alibi"
     dtype: str = "float32"  # compute dtype: "float32" or "bfloat16"
 
     def __post_init__(self):
-        if self.pos not in ("sinusoidal", "rope", "learned"):
+        if self.pos not in ("sinusoidal", "rope", "learned", "alibi"):
             raise ValueError(f"Unknown positional encoding: {self.pos!r}")
         if self.pos == "rope" and (self.d_model // self.n_heads) % 2 != 0:
             raise ValueError("RoPE requires an even head dimension")
@@ -257,6 +258,22 @@ def _pick_attn_btd(B: int, T: int, cfg: "GPTConfig"):
     return lambda q, k, v: attention_btd(q, k, v, cfg.n_heads, True)
 
 
+# Rematted einsum sdpa: recompute the (B, H, T, T) probabilities in the
+# backward instead of saving them across the layer scan (measured win at
+# the published config, see _pick_attn). Shared by the short-context pick
+# and the ALiBi path (the fused kernels don't thread an additive bias).
+_REMAT_SDPA = jax.checkpoint(lambda q, k, v, mask: sdpa(q, k, v, mask))
+
+
+def _pick_attn_cfg(cfg: "GPTConfig", T: int):
+    """Config-aware attention pick: ALiBi forces the rematted sdpa (the
+    Pallas kernels bake in a pure causal mask and cannot thread the
+    per-head additive bias); everything else defers to ``_pick_attn``."""
+    if cfg.pos == "alibi":
+        return _REMAT_SDPA
+    return _pick_attn(T, cfg.d_head)
+
+
 def _pick_attn(T: int, d_head: int):
     """Fused Pallas attention on TPU when the tile fits VMEM, else sdpa.
 
@@ -284,7 +301,7 @@ def _pick_attn(T: int, d_head: int):
         # ms/step; bf16 unchanged (12.9 vs 13.0 — the bf16 residual is
         # half the bytes and XLA hides it). qkv-concat and (B,T,H,d)
         # layout variants were also measured and LOSE (19.0 / 16.0+ ms).
-        return jax.checkpoint(lambda q, k, v, mask: sdpa(q, k, v, mask))
+        return _REMAT_SDPA
     try:
         from ..nn.flash import FLASH_MAX_T, flash_attention
         from ..nn.flash_long import flash_attention_long
@@ -330,11 +347,47 @@ def _embed(params: Params, x_ids, cfg: GPTConfig, T: int):
     """
     if cfg.pos == "rope":
         return params["tok_W"][x_ids], rope_tables(cfg.d_head, jnp.arange(T))
+    if cfg.pos == "alibi":
+        # position enters ONLY through the per-head score bias
+        return params["tok_W"][x_ids], None
     if cfg.pos == "learned":
         pe = params["pos_W"][:T]
     else:
         pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
     return params["tok_W"][x_ids] + pe[None], None
+
+
+def _trunk_mask(cfg: "GPTConfig", T: int, dt) -> jnp.ndarray:
+    """Additive attention mask for the parallel (training/prefill) paths.
+
+    Causal (T, T) by default; ``pos="alibi"`` folds the per-head distance
+    bias ``slope_h * (j - i)`` in, giving (H, T, T) — sdpa broadcasts it
+    against (B, H, T, T) scores. The bias is purely relative, so it is
+    also correct for left-padded batched prefill (a shared shift cancels
+    in j - i); pad positions stay at -1e9.
+    """
+    m = causal_mask(T, dtype=dt)  # (1, 1, T, T)
+    if cfg.pos == "alibi":
+        sl = alibi_slopes(cfg.n_heads)
+        i = jnp.arange(T)
+        bias = sl[:, None, None] * (i[None, None, :] - i[None, :, None])
+        m = m + bias.astype(dt)[None]  # (1, H, T, T)
+    return m
+
+
+def _alibi_decode_bias(cfg: "GPTConfig", t_ids, pos, dt):
+    """(H, 1, ctx) additive bias for one cached decode position, or 0.
+
+    The query sits at cache slot ``pos``; key slot j contributes
+    ``slope_h * (j - pos)``. Slots beyond the live length are already at
+    -1e9 in the decode mask, so the (positive-bias) j > pos region is
+    inert.
+    """
+    if cfg.pos != "alibi":
+        return jnp.zeros((), dt)
+    sl = alibi_slopes(cfg.n_heads)
+    return (sl[:, None, None]
+            * (t_ids - pos)[None, None, :].astype(jnp.float32)).astype(dt)
 
 
 def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
@@ -344,15 +397,16 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
     T = x_ids.shape[-1]
     attn_btd = None
     if attn_fn is None:
-        attn_btd = _pick_attn_btd(x_ids.shape[0], T, cfg)
-        attn_fn = _pick_attn(T, cfg.d_head)
+        if cfg.pos != "alibi":
+            attn_btd = _pick_attn_btd(x_ids.shape[0], T, cfg)
+        attn_fn = _pick_attn_cfg(cfg, T)
     h, rope = _embed(params, x_ids, cfg, T)
 
     dt = cfg.compute_dtype
     h = h.astype(dt)
     if rope is not None:
         rope = (rope[0].astype(dt), rope[1].astype(dt))
-    mask = causal_mask(T, dtype=dt)
+    mask = _trunk_mask(cfg, T, dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     fused = _pick_fused(x_ids.shape[0], T, cfg)
 
@@ -446,7 +500,7 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
     h = h.astype(dt)
     if rope is not None:
         rope = (rope[0].astype(dt), rope[1].astype(dt))
-    mask = causal_mask(T, dtype=dt)
+    mask = _trunk_mask(cfg, T, dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
@@ -494,6 +548,8 @@ def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
         h = params["tok_W"][x_ids]
         c, s_ = rope_tables(cfg.d_head, pos_idx)  # (B, W, d/2)
         rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    elif cfg.pos == "alibi":
+        h = params["tok_W"][x_ids]
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
@@ -502,6 +558,12 @@ def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
     live = (cols[None, :, None] >= cols[None, None, :]) & (
         cols[None, None, :] >= start[:, None, None])  # causal & >= start
     mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]  # (B, 1, W, W)
+    if cfg.pos == "alibi":
+        # relative bias: the shared left-pad shift cancels in (j - i)
+        sl = alibi_slopes(cfg.n_heads)
+        bias = sl[:, None, None] * (
+            cols[None, None, :] - cols[None, :, None]).astype(jnp.float32)
+        mask = mask + bias.astype(dt)[None]  # (B, H, W, W)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
@@ -581,6 +643,9 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         h = params["tok_W"][token][:, None, :]
         c, s_ = rope_tables(cfg.d_head, rel[:, None])  # (1|B, 1, d/2)
         rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    elif cfg.pos == "alibi":
+        h = params["tok_W"][token][:, None, :]
+        rope = None
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
@@ -593,7 +658,8 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     # position p attends to cache slots <= pos (itself included at slot pos)
     live = (t_ids[None, :] <= pos) & (
         t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
-    attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+    attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+                 + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
     def body(carry, xs):
         h_in = carry
@@ -672,7 +738,7 @@ def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
     start1 = jnp.atleast_1d(start)
     t_ids = jnp.arange(cfg.ctx_len)
     pe = None
-    if cfg.pos != "rope":
+    if cfg.pos not in ("rope", "alibi"):
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
 
@@ -682,11 +748,15 @@ def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
             h = tokW[token][:, None, :]
             c, s_ = rope_tables(cfg.d_head, rel[:, None])
             rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+        elif cfg.pos == "alibi":
+            h = tokW[token][:, None, :]
+            rope = None
         else:
             h = tokW[token][:, None, :] + pe[rel][:, None, :]
             rope = None
         live = (t_ids[None, :] <= pos) & (t_ids[None, :] >= start1[:, None])
-        attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+        attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+                     + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
         def body(carry, xs):
             h_in = carry

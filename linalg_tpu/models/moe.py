@@ -30,7 +30,8 @@ import numpy as np
 from jax import lax
 
 from ..nn.functional import causal_mask, layer_norm, relu, rope_rotate, rope_tables
-from .gpt import GPTConfig, _heads, _pick_attn, _unheads, _embed
+from .gpt import (GPTConfig, _alibi_decode_bias, _heads, _pick_attn_cfg,
+                  _trunk_mask, _unheads, _embed)
 
 __all__ = [
     "MoEGPTConfig",
@@ -286,7 +287,7 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
     """Forward: ids (B, T) -> (logits (B, T, V), mean aux loss over layers)."""
     B, T = x_ids.shape
     if attn_fn is None:
-        attn_fn = _pick_attn(T, cfg.d_head)
+        attn_fn = _pick_attn_cfg(cfg, T)
     h, rope = _embed(params, x_ids, cfg, T)
 
     # mixed precision, mirroring gpt_apply: f32 masters, compute in
@@ -295,7 +296,7 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
     h = h.astype(dt)
     if rope is not None:
         rope = (rope[0].astype(dt), rope[1].astype(dt))
-    mask = causal_mask(T, dtype=dt)
+    mask = _trunk_mask(cfg, T, dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, T)  # per-row routing groups
     from .gpt import _pick_fused
@@ -351,7 +352,7 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
     h = h.astype(dt)
     if rope is not None:
         rope = (rope[0].astype(dt), rope[1].astype(dt))
-    mask = causal_mask(T, dtype=dt)
+    mask = _trunk_mask(cfg, T, dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, T)  # per-row routing groups
 
@@ -395,6 +396,8 @@ def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
         h = params["tok_W"][x_ids]
         c, s_ = rope_tables(cfg.d_head, pos_idx)
         rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    elif cfg.pos == "alibi":
+        h = params["tok_W"][x_ids]
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
@@ -403,6 +406,12 @@ def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
     live = (cols[None, :, None] >= cols[None, None, :]) & (
         cols[None, None, :] >= start[:, None, None])
     mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]
+    if cfg.pos == "alibi":
+        from ..nn.positional import alibi_slopes
+        sl = alibi_slopes(cfg.n_heads)
+        bias = sl[:, None, None] * (
+            cols[None, None, :] - cols[None, :, None]).astype(jnp.float32)
+        mask = mask + bias.astype(dt)[None]  # (B, H, W, W)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     cap = _capacity(cfg, W)
 
@@ -434,6 +443,9 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
         h = params["tok_W"][token][:, None, :]
         c, s_ = rope_tables(cfg.d_head, rel[:, None])
         rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    elif cfg.pos == "alibi":
+        h = params["tok_W"][token][:, None, :]
+        rope = None
     else:
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model))
@@ -446,7 +458,8 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     t_ids = jnp.arange(cfg.ctx_len)
     live = (t_ids[None, :] <= pos) & (
         t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
-    attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+    attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+                 + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
     def body(carry, xs):
         h_in = carry
@@ -498,7 +511,7 @@ def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
     start1 = jnp.atleast_1d(start)
     t_ids = jnp.arange(cfg.ctx_len)
     pe = None
-    if cfg.pos != "rope":
+    if cfg.pos not in ("rope", "alibi"):
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
     cap = _capacity(cfg, 1)
@@ -509,11 +522,15 @@ def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
             h = tokW[token][:, None, :]
             c, s_ = rope_tables(cfg.d_head, rel[:, None])
             rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+        elif cfg.pos == "alibi":
+            h = tokW[token][:, None, :]
+            rope = None
         else:
             h = tokW[token][:, None, :] + pe[rel][:, None, :]
             rope = None
         live = (t_ids[None, :] <= pos) & (t_ids[None, :] >= start1[:, None])
-        attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+        attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+                     + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
         def body(carry, xs):
             h_in = carry

@@ -21,8 +21,36 @@ __all__ = [
     "sinusoidal_encoding",
     "LearnedPositionalEmbedding",
     "RotaryPositionalEmbedding",
+    "alibi_slopes",
     "get_positional_encoding",
 ]
+
+
+def alibi_slopes(n_heads: int) -> jnp.ndarray:
+    """Per-head ALiBi slopes (Press et al., "Train Short, Test Long").
+
+    Head h biases its attention scores by ``slope_h * (j - i)`` (non-
+    positive under causality), replacing additive/rotary position signals
+    entirely. Slopes form the paper's geometric sequence starting at
+    2^(-8/n) for power-of-two head counts, with the published
+    interleaving rule otherwise. The reference lists ALiBi as an unbuilt
+    roadmap item (README.md:57-65); ``GPTConfig(pos="alibi")`` wires it
+    through training, prefill, and cached decode.
+    """
+    import math
+
+    def pow2_slopes(n: int):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if n_heads < 1:
+        raise ValueError("n_heads must be >= 1")
+    if math.log2(n_heads).is_integer():
+        s = pow2_slopes(n_heads)
+    else:
+        p = 2 ** int(math.floor(math.log2(n_heads)))
+        s = pow2_slopes(p) + pow2_slopes(2 * p)[0::2][: n_heads - p]
+    return jnp.asarray(s, jnp.float32)
 
 
 class LearnedPositionalEmbedding:

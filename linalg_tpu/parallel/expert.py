@@ -130,7 +130,7 @@ def make_ep_device_train_step(cfg: MoEGPTConfig, mesh: Mesh,
     cfg = _einsum_cfg(cfg)
     param_sh, opt_sh, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
     attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
-                                head_axis=None)
+                                head_axis=None, cfg=cfg)
     B, T = batch_size, cfg.ctx_len
 
     def step(params, opt_state, data_ids, key):
@@ -168,7 +168,7 @@ def make_ep_eval(cfg: MoEGPTConfig, mesh: Mesh, batch: int, batches: int):
     cfg = _einsum_cfg(cfg)
     param_sh, _, batch_sh, scalar_sh = _ep_shardings(cfg, mesh)
     attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head,
-                                head_axis=None)
+                                head_axis=None, cfg=cfg)
     T = cfg.ctx_len
 
     def evaluate(params, val_ids, key):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.gpt import GPTConfig, _layer, _pick_attn
+from ..models.gpt import GPTConfig, _layer, _pick_attn_cfg, _trunk_mask
 from ..nn.functional import causal_mask, rope_tables, sinusoidal_encoding
 
 __all__ = [
@@ -78,7 +78,7 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
         x_mb = x.reshape(M, mb, T)
         y_mb = y.reshape(M, mb, T)
         dt = cfg.compute_dtype  # bf16 also halves the ppermute ICI bytes
-        mask = causal_mask(T, dtype=dt)
+        mask = _trunk_mask(cfg, T, dt)
         tok_W = params["tok_W"]
         layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
         D = tok_W.shape[1]
@@ -87,6 +87,9 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
             r32 = rope_tables(cfg.d_head, jnp.arange(T))
             rope = (r32[0].astype(dt), r32[1].astype(dt))
             pe = None
+        elif cfg.pos == "alibi":
+            rope = None
+            pe = None  # position rides in the per-head mask bias
         else:
             rope = None
             pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
@@ -139,7 +142,7 @@ def _pp_loss_raw(cfg: GPTConfig, mesh: Mesh, n_microbatches: int,
     assert cfg.n_layers % mesh.shape["pp"] == 0, (
         "n_layers must divide by the pp axis size"
     )
-    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    attn_fn = _pick_attn_cfg(cfg, cfg.ctx_len)
     local = _pp_local_loss(cfg, n_microbatches, attn_fn, dp_axis)
     pspecs = pp_param_specs(dp_axis)
     batch_spec = P(dp_axis, None)
@@ -196,13 +199,16 @@ def _pp_1f1b_local(cfg: GPTConfig, n_microbatches: int, attn_fn,
         R = 2 * S - 1  # ring slots: fwd->bwd distance at stage 0 is 2S-2
         x_mb = x.reshape(M, mb, T)
         y_mb = y.reshape(M, mb, T)
-        mask = causal_mask(T, dtype=jnp.float32)
+        mask = _trunk_mask(cfg, T, jnp.float32)
         D = params["tok_W"].shape[1]
         n_tok = M * mb * T * (lax.axis_size(dp_axis) if dp_axis else 1)
 
         if cfg.pos == "rope":
             rope = rope_tables(cfg.d_head, jnp.arange(T))
             pe = None
+        elif cfg.pos == "alibi":
+            rope = None
+            pe = None  # position rides in the per-head mask bias
         else:
             rope = None
             pe = sinusoidal_encoding(cfg.ctx_len, cfg.d_model)[:T]
@@ -323,7 +329,7 @@ def make_pp_1f1b_grads(cfg: GPTConfig, mesh: Mesh, n_microbatches: int, *,
     assert cfg.n_layers % mesh.shape["pp"] == 0, (
         "n_layers must divide by the pp axis size"
     )
-    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    attn_fn = _pick_attn_cfg(cfg, cfg.ctx_len)
     local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, dp_axis)
     pspecs = pp_param_specs(dp_axis)
     batch_spec = P(dp_axis, None)
@@ -348,7 +354,7 @@ def make_pp_1f1b_train_step(cfg: GPTConfig, mesh: Mesh,
     the 1F1B schedule's manual gradients."""
     from ..train.optim import AdamWState, adamw_update, gpt_wd_mask
 
-    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    attn_fn = _pick_attn_cfg(cfg, cfg.ctx_len)
     local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, dp_axis)
     pspecs = pp_param_specs(dp_axis)
     batch_spec = P(dp_axis, None)
@@ -436,7 +442,7 @@ def make_pp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
     assert cfg.n_layers % mesh.shape["pp"] == 0, (
         "n_layers must divide by the pp axis size"
     )
-    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    attn_fn = _pick_attn_cfg(cfg, cfg.ctx_len)
     local = _pp_1f1b_local(cfg, n_microbatches, attn_fn, "dp")
     pspecs = pp_param_specs("dp")
     batch_spec = P("dp", None)
@@ -483,7 +489,7 @@ def make_pp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int, *,
     """Device-resident (dp, pp) eval companion to
     ``make_pp_device_train_step`` — GPipe forward-only loss (no backward,
     so the cheaper schedule), mean over ``batches`` sampled batches."""
-    attn_fn = _pick_attn(cfg.ctx_len, cfg.d_head)
+    attn_fn = _pick_attn_cfg(cfg, cfg.ctx_len)
     local = _pp_local_loss(cfg, n_microbatches, attn_fn, "dp")
     pspecs = pp_param_specs("dp")
     batch_spec = P("dp", None)

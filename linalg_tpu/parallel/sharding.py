@@ -73,7 +73,8 @@ def _shardings(mesh: Mesh, spec_tree):
 
 
 def make_sharded_attn(mesh: Mesh, T: int, d_head: int,
-                      batch_axis: str = "dp", head_axis: str = "tp"):
+                      batch_axis: str = "dp", head_axis: str = "tp",
+                      cfg: GPTConfig | None = None):
     """shard_map-wrapped attention for the dp x tp step.
 
     Heads are tp-local by parameter layout (Wq/Wk/Wv column-sharded), and
@@ -85,14 +86,40 @@ def make_sharded_attn(mesh: Mesh, T: int, d_head: int,
 
     ``head_axis=None`` replicates heads (used by the dp x ep MoE step,
     where the model-parallel axis shards experts, not heads).
+
+    ``cfg`` (optional) carries the positional mode: for ``pos="alibi"``
+    each device rebuilds the per-head distance bias for ITS OWN head
+    slice (``lax.axis_index`` picks the slope block), so the bias stays
+    tp-local with zero collectives — the (H, T, T) global mask is never
+    materialized.
     """
-    from ..models.gpt import _pick_attn
+    from ..models.gpt import _REMAT_SDPA, _pick_attn
     from ..nn.functional import causal_mask
 
-    local = _pick_attn(T, d_head)
+    if cfg is not None and cfg.pos == "alibi":
+        from ..nn.positional import alibi_slopes
 
-    def local_attn(q, k, v):
-        return local(q, k, v, causal_mask(T, dtype=q.dtype))
+        sl_all = alibi_slopes(cfg.n_heads)
+        i = jnp.arange(T)
+        dist = (i[None, :] - i[:, None]).astype(jnp.float32)  # j - i
+        base = causal_mask(T, dtype=jnp.float32)  # (1, 1, T, T)
+
+        def local_attn(q, k, v):
+            h_loc = q.shape[1]
+            if head_axis is None:
+                sl = sl_all
+            else:
+                idx = jax.lax.axis_index(head_axis)
+                sl = jax.lax.dynamic_slice_in_dim(
+                    sl_all, idx * h_loc, h_loc)
+            mask = (base
+                    + (sl[:, None, None] * dist)[None]).astype(q.dtype)
+            return _REMAT_SDPA(q, k, v, mask)
+    else:
+        local = _pick_attn(T, d_head)
+
+        def local_attn(q, k, v):
+            return local(q, k, v, causal_mask(T, dtype=q.dtype))
 
     spec = P(batch_axis, head_axis, None, None)
     fa = jax.shard_map(local_attn, mesh=mesh, in_specs=(spec, spec, spec),
@@ -116,7 +143,7 @@ def make_sharded_train_step(cfg: GPTConfig, mesh: Mesh, *,
     opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
 
     if attn_fn is None:
-        attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
+        attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head, cfg=cfg)
 
     def step(params, opt_state, x, y):
         loss, grads = jax.value_and_grad(
@@ -148,6 +175,12 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     ``pallas=True`` swaps in the in-kernel DMA ring (forward AND backward
     Pallas kernels, ``parallel.ring_pallas``) for compute/comm overlap.
     """
+    if cfg.pos == "alibi":
+        raise NotImplementedError(
+            "pos='alibi' is not wired into the ring-attention (sp) paths "
+            "yet — the ring kernels bake in a pure causal mask; use "
+            "dp/tp/pp/ep sharding or a non-alibi positional mode with --sp"
+        )
     attn_fn = _sp_ring(mesh, pallas)
 
     repl_leaf = NamedSharding(mesh, P())
@@ -211,6 +244,11 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
     from ..train.optim import AdamWState, adamw_update, gpt_lr_scales, \
         gpt_wd_mask, warmup_cosine
 
+    if cfg.pos == "alibi":
+        raise NotImplementedError(
+            "pos='alibi' is not wired into the ring-attention (sp) paths "
+            "yet — use dp/tp/pp/ep sharding or a non-alibi positional mode"
+        )
     attn_fn = _sp_ring(mesh, pallas)
 
     repl = NamedSharding(mesh, P())
@@ -301,7 +339,7 @@ def make_sharded_device_train_step(cfg: GPTConfig, mesh: Mesh,
     scalar_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp", None))
     opt_state_sh = AdamWState(m=param_sh, v=param_sh, t=scalar_sh)
-    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head, cfg=cfg)
     B, T = batch_size, cfg.ctx_len
 
     def step(params, opt_state, data_ids, key):
@@ -338,7 +376,7 @@ def make_sharded_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int):
     param_sh = _shardings(mesh, pspecs)
     scalar_sh = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P("dp", None))
-    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head)
+    attn_fn = make_sharded_attn(mesh, cfg.ctx_len, cfg.d_head, cfg=cfg)
     T = cfg.ctx_len
 
     def evaluate(params, val_ids, key):

@@ -620,7 +620,8 @@ class TestDecodeChunkEquivalence:
     """The hoisted-invariants chunk body must sample exactly the tokens the
     reference per-step path (sample_token + gpt_decode_step) produces."""
 
-    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "learned"])
+    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "learned",
+                                     "alibi"])
     def test_chunk_matches_stepwise(self, pos):
         from linalg_tpu.models.gpt import gpt_decode_chunk
 
