@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--weight_decay", type=float, default=0.01)
     ap.add_argument("--ckpt_dir", type=str, default="checkpoints_np")
     ap.add_argument("--gen_tokens", type=int, default=200)
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="REPL: draft K tokens/round via prompt-lookup "
+                    "speculative decoding (exact sampling distribution; "
+                    "needs prompt+gen_tokens+K+1 <= ctx_len, falls back "
+                    "to plain decode otherwise; dense GPT only)")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
     ap.add_argument("--top_p", type=float, default=0.0,
@@ -111,6 +116,32 @@ def repl(args) -> None:
         ctx = np.asarray(tok.encode(s), dtype=np.int32)
         if ctx.size == 0:
             print("(no known characters in prompt)")
+            continue
+        from ..models.moe import MoEGPTConfig
+
+        spec_ok = (args.speculative > 0
+                   and not isinstance(cfg, MoEGPTConfig)
+                   and ctx.size + args.gen_tokens + args.speculative + 1
+                   <= cfg.ctx_len)
+        if args.speculative > 0 and not spec_ok:
+            print("(speculative decode needs prompt+gen_tokens+K+1 <= "
+                  "ctx_len and a dense GPT; using plain decode)")
+        if spec_ok:
+            from ..models.speculative import gpt_generate_speculative
+
+            toks, rounds = gpt_generate_speculative(
+                params, cfg, ctx, args.gen_tokens,
+                n_draft=args.speculative, temperature=args.temperature,
+                top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+            if hasattr(tok, "token_bytes"):
+                text = b"".join(
+                    tok.token_bytes(int(t)) for t in toks
+                ).decode("utf-8", "replace")
+            else:
+                text = "".join(itos[int(t)] for t in toks)
+            print(text)
+            print(f"[speculative: {len(toks)} tokens in {rounds} rounds, "
+                  f"{len(toks) / max(rounds, 1):.2f} tok/round]")
             continue
         for ch in sample(
             params, cfg, ctx, tok,

@@ -687,11 +687,10 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
 
 
 @partial(jax.jit, static_argnames=("top_k",))
-def sample_token(key, logits, temperature=1.0, top_k: int = 0, top_p=0.0):
-    """Temperature + top-k categorical sampling (reference gpt.py:535-541),
-    plus nucleus (top-p) sampling: keep the smallest probability mass
-    >= top_p (Holtzman et al. 2019; the reference has top-k only).
-    ``top_p`` is traced — 0 (or >= 1) disables it with no extra compile."""
+def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p=0.0):
+    """Temperature/top-k/top-p transform shared by ``sample_token`` and the
+    speculative verifier (which needs the full TARGET distribution, not
+    just a sample, for its accept/resample step)."""
     z = logits / jnp.maximum(1e-6, temperature)
     if top_k > 0:
         kth = lax.top_k(z, top_k)[0][..., -1:]
@@ -705,7 +704,15 @@ def sample_token(key, logits, temperature=1.0, top_k: int = 0, top_p=0.0):
     # whose inclusive mass reaches p); threshold = smallest kept prob
     keep = (csum - sp) < p_eff
     thr = jnp.min(jnp.where(keep, sp, jnp.inf), axis=-1, keepdims=True)
-    z = jnp.where(probs >= thr, z, -1e9)
+    return jnp.where(probs >= thr, z, -1e9)
+
+
+def sample_token(key, logits, temperature=1.0, top_k: int = 0, top_p=0.0):
+    """Temperature + top-k categorical sampling (reference gpt.py:535-541),
+    plus nucleus (top-p) sampling: keep the smallest probability mass
+    >= top_p (Holtzman et al. 2019; the reference has top-k only).
+    ``top_p`` is traced — 0 (or >= 1) disables it with no extra compile."""
+    z = filter_logits(logits, temperature, top_k, top_p)
     return jax.random.categorical(key, z, axis=-1)
 
 
