@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -29,6 +30,7 @@ __all__ = [
     "apply_kv_cache",
     "fkv_init",
     "fkv_write",
+    "fkv_write_slots",
     "fkv_update",
     "fkv_advance",
 ]
@@ -139,6 +141,29 @@ def fkv_write(k_buf, v_buf, length, k_new, v_new):
     return (
         lax.dynamic_update_slice(k_buf, k_new, at),
         lax.dynamic_update_slice(v_buf, v_new, at),
+    )
+
+
+def fkv_write_slots(k_buf, v_buf, pos, k_new, v_new):
+    """Per-slot cache write: insert k_new/v_new (B, h, t, d) into fixed-shape
+    buffers (B, h, max_T, d) at a DIFFERENT time offset per batch row
+    (``pos`` is a traced (B,) int vector).
+
+    This is the continuous-batching primitive: slots in a serving batch sit
+    at independent sequence positions (requests join and leave the in-flight
+    batch at different times), so the shared-scalar ``fkv_write`` cannot
+    serve them. Implemented as a batch-vmapped ``dynamic_update_slice`` —
+    one fixed-shape scatter, no host sync.
+    """
+    pos = jnp.asarray(pos, jnp.int32)
+
+    def one(buf, new, p):
+        zero = jnp.zeros((), jnp.int32)
+        return lax.dynamic_update_slice(buf, new, (zero, p, zero))
+
+    return (
+        jax.vmap(one)(k_buf, k_new, pos),
+        jax.vmap(one)(v_buf, v_new, pos),
     )
 
 

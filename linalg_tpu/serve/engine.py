@@ -1,0 +1,495 @@
+"""Continuous-batching serving engine (slot-based, fixed-shape decode).
+
+Design (TPU-first):
+
+- The engine owns a KV cache of ``n_slots`` independent sequences
+  ``(L, B, h, ctx, d)`` with a PER-SLOT position vector — requests sit at
+  different sequence lengths, join when a slot frees, and leave when done.
+  Every device computation has ONE fixed shape, so the whole engine
+  compiles exactly twice (one prefill shape + one decode-chunk shape) no
+  matter how many requests stream through.
+- Decode runs in chunks of ``chunk`` tokens inside a single ``lax.scan``
+  dispatch; completions are detected on the host between chunks.
+- The engine is ASYNC: sampled chunk tokens stay on device, every chunk's
+  device->host copy is issued ``copy_to_host_async`` at dispatch, and the
+  host never blocks on tokens unless it must. Length-terminated requests
+  finish at host-computable chunk counts, so the SLOT frees immediately
+  (admission needs bookkeeping, not token values) while the completion is
+  EMITTED lazily once its async copies land. Only stop-token requests
+  force a blocking per-chunk fetch (the host has to SEE the tokens to
+  stop early), and only while one is active. On this runtime a blocking
+  readback costs ~40 ms of latency; the synchronous design measured
+  2.6k tok/s vs static batching's 13k on the bench workload — one
+  blocking sync per completion was the entire gap.
+- Admission = one single-prompt prefill (right-padded to a fixed window)
+  scattered into the freed slot's cache rows via ``dynamic_update_slice``.
+- Sampling parameters ride as traced per-slot vectors (temperature, top_p;
+  ``top_k`` is static and engine-wide — a per-slot k would change the
+  lowered top-k shape).
+
+Relation to the reference: extends the sampler semantics of
+/root/reference/gpt.py:518-546 (temperature / top-k, context-window cap)
+from one stream to a concurrent request stream; per-request outputs are
+pinned equal to the single-stream KV-cached decode by tests/test_serve.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Deque, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..nn.cache import fkv_write_slots
+from ..nn.functional import (
+    layer_norm,
+    relu,
+    rope_rotate,
+    rope_tables,
+    sdpa,
+    sinusoidal_encoding,
+)
+from ..nn.positional import alibi_slopes
+from ..models.gpt import (
+    GPTConfig,
+    _heads,
+    _unheads,
+    filter_logits,
+    gpt_prefill,
+)
+
+__all__ = ["Request", "Completion", "ServeEngine", "serve"]
+
+
+@dataclasses.dataclass
+class Request:
+    """One generation request. ``stop_token`` < 0 disables early stop."""
+
+    prompt: Sequence[int]
+    max_new_tokens: int
+    temperature: float = 1.0
+    top_p: float = 0.0
+    stop_token: int = -1
+    request_id: int = -1  # assigned by the engine at submit()
+
+
+@dataclasses.dataclass
+class Completion:
+    request_id: int
+    tokens: List[int]
+    prompt_len: int
+    finish_reason: str  # "length" | "stop"
+    submitted_at: float = 0.0
+    finished_at: float = 0.0
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
+def decode_chunk_slots(params, cache, logits, key, temp, top_p,
+                       cfg: GPTConfig, n_tokens: int, top_k: int = 0):
+    """Sample ``n_tokens`` for every slot in ONE device computation, with a
+    PER-SLOT cache position (the continuous-batching twin of
+    ``models.gpt.gpt_decode_chunk``, which assumes one shared position).
+
+    ``cache`` is {k, v: (L, B, h, ctx, d), pos: (B,) int32}; ``temp`` and
+    ``top_p`` are (B,) per-slot sampling vectors. Loop invariants (PE
+    table, dtype casts, the concatenated (D, 3D) QKV matrix) are hoisted
+    out of the scan exactly as in the shared-position chunk — XLA does not
+    hoist them itself and the difference is ~9x single-stream throughput.
+
+    Write positions are clamped to ctx-1: idle slots keep decoding garbage
+    into their own (soon re-prefilled) rows without ever overflowing the
+    buffer; active slots never hit the clamp because admission reserves
+    ceil(max_new/chunk)*chunk positions up front.
+    """
+    dt = cfg.compute_dtype
+    D = cfg.d_model
+    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
+    Wqkv = jnp.concatenate(
+        [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
+    tokW = params["tok_W"].astype(dt)
+    head_b = params["head_b"].astype(dt)
+    t_ids = jnp.arange(cfg.ctx_len)
+    temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
+    top_p = jnp.asarray(top_p, jnp.float32)[:, None]
+    pe = None
+    if cfg.pos not in ("rope", "alibi"):
+        pe = (params["pos_W"] if cfg.pos == "learned"
+              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
+    if cfg.pos == "alibi":
+        slopes = alibi_slopes(cfg.n_heads)  # (H,)
+
+    def decode_step(kbuf, vbuf, pos, token):
+        # pos: (B,) per-slot positions; slots always start at 0, so the
+        # logical position IS the cache position
+        if cfg.pos == "rope":
+            h = tokW[token][:, None, :]
+            c, s_ = rope_tables(cfg.d_head, pos[:, None])  # (B, 1, d/2)
+            rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+        elif cfg.pos == "alibi":
+            h = tokW[token][:, None, :]
+            rope = None
+        else:
+            # clamp: idle slots' positions grow past the table (their
+            # output is discarded; the clamp just keeps the gather in range)
+            h = (tokW[token][:, None, :]
+                 + pe[jnp.minimum(pos, cfg.ctx_len - 1)][:, None, :])
+            rope = None
+        live = t_ids[None, :] <= pos[:, None]  # (B, ctx)
+        mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+        if cfg.pos == "alibi":
+            # key slot j vs query at per-slot position: slope_h * (j - pos_b)
+            bias = (slopes[None, :, None, None]
+                    * (t_ids[None, :] - pos[:, None]).astype(jnp.float32)
+                    [:, None, None, :])
+            mask = mask + bias.astype(dt)  # (B, H, 1, ctx)
+        pos_w = jnp.minimum(pos, cfg.ctx_len - 1)
+
+        def body(carry, xs):
+            h_in = carry
+            lp, W3, k_l, v_l = xs
+            xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
+            qkv = xn @ W3
+            q = _heads(qkv[..., :D], cfg.n_heads)
+            k = _heads(qkv[..., D:2 * D], cfg.n_heads)
+            v = _heads(qkv[..., 2 * D:], cfg.n_heads)
+            if rope is not None:
+                q = rope_rotate(q, rope[0], rope[1])
+                k = rope_rotate(k, rope[0], rope[1])
+            k_l, v_l = fkv_write_slots(k_l, v_l, pos_w, k, v)
+            a = _unheads(sdpa(q, k_l, v_l, mask)) @ lp["Wo"]
+            h1 = h_in + a
+            x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
+            f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+            return h1 + f, (k_l, v_l)
+
+        h2, (K, V) = lax.scan(body, h, (layers, Wqkv, kbuf, vbuf))
+        new_logits = (h2[:, -1] @ tokW.T + head_b).astype(jnp.float32)
+        return K, V, new_logits
+
+    def outer(carry, k):
+        lg, kbuf, vbuf, pos = carry
+        tok = jax.random.categorical(
+            k, filter_logits(lg, temp, top_k, top_p), axis=-1)
+        kbuf, vbuf, new_logits = decode_step(kbuf, vbuf, pos, tok)
+        return (new_logits, kbuf, vbuf, pos + 1), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (logits, K, V, pos), toks = lax.scan(
+        outer, (logits, cache["k"], cache["v"], cache["pos"]), keys)
+    return toks.T, logits, dict(cache, k=K, v=V, pos=pos)  # toks: (B, n)
+
+
+@partial(jax.jit, static_argnames=())
+def _admit_slot(cache, logits, slot_k, slot_v, plen, slot_logits, b):
+    """Scatter one prefilled sequence into slot ``b`` of the engine cache.
+
+    slot_k/slot_v are (L, 1, h, ctx, d) from ``gpt_prefill``; the whole
+    slot row is replaced (stale garbage from the previous occupant dies
+    here) and its position resets to the prompt length.
+    """
+    z = jnp.zeros((), jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    k = lax.dynamic_update_slice(cache["k"], slot_k, (z, b, z, z, z))
+    v = lax.dynamic_update_slice(cache["v"], slot_v, (z, b, z, z, z))
+    pos = lax.dynamic_update_slice(
+        cache["pos"], jnp.asarray(plen, jnp.int32)[None], (b,))
+    logits = lax.dynamic_update_slice(logits, slot_logits, (b, z))
+    return dict(cache, k=k, v=v, pos=pos), logits
+
+
+class ServeEngine:
+    """Slot-based continuous-batching engine over one GPT.
+
+    Usage::
+
+        eng = ServeEngine(params, cfg, n_slots=8, chunk=32)
+        eng.submit(Request(prompt, max_new_tokens=100))
+        done = eng.run()          # drain queue + in-flight, list[Completion]
+
+    or incrementally: ``submit()`` any time, ``step()`` to advance one
+    decode chunk (admitting queued requests into free slots first).
+    """
+
+    def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
+                 chunk: int = 32, top_k: int = 0,
+                 prefill_window: Optional[int] = None, seed: int = 0):
+        from ..models.moe import MoEGPTConfig
+
+        if isinstance(cfg, MoEGPTConfig):
+            raise NotImplementedError(
+                "continuous batching currently serves the dense GPT; use "
+                "models.gpt.gpt_generate for static-batch MoE serving")
+        if chunk < 1:
+            raise ValueError("chunk must be >= 1")
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.chunk = chunk
+        self.top_k = top_k
+        self.prefill_window = (min(cfg.ctx_len - chunk, 256)
+                               if prefill_window is None else prefill_window)
+        if not (0 < self.prefill_window <= cfg.ctx_len - chunk):
+            raise ValueError(
+                f"prefill_window must be in (0, ctx_len - chunk]; got "
+                f"{self.prefill_window} (ctx_len={cfg.ctx_len}, "
+                f"chunk={chunk})")
+        dt = cfg.compute_dtype
+        shape = (cfg.n_layers, n_slots, cfg.n_heads, cfg.ctx_len, cfg.d_head)
+        self._cache: Dict[str, Any] = {
+            "k": jnp.zeros(shape, dt),
+            "v": jnp.zeros(shape, dt),
+            "pos": jnp.zeros((n_slots,), jnp.int32),
+        }
+        self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
+        self._temp = np.ones((n_slots,), np.float32)
+        self._top_p = np.zeros((n_slots,), np.float32)
+        self._samp_dev = None  # device copy of (temp, top_p), admission-dirty
+        self._slot_req: List[Optional[Request]] = [None] * n_slots
+        # async token plumbing: chunk arrays stay on device in _store and
+        # are materialized (ONE host sync) only when a slot needs them
+        self._slot_chunks: List[List[int]] = [[] for _ in range(n_slots)]
+        self._count = [0] * n_slots       # tokens decoded per slot
+        self._scanned = [0] * n_slots     # tokens already checked for stop
+        self._store: Dict[int, Any] = {}  # chunk_id -> (B, chunk) device arr
+        self._np: Dict[int, np.ndarray] = {}
+        self._refs: Dict[int, int] = {}
+        self._chunk_ids = itertools.count()
+        # budget-completed requests whose token copies are still in flight:
+        # (req, chunk_ids, batch_row, finished_ts)
+        self._pending_done: List[tuple] = []
+        self._since_sync = 0
+        self.sync_every = 16  # safety valve on dispatch-queue depth
+        self._queue: Deque[Request] = deque()
+        self._key = jax.random.PRNGKey(seed)
+        self._ids = itertools.count()
+        self._submit_ts: Dict[int, float] = {}
+        self.completions: List[Completion] = []
+        self.stats = {"chunks": 0, "decode_tokens": 0, "emitted_tokens": 0,
+                      "prefills": 0, "syncs": 0}
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(self, req: Request) -> int:
+        """Queue a request; returns its assigned request_id."""
+        plen = len(req.prompt)
+        if plen == 0:
+            raise ValueError("empty prompt")
+        if plen > self.prefill_window:
+            raise ValueError(
+                f"prompt length {plen} exceeds prefill_window "
+                f"{self.prefill_window}")
+        if req.max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
+        if plen + reserved > self.cfg.ctx_len:
+            raise ValueError(
+                f"prompt ({plen}) + reserved decode budget ({reserved} = "
+                f"max_new_tokens rounded up to the {self.chunk}-token chunk) "
+                f"exceeds ctx_len {self.cfg.ctx_len}")
+        req = dataclasses.replace(req, request_id=next(self._ids))
+        self._submit_ts[req.request_id] = time.perf_counter()
+        self._queue.append(req)
+        return req.request_id
+
+    # -- engine loop --------------------------------------------------------
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self._slot_req)
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue)
+
+    def _admit(self, slot: int, req: Request) -> None:
+        cfg, W = self.cfg, self.prefill_window
+        ids = np.zeros((1, W), np.int32)
+        plen = len(req.prompt)
+        ids[0, :plen] = np.asarray(req.prompt, np.int32)
+        # async: the prefill and the slot scatter are dispatched, never
+        # synced — the next decode chunk consumes them on-device
+        logits, cache = gpt_prefill(self.params, jnp.asarray(ids), cfg,
+                                    length=plen)
+        self._cache, self._logits = _admit_slot(
+            self._cache, self._logits, cache["k"], cache["v"],
+            plen, logits, slot)
+        if (self._temp[slot] != req.temperature
+                or self._top_p[slot] != req.top_p):
+            self._temp[slot] = req.temperature
+            self._top_p[slot] = req.top_p
+            self._samp_dev = None
+        self._slot_req[slot] = req
+        self._count[slot] = 0
+        self._scanned[slot] = 0
+        assert not self._slot_chunks[slot]
+        self.stats["prefills"] += 1
+
+    # -- async token store ----------------------------------------------
+
+    def _materialize(self, cid: int) -> np.ndarray:
+        """Fetch one chunk's tokens to host (memoized; THE sync point)."""
+        arr = self._np.get(cid)
+        if arr is None:
+            arr = np.asarray(self._store[cid])
+            self._np[cid] = arr
+            self._store[cid] = None  # device buffer no longer needed
+            self.stats["syncs"] += 1
+            self._since_sync = 0
+        return arr
+
+    def _ready(self, cid: int) -> bool:
+        if cid in self._np:
+            return True
+        arr = self._store.get(cid)
+        try:
+            return bool(arr.is_ready())
+        except AttributeError:  # pragma: no cover - older jax arrays
+            return False
+
+    def _slot_tokens(self, slot: int) -> np.ndarray:
+        cids = self._slot_chunks[slot]
+        return np.concatenate([self._materialize(c)[slot] for c in cids]) \
+            if cids else np.zeros((0,), np.int32)
+
+    def _release_cids(self, cids: List[int]) -> None:
+        for cid in cids:
+            self._refs[cid] -= 1
+            if self._refs[cid] == 0:
+                del self._refs[cid]
+                self._store.pop(cid, None)
+                self._np.pop(cid, None)
+
+    def _emit(self, req: Request, tokens: List[int], reason: str,
+              finished_ts: float) -> None:
+        self.completions.append(Completion(
+            request_id=req.request_id,
+            tokens=tokens,
+            prompt_len=len(req.prompt),
+            finish_reason=reason,
+            submitted_at=self._submit_ts.pop(req.request_id),
+            finished_at=finished_ts,
+        ))
+        self.stats["emitted_tokens"] += len(tokens)
+
+    def _finish(self, slot: int, tokens: List[int], reason: str) -> None:
+        """Eager finish (stop-token path): tokens already on host."""
+        req = self._slot_req[slot]
+        assert req is not None
+        self._emit(req, tokens, reason, time.perf_counter())
+        self._slot_req[slot] = None
+        self._release_cids(self._slot_chunks[slot])
+        self._slot_chunks[slot] = []
+
+    def _retire(self, slot: int) -> None:
+        """Lazy finish (length path): free the slot NOW — admission needs
+        only host bookkeeping — and emit once the async copies land."""
+        req = self._slot_req[slot]
+        assert req is not None
+        self._pending_done.append(
+            (req, self._slot_chunks[slot], slot, time.perf_counter()))
+        self._slot_req[slot] = None
+        self._slot_chunks[slot] = []
+
+    def _drain_pending(self, block: bool) -> None:
+        still = []
+        for ent in self._pending_done:
+            req, cids, row, ts = ent
+            if not block and not all(self._ready(c) for c in cids):
+                still.append(ent)
+                continue
+            seq = np.concatenate([self._materialize(c)[row] for c in cids])
+            self._emit(req, seq[:req.max_new_tokens].tolist(), "length", ts)
+            self._release_cids(cids)
+        self._pending_done = still
+
+    def step(self) -> bool:
+        """Admit queued requests into free slots, then advance every active
+        slot by one decode chunk. Returns False when fully idle.
+
+        The host blocks only when it must: a slot whose LENGTH budget
+        completed (known without looking at tokens), a stop-token request
+        being active (its new tokens must be scanned every chunk), or the
+        ``sync_every`` dispatch-depth safety valve.
+        """
+        self._drain_pending(block=False)
+        for slot in range(self.n_slots):
+            if self._slot_req[slot] is None and self._queue:
+                self._admit(slot, self._queue.popleft())
+        if self.n_active == 0:
+            return False
+        self._key, k = jax.random.split(self._key)
+        if self._samp_dev is None:
+            self._samp_dev = (jnp.asarray(self._temp),
+                              jnp.asarray(self._top_p))
+        toks, self._logits, self._cache = decode_chunk_slots(
+            self.params, self._cache, self._logits, k,
+            self._samp_dev[0], self._samp_dev[1],
+            self.cfg, self.chunk, self.top_k)
+        try:
+            toks.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax arrays
+            pass
+        active = [s for s in range(self.n_slots)
+                  if self._slot_req[s] is not None]
+        cid = next(self._chunk_ids)
+        self._store[cid] = toks
+        self._refs[cid] = len(active)
+        for s in active:
+            self._slot_chunks[s].append(cid)
+            self._count[s] += self.chunk
+        self.stats["chunks"] += 1
+        self.stats["decode_tokens"] += self.n_slots * self.chunk
+        self._since_sync += 1
+        if self._since_sync >= self.sync_every:
+            self._materialize(cid)
+
+        for slot in active:
+            req = self._slot_req[slot]
+            budget = req.max_new_tokens
+            if req.stop_token >= 0:
+                # eager scan: a stop-token request pays the per-chunk sync
+                seq = self._slot_tokens(slot)
+                new = seq[self._scanned[slot]:min(self._count[slot], budget)]
+                hits = np.nonzero(new == req.stop_token)[0]
+                if hits.size:
+                    end = self._scanned[slot] + int(hits[0]) + 1
+                    self._finish(slot, seq[:end].tolist(), "stop")
+                    continue
+                self._scanned[slot] = min(self._count[slot], budget)
+                if self._count[slot] >= budget:
+                    self._finish(
+                        slot, self._slot_tokens(slot)[:budget].tolist(),
+                        "length")
+            elif self._count[slot] >= budget:
+                self._retire(slot)  # slot frees now; emission is lazy
+        return True
+
+    def run(self) -> List[Completion]:
+        """Drain the queue and all in-flight slots; returns completions in
+        finish order (also accumulated on ``self.completions``)."""
+        start = len(self.completions)
+        while self.step():
+            pass
+        self._drain_pending(block=True)
+        return self.completions[start:]
+
+
+def serve(params, cfg: GPTConfig, requests: Sequence[Request],
+          n_slots: int = 8, chunk: int = 32, top_k: int = 0,
+          prefill_window: Optional[int] = None, seed: int = 0,
+          ) -> List[Completion]:
+    """One-shot convenience: submit ``requests``, run to completion, return
+    completions ordered by request_id."""
+    eng = ServeEngine(params, cfg, n_slots=n_slots, chunk=chunk, top_k=top_k,
+                      prefill_window=prefill_window, seed=seed)
+    for r in requests:
+        eng.submit(r)
+    done = eng.run()
+    return sorted(done, key=lambda c: c.request_id)

@@ -353,7 +353,7 @@ class TestRoPEGPT:
 
     def test_config_validation(self):
         with pytest.raises(ValueError, match="positional"):
-            GPTConfig(vocab_size=8, pos="alibi")
+            GPTConfig(vocab_size=8, pos="rotary-xl")  # unknown mode
         with pytest.raises(ValueError, match="even"):
             GPTConfig(vocab_size=8, d_model=9, n_heads=3, pos="rope")
 

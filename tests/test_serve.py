@@ -1,0 +1,193 @@
+"""Continuous-batching serving engine tests (linalg_tpu/serve).
+
+The correctness claim is slot isolation: a request decoded inside a busy
+multi-slot engine batch yields EXACTLY the tokens of the single-stream
+KV-cached decode (models.gpt.gpt_prefill + gpt_decode_chunk), regardless of
+what the other slots are doing, when it was admitted, or how the chunk
+boundary falls. Greedy (top_k=1) pins this without RNG coupling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linalg_tpu.models.gpt import (
+    GPTConfig,
+    gpt_decode_chunk,
+    gpt_prefill,
+    init_gpt_params,
+)
+from linalg_tpu.nn.cache import fkv_write_slots
+from linalg_tpu.serve import Completion, Request, ServeEngine, serve
+
+CFG = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2, ctx_len=64)
+PARAMS = init_gpt_params(CFG, seed=7)
+
+
+def greedy_single(params, cfg, prompt, n):
+    """Single-stream greedy oracle: prefill + shared-position decode chunk."""
+    ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+    logits, cache = gpt_prefill(params, ids, cfg)
+    toks, _, _ = gpt_decode_chunk(params, cache, logits,
+                                  jax.random.PRNGKey(0), cfg, n,
+                                  1.0, 1, 0.0)
+    return np.asarray(toks)[0].tolist()
+
+
+def rng_prompt(rng, cfg, lo=3, hi=12):
+    return rng.integers(0, cfg.vocab_size, size=rng.integers(lo, hi)).tolist()
+
+
+class TestFkvWriteSlots:
+    def test_per_slot_positions(self):
+        B, h, T, d = 3, 2, 8, 4
+        k = jnp.zeros((B, h, T, d), jnp.float32)
+        v = jnp.ones((B, h, T, d), jnp.float32)
+        kn = jnp.arange(B * h * d, dtype=jnp.float32).reshape(B, h, 1, d)
+        pos = jnp.asarray([0, 3, 7])
+        k2, v2 = fkv_write_slots(k, v, pos, kn, kn + 100)
+        for b, p in enumerate([0, 3, 7]):
+            np.testing.assert_array_equal(np.asarray(k2)[b, :, p], np.asarray(kn)[b, :, 0])
+            np.testing.assert_array_equal(np.asarray(v2)[b, :, p], np.asarray(kn)[b, :, 0] + 100)
+            # untouched rows keep their old values
+            other = [t for t in range(T) if t != p]
+            np.testing.assert_array_equal(np.asarray(k2)[b, :, other], 0.0)
+            np.testing.assert_array_equal(np.asarray(v2)[b, :, other], 1.0)
+
+    def test_multi_token_write(self):
+        B, h, T, d = 2, 1, 8, 4
+        k = jnp.zeros((B, h, T, d), jnp.float32)
+        kn = jnp.ones((B, h, 3, d), jnp.float32)
+        k2, _ = fkv_write_slots(k, k, jnp.asarray([1, 4]), kn, kn)
+        assert np.asarray(k2)[0, 0, 1:4].sum() == 3 * d
+        assert np.asarray(k2)[1, 0, 4:7].sum() == 3 * d
+
+
+class TestEngineGreedyEquality:
+    def test_single_request_matches_single_stream(self):
+        rng = np.random.default_rng(0)
+        prompt = rng_prompt(rng, CFG)
+        want = greedy_single(PARAMS, CFG, prompt, 10)
+        out = serve(PARAMS, CFG, [Request(prompt, 10)],
+                    n_slots=3, chunk=4, top_k=1)
+        assert len(out) == 1
+        assert out[0].tokens == want
+        assert out[0].finish_reason == "length"
+
+    @pytest.mark.parametrize("pos", ["rope", "alibi", "learned"])
+    def test_positional_modes(self, pos):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64, pos=pos)
+        params = init_gpt_params(cfg, seed=9)
+        rng = np.random.default_rng(1)
+        prompt = rng_prompt(rng, cfg)
+        want = greedy_single(params, cfg, prompt, 8)
+        out = serve(params, cfg, [Request(prompt, 8)],
+                    n_slots=2, chunk=4, top_k=1)
+        assert out[0].tokens == want
+
+    def test_concurrent_requests_are_isolated(self):
+        """Requests of different lengths decoding simultaneously in one
+        batch each match their solo single-stream decode exactly."""
+        rng = np.random.default_rng(2)
+        reqs = [Request(rng_prompt(rng, CFG), int(n)) for n in (5, 11, 7, 16)]
+        want = [greedy_single(PARAMS, CFG, r.prompt, r.max_new_tokens)
+                for r in reqs]
+        out = serve(PARAMS, CFG, reqs, n_slots=4, chunk=4, top_k=1)
+        assert [c.tokens for c in out] == want
+
+    def test_staggered_admission_and_slot_reuse(self):
+        """More requests than slots: late requests are admitted into freed
+        slots mid-stream (different absolute chunk phase) and still match."""
+        rng = np.random.default_rng(3)
+        reqs = [Request(rng_prompt(rng, CFG), int(n))
+                for n in (3, 9, 4, 13, 6, 8)]
+        want = [greedy_single(PARAMS, CFG, r.prompt, r.max_new_tokens)
+                for r in reqs]
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1)
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        assert len(done) == len(reqs)
+        by_id = {c.request_id: c for c in done}
+        for i in range(len(reqs)):
+            assert by_id[i].tokens == want[i], f"request {i} diverged"
+        assert eng.stats["prefills"] == len(reqs)
+        assert eng.n_active == 0 and eng.pending == 0
+
+    def test_incremental_submit_mid_flight(self):
+        """submit() while the engine is mid-decode joins the in-flight batch
+        without disturbing the running request."""
+        rng = np.random.default_rng(4)
+        a = Request(rng_prompt(rng, CFG), 12)
+        b = Request(rng_prompt(rng, CFG), 6)
+        want_a = greedy_single(PARAMS, CFG, a.prompt, 12)
+        want_b = greedy_single(PARAMS, CFG, b.prompt, 6)
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=3, top_k=1)
+        eng.submit(a)
+        assert eng.step()  # a alone for one chunk
+        eng.submit(b)      # b joins mid-flight
+        eng.run()
+        by_id = {c.request_id: c for c in eng.completions}
+        assert by_id[0].tokens == want_a
+        assert by_id[1].tokens == want_b
+
+
+class TestEngineSemantics:
+    def test_stop_token(self):
+        rng = np.random.default_rng(5)
+        prompt = rng_prompt(rng, CFG)
+        full = greedy_single(PARAMS, CFG, prompt, 16)
+        stop = full[4]  # force an early stop at the 5th generated token
+        out = serve(PARAMS, CFG,
+                    [Request(prompt, 16, stop_token=stop)],
+                    n_slots=2, chunk=4, top_k=1)
+        c = out[0]
+        assert c.finish_reason == "stop"
+        assert c.tokens == full[:full.index(stop) + 1]
+
+    def test_chunk_boundary_exact_budget(self):
+        """max_new_tokens equal to and off by one from the chunk size."""
+        rng = np.random.default_rng(6)
+        prompt = rng_prompt(rng, CFG)
+        for n in (4, 5, 8):
+            want = greedy_single(PARAMS, CFG, prompt, n)
+            out = serve(PARAMS, CFG, [Request(prompt, n)],
+                        n_slots=1, chunk=4, top_k=1)
+            assert out[0].tokens == want
+
+    def test_validation(self):
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8)
+        with pytest.raises(ValueError, match="empty prompt"):
+            eng.submit(Request([], 4))
+        with pytest.raises(ValueError, match="prefill_window"):
+            eng.submit(Request(list(range(CFG.ctx_len)), 4))
+        with pytest.raises(ValueError, match="exceeds ctx_len"):
+            eng.submit(Request([1, 2, 3], CFG.ctx_len))
+        with pytest.raises(ValueError, match="max_new_tokens"):
+            eng.submit(Request([1], 0))
+        with pytest.raises(NotImplementedError):
+            from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+            mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                                n_layers=2, ctx_len=64, n_experts=2)
+            ServeEngine(init_moe_params(mcfg, seed=0), mcfg)
+
+    def test_sampling_reproducible_and_in_range(self):
+        rng = np.random.default_rng(7)
+        reqs = [Request(rng_prompt(rng, CFG), 8, temperature=0.8, top_p=0.9),
+                Request(rng_prompt(rng, CFG), 8, temperature=1.3)]
+        out1 = serve(PARAMS, CFG, list(reqs), n_slots=2, chunk=4, seed=42)
+        out2 = serve(PARAMS, CFG, list(reqs), n_slots=2, chunk=4, seed=42)
+        assert [c.tokens for c in out1] == [c.tokens for c in out2]
+        for c in out1:
+            assert len(c.tokens) == 8
+            assert all(0 <= t < CFG.vocab_size for t in c.tokens)
+
+    def test_latency_fields(self):
+        rng = np.random.default_rng(8)
+        out = serve(PARAMS, CFG, [Request(rng_prompt(rng, CFG), 4)],
+                    n_slots=1, chunk=4)
+        c = out[0]
+        assert c.finished_at >= c.submitted_at > 0
+        assert isinstance(c, Completion) and c.prompt_len > 0
