@@ -434,12 +434,71 @@ def bench_serve():
           eng_tps, "tok/s", eng_tps / max(static_tps, 1.0))
 
 
+def bench_quant():
+    """Int8 weight-only decode (deq + int8 arithmetic) vs the bf16 decode.
+
+    Decode re-reads every matmul weight per token, so the win scales with
+    model size: at the published config (12.6M weight params) the chunk is
+    fusion-launch-bound and quant LOSES; at d1024/8L (~100M params) the
+    weight traffic dominates and deq wins ~1.14x (see models/quant.py).
+    Each row measures 3 chained 128-token chunks (one final readback) from
+    one prefill, median of 3.
+    """
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from linalg_tpu.models.gpt import (GPTConfig, gpt_decode_chunk,
+                                       gpt_prefill, init_gpt_params)
+    from linalg_tpu.models.quant import (gpt_decode_chunk_q,
+                                         quantize_gpt_params)
+
+    def tok_s(cfg, params_like, decode, n=128, chains=3, reps=3):
+        prompt = (np.arange(8) % cfg.vocab_size).astype(np.int32)
+        logits, cache = gpt_prefill(_P[cfg], jnp.asarray(prompt[None]), cfg)
+        key = jax.random.PRNGKey(0)
+
+        def run():
+            lg, c = logits, cache
+            t = None
+            for _ in range(chains):
+                t, lg, c = decode(params_like, c, lg, key, cfg, n,
+                                  1.0, 0, 0.0)
+            np.asarray(t)  # ONE sync for the whole chain
+
+        run()  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            ts.append(chains * n / (time.perf_counter() - t0))
+        return float(np.median(ts))
+
+    _P = {}
+    for name, (D, L) in (("published d512/4L", (512, 4)),
+                         ("large d1024/8L", (1024, 8))):
+        cfg = GPTConfig(vocab_size=65, d_model=D, n_heads=4, n_layers=L,
+                        ctx_len=512, dtype="bfloat16")
+        params = init_gpt_params(cfg, seed=0)
+        _P[cfg] = params
+        qparams = quantize_gpt_params(params, cfg)
+        bf = tok_s(cfg, params, gpt_decode_chunk)
+        for mode in ("deq", "int8"):
+            q8 = tok_s(cfg, qparams,
+                       _partial(gpt_decode_chunk_q, mode=mode))
+            _emit(f"int8 weight-only decode ({mode}), {name} ctx512 "
+                  f"(vs bf16 decode {bf:.0f} tok/s)",
+                  q8, "tok/s", q8 / max(bf, 1.0))
+
+
 SECTIONS = {
     "attention": bench_attention,
     "train": bench_train,
     "moe": bench_moe,
     "sampler": bench_sampler,
     "serve": bench_serve,
+    "quant": bench_quant,
     "qr": bench_qr,
 }
 
@@ -457,7 +516,8 @@ def main():
         SECTIONS[args.only]()
     elif args.all:
         # headline (qr) LAST: the driver parses the final line
-        for name in ("attention", "train", "moe", "sampler", "qr"):
+        for name in ("attention", "train", "moe", "sampler", "serve",
+                     "quant", "qr"):
             SECTIONS[name]()
     else:
         bench_qr()

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "speculative decoding (exact sampling distribution; "
                     "needs prompt+gen_tokens+K+1 <= ctx_len, falls back "
                     "to plain decode otherwise; dense GPT only)")
+    ap.add_argument("--quant", type=str, default="none",
+                    choices=("none", "int8"),
+                    help="REPL: decode with int8 weight-only quantized "
+                         "matvecs (per-output-channel scales, bf16 "
+                         "dequant-in-dot arithmetic; dense GPT only)")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
     ap.add_argument("--top_p", type=float, default=0.0,
@@ -143,6 +148,11 @@ def repl(args) -> None:
             print(f"[speculative: {len(toks)} tokens in {rounds} rounds, "
                   f"{len(toks) / max(rounds, 1):.2f} tok/round]")
             continue
+        quant = getattr(args, "quant", "none")
+        if quant != "none" and isinstance(cfg, MoEGPTConfig):
+            print("(--quant supports the dense GPT only; using full "
+                  "precision)")
+            quant = "none"
         for ch in sample(
             params, cfg, ctx, tok,
             steps=args.gen_tokens,
@@ -151,6 +161,7 @@ def repl(args) -> None:
             top_p=args.top_p,
             seed=args.seed,
             chunk=min(max(args.gen_tokens, 1), 256),
+            quant=quant,
         ):
             print(ch, end="", flush=True)
         print()

@@ -716,84 +716,143 @@ def sample_token(key, logits, temperature=1.0, top_k: int = 0, top_p=0.0):
     return jax.random.categorical(key, z, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
-def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
-                     n_tokens: int, temperature=1.0, top_k: int = 0,
-                     top_p=0.0):
-    """Sample ``n_tokens`` autoregressively in ONE device computation.
+def _dt_decode_ops(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
+    """Hoisted full-precision decode ops for ``_decode_chunk_core``.
 
-    Each host dispatch costs a ~40 ms round trip on this runtime, so the
-    sample -> decode-step loop runs as a lax.scan on device; only the final
-    (tokens, logits, cache) cross the host boundary per chunk.
+    Everything loop-invariant — the PE table, the compute-dtype casts of
+    all weights, and a concatenated (D, 3D) QKV matrix — is computed ONCE
+    per chunk instead of once per token, and the three QKV matvecs fuse
+    into one. XLA does not hoist these out of the scan on its own;
+    measured on the v5e this is the difference between ~0.9k and ~8k
+    tok/s single-stream.
 
-    The step body here is the hand-hoisted twin of ``gpt_decode_step``
-    (equality pinned by tests): everything loop-invariant — the PE table,
-    the compute-dtype casts of all weights, and a concatenated (D, 3D)
-    QKV matrix — is computed ONCE per chunk instead of once per token,
-    and the three QKV matvecs fuse into one. XLA does not hoist these out
-    of the scan on its own; measured on the v5e this is the difference
-    between ~0.9k and ~8k tok/s single-stream.
+    ``models.quant._q_decode_ops`` is the int8 weight-only twin; the two
+    share the scan skeleton via ``_decode_chunk_core``.
     """
     dt = cfg.compute_dtype
-    D = cfg.d_model
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
-    Wqkv = jnp.concatenate(
+    W3 = jnp.concatenate(
         [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
     tokW = params["tok_W"].astype(dt)
     head_b = params["head_b"].astype(dt)
-    start = cache.get("start", jnp.zeros((), jnp.int32))
-    start1 = jnp.atleast_1d(start)
-    t_ids = jnp.arange(cfg.ctx_len)
     pe = None
     if cfg.pos not in ("rope", "alibi"):
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
+    return {
+        # per-layer pytree scanned over L; lw below is one layer's slice
+        "lws": {"lp": layers, "W3": W3},
+        "embed": lambda token: tokW[token][:, None, :],
+        # clamp: a serving slot's position may grow past the table while it
+        # idles (output discarded); the clamp just keeps the gather in range
+        "pe": (None if pe is None else
+               lambda rel: pe[jnp.minimum(rel, cfg.ctx_len - 1)][:, None, :]),
+        "ln1": lambda lw, x: layer_norm(x, lw["lp"]["ln1_g"],
+                                        lw["lp"]["ln1_b"]),
+        "qkv": lambda lw, xn: xn @ lw["W3"],
+        "out": lambda lw, y: y @ lw["lp"]["Wo"],
+        "ln2": lambda lw, x: layer_norm(x, lw["lp"]["ln2_g"],
+                                        lw["lp"]["ln2_b"]),
+        "ffn": lambda lw, x2: (relu(x2 @ lw["lp"]["W1"] + lw["lp"]["b1"])
+                               @ lw["lp"]["W2"] + lw["lp"]["b2"]),
+        "head": lambda h: (h @ tokW.T + head_b).astype(jnp.float32),
+    }
+
+
+def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
+                       key, n_tokens: int, temperature, top_k: int, top_p,
+                       write_fn):
+    """Shared sample->decode-step scan under every decode chunk.
+
+    Each host dispatch costs a ~40 ms round trip on this runtime, so the
+    whole loop runs as a lax.scan on device; only the final (tokens,
+    logits, cache) cross the host boundary per chunk.
+
+    Parameterized over the weight representation (``ops``, see
+    ``_dt_decode_ops`` / ``models.quant``), the cache-position model
+    (``pos0``/``start`` scalar = one shared decode position as in
+    ``gpt_prefill[_batched]``; vectors = per-slot positions as in the
+    continuous-batching engine), and the cache-write primitive
+    (``fkv_write`` vs the per-slot ``fkv_write_slots``). ``temperature``/
+    ``top_p`` may be scalars or per-row (B, 1) vectors.
+    """
+    dt = cfg.compute_dtype
+    D = cfg.d_model
+    t_ids = jnp.arange(cfg.ctx_len)
+    start1 = jnp.atleast_1d(start)
+    slopes = alibi_slopes(cfg.n_heads) if cfg.pos == "alibi" else None
 
     def decode_step(kbuf, vbuf, pos, token):
         rel = jnp.atleast_1d(pos - start)
         if cfg.pos == "rope":
-            h = tokW[token][:, None, :]
+            h = ops["embed"](token)
             c, s_ = rope_tables(cfg.d_head, rel[:, None])
             rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
         elif cfg.pos == "alibi":
-            h = tokW[token][:, None, :]
+            h = ops["embed"](token)
             rope = None
         else:
-            h = tokW[token][:, None, :] + pe[rel][:, None, :]
+            h = ops["embed"](token) + ops["pe"](rel)
             rope = None
-        live = (t_ids[None, :] <= pos) & (t_ids[None, :] >= start1[:, None])
-        attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
-                     + _alibi_decode_bias(cfg, t_ids, pos, dt))
+        h = h.astype(dt)
+        pos1 = jnp.atleast_1d(pos)
+        live = (t_ids[None, :] <= pos1[:, None]) & (
+            t_ids[None, :] >= start1[:, None])
+        mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+        if slopes is not None:
+            # key slot j vs the query at ``pos``: slope_h * (j - pos);
+            # j > pos is inert under the -1e9 of the live mask
+            bias = (slopes[None, :, None, None]
+                    * (t_ids[None, :] - pos1[:, None]).astype(jnp.float32)
+                    [:, None, None, :])
+            mask = mask + bias.astype(dt)
 
         def body(carry, xs):
             h_in = carry
-            lp, W3, k_l, v_l = xs
-            xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-            qkv = xn @ W3
+            lw, k_l, v_l = xs
+            xn = ops["ln1"](lw, h_in)
+            qkv = ops["qkv"](lw, xn)
             q = _heads(qkv[..., :D], cfg.n_heads)
             k = _heads(qkv[..., D:2 * D], cfg.n_heads)
             v = _heads(qkv[..., 2 * D:], cfg.n_heads)
             if rope is not None:
                 q = rope_rotate(q, rope[0], rope[1])
                 k = rope_rotate(k, rope[0], rope[1])
-            k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
-            a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+            k_l, v_l = write_fn(k_l, v_l, pos, k, v)
+            a = ops["out"](lw, _unheads(sdpa(q, k_l, v_l, mask)))
             h1 = h_in + a
-            x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-            f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+            f = ops["ffn"](lw, ops["ln2"](lw, h1))
             return h1 + f, (k_l, v_l)
 
-        h, (K, V) = lax.scan(body, h, (layers, Wqkv, kbuf, vbuf))
-        new_logits = (h[:, -1] @ tokW.T + head_b).astype(jnp.float32)
-        return K, V, new_logits
+        h2, (K, V) = lax.scan(body, h, (ops["lws"], kbuf, vbuf))
+        return K, V, ops["head"](h2[:, -1])
 
     def outer(carry, k):
-        logits, kbuf, vbuf, pos = carry
-        tok = sample_token(k, logits, temperature, top_k, top_p)
-        kbuf, vbuf, new_logits = decode_step(kbuf, vbuf, pos, tok)
-        return (new_logits, kbuf, vbuf, pos + 1), tok
+        lg, kb, vb, pos = carry
+        tok = jax.random.categorical(
+            k, filter_logits(lg, temperature, top_k, top_p), axis=-1)
+        kb, vb, new_logits = decode_step(kb, vb, pos, tok)
+        return (new_logits, kb, vb, pos + 1), tok
 
     keys = jax.random.split(key, n_tokens)
     (logits, K, V, pos), toks = lax.scan(
-        outer, (logits, cache["k"], cache["v"], cache["length"]), keys)
-    return toks.T, logits, dict(cache, k=K, v=V, length=pos)  # (B, n)
+        outer, (logits, kbuf, vbuf, pos0), keys)
+    return toks.T, logits, K, V, pos  # toks: (B, n)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
+def gpt_decode_chunk(params, cache, logits, key, cfg: GPTConfig,
+                     n_tokens: int, temperature=1.0, top_k: int = 0,
+                     top_p=0.0):
+    """Sample ``n_tokens`` autoregressively in ONE device computation.
+
+    The step body is the hand-hoisted twin of ``gpt_decode_step``
+    (equality pinned by tests); see ``_decode_chunk_core`` /
+    ``_dt_decode_ops`` for the hoisting story.
+    """
+    ops = _dt_decode_ops(params, cfg)
+    start = cache.get("start", jnp.zeros((), jnp.int32))
+    toks, logits, K, V, pos = _decode_chunk_core(
+        cfg, ops, logits, cache["k"], cache["v"], cache["length"], start,
+        key, n_tokens, temperature, top_k, top_p, fkv_write)
+    return toks, logits, dict(cache, k=K, v=V, length=pos)

@@ -48,22 +48,7 @@ import numpy as np
 from jax import lax
 
 from ..nn.cache import fkv_write_slots
-from ..nn.functional import (
-    layer_norm,
-    relu,
-    rope_rotate,
-    rope_tables,
-    sdpa,
-    sinusoidal_encoding,
-)
-from ..nn.positional import alibi_slopes
-from ..models.gpt import (
-    GPTConfig,
-    _heads,
-    _unheads,
-    filter_logits,
-    gpt_prefill,
-)
+from ..models.gpt import GPTConfig, gpt_prefill
 
 __all__ = ["Request", "Completion", "ServeEngine", "serve"]
 
@@ -94,96 +79,34 @@ class Completion:
 def decode_chunk_slots(params, cache, logits, key, temp, top_p,
                        cfg: GPTConfig, n_tokens: int, top_k: int = 0):
     """Sample ``n_tokens`` for every slot in ONE device computation, with a
-    PER-SLOT cache position (the continuous-batching twin of
-    ``models.gpt.gpt_decode_chunk``, which assumes one shared position).
+    PER-SLOT cache position (the continuous-batching instantiation of
+    ``models.gpt._decode_chunk_core``; ``gpt_decode_chunk`` is the
+    shared-position one).
 
     ``cache`` is {k, v: (L, B, h, ctx, d), pos: (B,) int32}; ``temp`` and
-    ``top_p`` are (B,) per-slot sampling vectors. Loop invariants (PE
-    table, dtype casts, the concatenated (D, 3D) QKV matrix) are hoisted
-    out of the scan exactly as in the shared-position chunk — XLA does not
-    hoist them itself and the difference is ~9x single-stream throughput.
+    ``top_p`` are (B,) per-slot sampling vectors. Slots always start at
+    cache position 0, so the logical position IS the cache position.
 
     Write positions are clamped to ctx-1: idle slots keep decoding garbage
     into their own (soon re-prefilled) rows without ever overflowing the
     buffer; active slots never hit the clamp because admission reserves
     ceil(max_new/chunk)*chunk positions up front.
     """
-    dt = cfg.compute_dtype
-    D = cfg.d_model
-    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
-    Wqkv = jnp.concatenate(
-        [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
-    tokW = params["tok_W"].astype(dt)
-    head_b = params["head_b"].astype(dt)
-    t_ids = jnp.arange(cfg.ctx_len)
+    from ..models.gpt import _decode_chunk_core, _dt_decode_ops
+
+    ops = _dt_decode_ops(params, cfg)
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
-    pe = None
-    if cfg.pos not in ("rope", "alibi"):
-        pe = (params["pos_W"] if cfg.pos == "learned"
-              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
-    if cfg.pos == "alibi":
-        slopes = alibi_slopes(cfg.n_heads)  # (H,)
 
-    def decode_step(kbuf, vbuf, pos, token):
-        # pos: (B,) per-slot positions; slots always start at 0, so the
-        # logical position IS the cache position
-        if cfg.pos == "rope":
-            h = tokW[token][:, None, :]
-            c, s_ = rope_tables(cfg.d_head, pos[:, None])  # (B, 1, d/2)
-            rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
-        elif cfg.pos == "alibi":
-            h = tokW[token][:, None, :]
-            rope = None
-        else:
-            # clamp: idle slots' positions grow past the table (their
-            # output is discarded; the clamp just keeps the gather in range)
-            h = (tokW[token][:, None, :]
-                 + pe[jnp.minimum(pos, cfg.ctx_len - 1)][:, None, :])
-            rope = None
-        live = t_ids[None, :] <= pos[:, None]  # (B, ctx)
-        mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
-        if cfg.pos == "alibi":
-            # key slot j vs query at per-slot position: slope_h * (j - pos_b)
-            bias = (slopes[None, :, None, None]
-                    * (t_ids[None, :] - pos[:, None]).astype(jnp.float32)
-                    [:, None, None, :])
-            mask = mask + bias.astype(dt)  # (B, H, 1, ctx)
-        pos_w = jnp.minimum(pos, cfg.ctx_len - 1)
+    def write_slots(k_l, v_l, pos, k, v):
+        return fkv_write_slots(k_l, v_l, jnp.minimum(pos, cfg.ctx_len - 1),
+                               k, v)
 
-        def body(carry, xs):
-            h_in = carry
-            lp, W3, k_l, v_l = xs
-            xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-            qkv = xn @ W3
-            q = _heads(qkv[..., :D], cfg.n_heads)
-            k = _heads(qkv[..., D:2 * D], cfg.n_heads)
-            v = _heads(qkv[..., 2 * D:], cfg.n_heads)
-            if rope is not None:
-                q = rope_rotate(q, rope[0], rope[1])
-                k = rope_rotate(k, rope[0], rope[1])
-            k_l, v_l = fkv_write_slots(k_l, v_l, pos_w, k, v)
-            a = _unheads(sdpa(q, k_l, v_l, mask)) @ lp["Wo"]
-            h1 = h_in + a
-            x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-            f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
-            return h1 + f, (k_l, v_l)
-
-        h2, (K, V) = lax.scan(body, h, (layers, Wqkv, kbuf, vbuf))
-        new_logits = (h2[:, -1] @ tokW.T + head_b).astype(jnp.float32)
-        return K, V, new_logits
-
-    def outer(carry, k):
-        lg, kbuf, vbuf, pos = carry
-        tok = jax.random.categorical(
-            k, filter_logits(lg, temp, top_k, top_p), axis=-1)
-        kbuf, vbuf, new_logits = decode_step(kbuf, vbuf, pos, tok)
-        return (new_logits, kbuf, vbuf, pos + 1), tok
-
-    keys = jax.random.split(key, n_tokens)
-    (logits, K, V, pos), toks = lax.scan(
-        outer, (logits, cache["k"], cache["v"], cache["pos"]), keys)
-    return toks.T, logits, dict(cache, k=K, v=V, pos=pos)  # toks: (B, n)
+    toks, logits, K, V, pos = _decode_chunk_core(
+        cfg, ops, logits, cache["k"], cache["v"], cache["pos"],
+        jnp.zeros((), jnp.int32), key, n_tokens, temp, top_k, top_p,
+        write_slots)
+    return toks, logits, dict(cache, k=K, v=V, pos=pos)
 
 
 @partial(jax.jit, static_argnames=())

@@ -456,7 +456,7 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
 
 def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
            temperature: float = 1.0, top_k: int = 0, seed: int = 0,
-           chunk: int = 256, top_p: float = 0.0):
+           chunk: int = 256, top_p: float = 0.0, quant: str = "none"):
     """Streaming generator of text pieces — KV-cached incremental decode.
 
     ``itos`` is either the char id->char dict (reference API) or any
@@ -473,12 +473,25 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
     from ..models.moe import MoEGPTConfig
 
     if isinstance(cfg, MoEGPTConfig):
+        if quant not in ("", "none"):
+            raise ValueError("quant decode supports the dense GPT only")
         from ..models.moe import moe_decode_chunk as gpt_decode_chunk
         from ..models.moe import moe_prefill as prefill_fn
-    else:
+    elif quant == "int8":
+        # int8 weight-only decode: prefill stays full-precision (compute-
+        # bound), the per-token matvecs read int8 weights (traffic-bound)
+        from ..models.quant import gpt_decode_chunk_q, quantize_gpt_params
+
+        qparams = quantize_gpt_params(params, cfg)
+        gpt_decode_chunk = (lambda p, *a, **kw:
+                            gpt_decode_chunk_q(qparams, *a, **kw))
+        prefill_fn = gpt_prefill
+    elif quant in ("", "none"):
         from ..models.gpt import gpt_decode_chunk
 
         prefill_fn = gpt_prefill
+    else:
+        raise ValueError(f"unknown quant mode: {quant!r}")
 
     if hasattr(itos, "token_bytes"):  # BPE-style tokenizer
         import codecs
