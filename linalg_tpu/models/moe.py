@@ -340,9 +340,13 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
 
     ``length`` is the true prompt length when x_ids is right-padded to a
     fixed shape (one XLA compile for all prompt lengths); see gpt_prefill.
-    Pads cannot perturb real-token routing: capacity priority is positional
-    (the cumsum in moe_ffn), so pads — always to the right — only take
-    leftover expert slots.
+    Pads cannot perturb real-token routing PRIORITY: capacity order is
+    positional (the cumsum in moe_ffn), so pads — always to the right —
+    only take leftover expert slots. The capacity VALUE itself scales with
+    the padded T though (it is a static shape), so padding can only route
+    real tokens the unpadded prompt would have dropped to overflow — never
+    the reverse. The serve engine pins its equality tests against the
+    window-padded prefill for exactly this reason.
     """
     B, T = x_ids.shape
     h, rope = _embed(params, x_ids, cfg, T)
@@ -487,81 +491,58 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     return logits, new_cache
 
 
-@_partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
-def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
-                     n_tokens: int, temperature=1.0, top_k: int = 0,
-                     top_p=0.0):
-    """Sample ``n_tokens`` autoregressively in ONE device computation.
+def _moe_decode_ops(params: Params, cfg: MoEGPTConfig):
+    """Hoisted MoE decode ops for ``models.gpt._decode_chunk_core``.
 
-    Like ``gpt_decode_chunk``, the step body hoists everything
-    loop-invariant out of the per-token scan (PE table, dtype casts,
-    concatenated QKV matrix) — XLA does not do this on its own, and it is
-    worth ~9x single-stream decode throughput on the v5e.
+    The attention half is identical to the dense ``_dt_decode_ops`` twin
+    (PE table, dtype casts, and the concatenated (D, 3D) QKV matrix hoisted
+    out of the per-token scan — worth ~9x single-stream throughput on the
+    v5e); the FFN is the routed ``moe_ffn`` with a one-token-per-row
+    routing group (each sequence routes its live token independently, so
+    per-slot serving positions need no extra handling).
     """
-    from .gpt import sample_token
-
     dt = cfg.compute_dtype
-    D = cfg.d_model
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
-    Wqkv = jnp.concatenate(
+    W3 = jnp.concatenate(
         [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
     tokW = params["tok_W"].astype(dt)
     head_b = params["head_b"].astype(dt)
-    start = cache.get("start", jnp.zeros((), jnp.int32))
-    start1 = jnp.atleast_1d(start)
-    t_ids = jnp.arange(cfg.ctx_len)
     pe = None
     if cfg.pos not in ("rope", "alibi"):
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
     cap = _capacity(cfg, 1)
+    return {
+        "lws": {"lp": layers, "W3": W3},
+        "embed": lambda token: tokW[token][:, None, :],
+        "pe": (None if pe is None else
+               lambda rel: pe[jnp.minimum(rel, cfg.ctx_len - 1)][:, None, :]),
+        "ln1": lambda lw, x: layer_norm(x, lw["lp"]["ln1_g"],
+                                        lw["lp"]["ln1_b"]),
+        "qkv": lambda lw, xn: xn @ lw["W3"],
+        "out": lambda lw, y: y @ lw["lp"]["Wo"],
+        "ln2": lambda lw, x: layer_norm(x, lw["lp"]["ln2_g"],
+                                        lw["lp"]["ln2_b"]),
+        "ffn": lambda lw, x2: moe_ffn(
+            x2, lw["lp"]["Wr"], lw["lp"]["W1"], lw["lp"]["b1"],
+            lw["lp"]["W2"], lw["lp"]["b2"], cap, cfg.router_top_k,
+            cfg.dispatch)[0],
+        "head": lambda h: (h @ tokW.T + head_b).astype(jnp.float32),
+    }
 
-    def decode_step(kbuf, vbuf, pos, token):
-        rel = jnp.atleast_1d(pos - start)
-        if cfg.pos == "rope":
-            h = tokW[token][:, None, :]
-            c, s_ = rope_tables(cfg.d_head, rel[:, None])
-            rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
-        elif cfg.pos == "alibi":
-            h = tokW[token][:, None, :]
-            rope = None
-        else:
-            h = tokW[token][:, None, :] + pe[rel][:, None, :]
-            rope = None
-        live = (t_ids[None, :] <= pos) & (t_ids[None, :] >= start1[:, None])
-        attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
-                     + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
-        def body(carry, xs):
-            h_in = carry
-            lp, W3, k_l, v_l = xs
-            xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-            qkv = xn @ W3
-            q = _heads(qkv[..., :D], cfg.n_heads)
-            k = _heads(qkv[..., D:2 * D], cfg.n_heads)
-            v = _heads(qkv[..., 2 * D:], cfg.n_heads)
-            if rope is not None:
-                q = rope_rotate(q, rope[0], rope[1])
-                k = rope_rotate(k, rope[0], rope[1])
-            k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
-            a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
-            h1 = h_in + a
-            x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-            f, _ = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"],
-                           lp["b2"], cap, cfg.router_top_k, cfg.dispatch)
-            return h1 + f, (k_l, v_l)
+@_partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
+def moe_decode_chunk(params, cache, logits, key, cfg: MoEGPTConfig,
+                     n_tokens: int, temperature=1.0, top_k: int = 0,
+                     top_p=0.0):
+    """Sample ``n_tokens`` autoregressively in ONE device computation —
+    the MoE instantiation of ``models.gpt._decode_chunk_core`` (see
+    ``_moe_decode_ops`` for the hoisting story)."""
+    from .gpt import _decode_chunk_core
 
-        h, (K, V) = lax.scan(body, h, (layers, Wqkv, kbuf, vbuf))
-        new_logits = (h[:, -1] @ tokW.T + head_b).astype(jnp.float32)
-        return K, V, new_logits
-
-    def outer(carry, k):
-        logits, kbuf, vbuf, pos = carry
-        tok = sample_token(k, logits, temperature, top_k, top_p)
-        kbuf, vbuf, new_logits = decode_step(kbuf, vbuf, pos, tok)
-        return (new_logits, kbuf, vbuf, pos + 1), tok
-
-    keys = jax.random.split(key, n_tokens)
-    (logits, K, V, pos), toks = lax.scan(
-        outer, (logits, cache["k"], cache["v"], cache["length"]), keys)
-    return toks.T, logits, dict(cache, k=K, v=V, length=pos)
+    ops = _moe_decode_ops(params, cfg)
+    start = cache.get("start", jnp.zeros((), jnp.int32))
+    toks, logits, K, V, pos = _decode_chunk_core(
+        cfg, ops, logits, cache["k"], cache["v"], cache["length"], start,
+        key, n_tokens, temperature, top_k, top_p, fkv_write)
+    return toks, logits, dict(cache, k=K, v=V, length=pos)

@@ -26,6 +26,16 @@ Design (TPU-first):
 - Sampling parameters ride as traced per-slot vectors (temperature, top_p;
   ``top_k`` is static and engine-wide — a per-slot k would change the
   lowered top-k shape).
+- Serves the dense GPT and the MoE with the same engine: the decode chunk
+  is ``models.gpt._decode_chunk_core`` with per-model ops, and MoE routing
+  groups are per-row, so each slot routes its live token independently
+  (an idle slot's garbage tokens cannot steal expert capacity). One MoE
+  caveat: expert capacity during the admission prefill scales with the
+  static ``prefill_window``, not the prompt length, so a real token the
+  unpadded prompt would drop to overflow may be routed (strictly FEWER
+  drops, never more — pads queue after real tokens in the capacity
+  cumsum). Token equality is pinned against the window-padded
+  single-stream prefill (tests/test_serve.py::TestServeMoE).
 
 Relation to the reference: extends the sampler semantics of
 /root/reference/gpt.py:518-546 (temperature / top-k, context-window cap)
@@ -91,10 +101,16 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p,
     into their own (soon re-prefilled) rows without ever overflowing the
     buffer; active slots never hit the clamp because admission reserves
     ceil(max_new/chunk)*chunk positions up front.
+
+    Works for the dense GPT and the MoE (routing groups are per-row, so
+    each slot routes its live token independently — idle slots' garbage
+    tokens can steal nothing from other slots' expert capacity).
     """
     from ..models.gpt import _decode_chunk_core, _dt_decode_ops
+    from ..models.moe import MoEGPTConfig, _moe_decode_ops
 
-    ops = _dt_decode_ops(params, cfg)
+    ops = (_moe_decode_ops(params, cfg) if isinstance(cfg, MoEGPTConfig)
+           else _dt_decode_ops(params, cfg))
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
 
@@ -143,12 +159,10 @@ class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
                  chunk: int = 32, top_k: int = 0,
                  prefill_window: Optional[int] = None, seed: int = 0):
-        from ..models.moe import MoEGPTConfig
+        from ..models.moe import MoEGPTConfig, moe_prefill
 
-        if isinstance(cfg, MoEGPTConfig):
-            raise NotImplementedError(
-                "continuous batching currently serves the dense GPT; use "
-                "models.gpt.gpt_generate for static-batch MoE serving")
+        self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
+                         else gpt_prefill)
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
         self.params = params
@@ -238,8 +252,8 @@ class ServeEngine:
         ids[0, :plen] = np.asarray(req.prompt, np.int32)
         # async: the prefill and the slot scatter are dispatched, never
         # synced — the next decode chunk consumes them on-device
-        logits, cache = gpt_prefill(self.params, jnp.asarray(ids), cfg,
-                                    length=plen)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
+                                      length=plen)
         self._cache, self._logits = _admit_slot(
             self._cache, self._logits, cache["k"], cache["v"],
             plen, logits, slot)

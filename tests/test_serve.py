@@ -167,11 +167,6 @@ class TestEngineSemantics:
             eng.submit(Request([1, 2, 3], CFG.ctx_len))
         with pytest.raises(ValueError, match="max_new_tokens"):
             eng.submit(Request([1], 0))
-        with pytest.raises(NotImplementedError):
-            from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
-            mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
-                                n_layers=2, ctx_len=64, n_experts=2)
-            ServeEngine(init_moe_params(mcfg, seed=0), mcfg)
 
     def test_sampling_reproducible_and_in_range(self):
         rng = np.random.default_rng(7)
@@ -191,3 +186,64 @@ class TestEngineSemantics:
         c = out[0]
         assert c.finished_at >= c.submitted_at > 0
         assert isinstance(c, Completion) and c.prompt_len > 0
+
+
+class TestServeMoE:
+    """MoE continuous batching: per-row routing groups make each slot's
+    routing independent, so engine outputs must equal the single-stream
+    MoE decode exactly (greedy).
+
+    The oracle prefills through the SAME right-padded window the engine's
+    admission uses: MoE expert capacity scales with the (static) prefill
+    length, so a window-padded prefill can route a real token that the
+    unpadded prompt would have dropped to overflow (strictly fewer drops,
+    never more — pads queue after real tokens). The equality claim is slot
+    ISOLATION, which the shared window isolates from that documented
+    capacity semantics."""
+
+    def _setup(self, top_k=1):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        cfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                           ctx_len=64, n_experts=4, router_top_k=top_k)
+        return cfg, init_moe_params(cfg, seed=21)
+
+    def _greedy_single(self, params, cfg, prompt, n, window):
+        from linalg_tpu.models.moe import moe_decode_chunk, moe_prefill
+
+        ids = np.zeros((1, window), np.int32)
+        ids[0, :len(prompt)] = np.asarray(prompt, np.int32)
+        logits, cache = moe_prefill(params, jnp.asarray(ids), cfg,
+                                    length=len(prompt))
+        toks, _, _ = moe_decode_chunk(params, cache, logits,
+                                      jax.random.PRNGKey(0), cfg, n,
+                                      1.0, 1, 0.0)
+        return np.asarray(toks)[0].tolist()
+
+    @pytest.mark.parametrize("router_top_k", [1, 2])
+    def test_concurrent_matches_single_stream(self, router_top_k):
+        cfg, params = self._setup(router_top_k)
+        rng = np.random.default_rng(6)
+        reqs = [Request(rng_prompt(rng, cfg), int(n)) for n in (5, 9, 7)]
+        eng = ServeEngine(params, cfg, n_slots=3, chunk=4, top_k=1)
+        want = [self._greedy_single(params, cfg, r.prompt, r.max_new_tokens,
+                                    eng.prefill_window)
+                for r in reqs]
+        for r in reqs:
+            eng.submit(r)
+        out = sorted(eng.run(), key=lambda c: c.request_id)
+        assert [c.tokens for c in out] == want
+
+    def test_slot_reuse(self):
+        cfg, params = self._setup()
+        rng = np.random.default_rng(7)
+        reqs = [Request(rng_prompt(rng, cfg), int(n)) for n in (3, 8, 5, 6)]
+        eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1)
+        want = [self._greedy_single(params, cfg, r.prompt, r.max_new_tokens,
+                                    eng.prefill_window)
+                for r in reqs]
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        by_id = {c.request_id: c for c in done}
+        assert [by_id[i].tokens for i in range(len(reqs))] == want
