@@ -686,15 +686,30 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     return logits, new_cache
 
 
-@partial(jax.jit, static_argnames=("top_k",))
-def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p=0.0):
+def filter_logits(logits, temperature=1.0, top_k=0, top_p=0.0):
     """Temperature/top-k/top-p transform shared by ``sample_token`` and the
     speculative verifier (which needs the full TARGET distribution, not
-    just a sample, for its accept/resample step)."""
+    just a sample, for its accept/resample step).
+
+    ``top_k`` is either a static python int (one lowered ``lax.top_k``
+    shape) or a traced per-row vector — the serve engine passes (B, 1)
+    per-slot k's. The vector path reads the k-th largest value off a full
+    descending sort, which costs nothing extra here: the top-p branch
+    below already pays a full-V sort unconditionally. k <= 0 disables
+    filtering for that row.
+    """
     z = logits / jnp.maximum(1e-6, temperature)
-    if top_k > 0:
-        kth = lax.top_k(z, top_k)[0][..., -1:]
-        z = jnp.where(z < kth, -1e9, z)
+    if isinstance(top_k, (int, np.integer)):
+        if top_k > 0:
+            kth = lax.top_k(z, top_k)[0][..., -1:]
+            z = jnp.where(z < kth, -1e9, z)
+    else:
+        k = jnp.asarray(top_k, jnp.int32)
+        k = k.reshape(k.shape + (1,) * (z.ndim - k.ndim))  # (B,) -> (B, 1)
+        zs = lax.top_k(z, z.shape[-1])[0]  # descending
+        kth = jnp.take_along_axis(
+            zs, jnp.clip(k, 1, z.shape[-1]) - 1, axis=-1)
+        z = jnp.where((k > 0) & (z < kth), -1e9, z)
     V = z.shape[-1]
     p_eff = jnp.where((top_p > 0.0) & (top_p < 1.0), top_p, 1.0)
     probs = jax.nn.softmax(z, axis=-1)

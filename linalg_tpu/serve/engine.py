@@ -23,9 +23,11 @@ Design (TPU-first):
   blocking sync per completion was the entire gap.
 - Admission = one single-prompt prefill (right-padded to a fixed window)
   scattered into the freed slot's cache rows via ``dynamic_update_slice``.
-- Sampling parameters ride as traced per-slot vectors (temperature, top_p;
-  ``top_k`` is static and engine-wide — a per-slot k would change the
-  lowered top-k shape).
+- Sampling parameters ride as traced per-slot vectors (temperature, top_p,
+  top_k) — admission NEVER recompiles. Per-slot top-k uses
+  ``filter_logits``'s vector path (k-th-largest read off a full sort whose
+  cost the top-p transform already pays) instead of a per-k
+  ``lax.top_k`` shape.
 - Serves the dense GPT and the MoE with the same engine: the decode chunk
   is ``models.gpt._decode_chunk_core`` with per-model ops, and MoE routing
   groups are per-row, so each slot routes its live token independently
@@ -65,12 +67,14 @@ __all__ = ["Request", "Completion", "ServeEngine", "serve"]
 
 @dataclasses.dataclass
 class Request:
-    """One generation request. ``stop_token`` < 0 disables early stop."""
+    """One generation request. ``stop_token`` < 0 disables early stop;
+    ``top_k`` None inherits the engine-wide default (0 = disabled)."""
 
     prompt: Sequence[int]
     max_new_tokens: int
     temperature: float = 1.0
     top_p: float = 0.0
+    top_k: Optional[int] = None
     stop_token: int = -1
     request_id: int = -1  # assigned by the engine at submit()
 
@@ -85,17 +89,19 @@ class Completion:
     finished_at: float = 0.0
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
-def decode_chunk_slots(params, cache, logits, key, temp, top_p,
-                       cfg: GPTConfig, n_tokens: int, top_k: int = 0):
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
+                       cfg: GPTConfig, n_tokens: int):
     """Sample ``n_tokens`` for every slot in ONE device computation, with a
     PER-SLOT cache position (the continuous-batching instantiation of
     ``models.gpt._decode_chunk_core``; ``gpt_decode_chunk`` is the
     shared-position one).
 
-    ``cache`` is {k, v: (L, B, h, ctx, d), pos: (B,) int32}; ``temp`` and
-    ``top_p`` are (B,) per-slot sampling vectors. Slots always start at
-    cache position 0, so the logical position IS the cache position.
+    ``cache`` is {k, v: (L, B, h, ctx, d), pos: (B,) int32}; ``temp``,
+    ``top_p``, and ``top_k`` are (B,) per-slot sampling vectors (traced —
+    admission never recompiles; ``filter_logits`` takes the vector-k path,
+    whose full-V sort the top-p transform pays anyway). Slots always start
+    at cache position 0, so the logical position IS the cache position.
 
     Write positions are clamped to ctx-1: idle slots keep decoding garbage
     into their own (soon re-prefilled) rows without ever overflowing the
@@ -113,6 +119,7 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p,
            else _dt_decode_ops(params, cfg))
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
+    top_k = jnp.asarray(top_k, jnp.int32)  # (B,); filter_logits broadcasts
 
     def write_slots(k_l, v_l, pos, k, v):
         return fkv_write_slots(k_l, v_l, jnp.minimum(pos, cfg.ctx_len - 1),
@@ -187,7 +194,9 @@ class ServeEngine:
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
         self._temp = np.ones((n_slots,), np.float32)
         self._top_p = np.zeros((n_slots,), np.float32)
-        self._samp_dev = None  # device copy of (temp, top_p), admission-dirty
+        self._top_k = np.full((n_slots,), top_k, np.int32)
+        # device copy of (temp, top_p, top_k), admission-dirty
+        self._samp_dev = None
         self._slot_req: List[Optional[Request]] = [None] * n_slots
         # async token plumbing: chunk arrays stay on device in _store and
         # are materialized (ONE host sync) only when a slot needs them
@@ -257,10 +266,13 @@ class ServeEngine:
         self._cache, self._logits = _admit_slot(
             self._cache, self._logits, cache["k"], cache["v"],
             plen, logits, slot)
+        req_k = self.top_k if req.top_k is None else req.top_k
         if (self._temp[slot] != req.temperature
-                or self._top_p[slot] != req.top_p):
+                or self._top_p[slot] != req.top_p
+                or self._top_k[slot] != req_k):
             self._temp[slot] = req.temperature
             self._top_p[slot] = req.top_p
+            self._top_k[slot] = req_k
             self._samp_dev = None
         self._slot_req[slot] = req
         self._count[slot] = 0
@@ -364,11 +376,11 @@ class ServeEngine:
         self._key, k = jax.random.split(self._key)
         if self._samp_dev is None:
             self._samp_dev = (jnp.asarray(self._temp),
-                              jnp.asarray(self._top_p))
+                              jnp.asarray(self._top_p),
+                              jnp.asarray(self._top_k))
         toks, self._logits, self._cache = decode_chunk_slots(
             self.params, self._cache, self._logits, k,
-            self._samp_dev[0], self._samp_dev[1],
-            self.cfg, self.chunk, self.top_k)
+            *self._samp_dev, self.cfg, self.chunk)
         try:
             toks.copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax arrays

@@ -247,3 +247,43 @@ class TestServeMoE:
         done = eng.run()
         by_id = {c.request_id: c for c in done}
         assert [by_id[i].tokens for i in range(len(reqs))] == want
+
+
+class TestPerSlotTopK:
+    def test_vector_filter_matches_static(self):
+        from linalg_tpu.models.gpt import filter_logits
+
+        rng = np.random.default_rng(9)
+        z = jnp.asarray(rng.normal(size=(4, 31)), jnp.float32)
+        for k in (1, 3, 10, 31):
+            want = np.asarray(filter_logits(z, 0.9, k, 0.0))
+            got = np.asarray(filter_logits(
+                z, 0.9, jnp.full((4, 1), k, jnp.int32), 0.0))
+            np.testing.assert_allclose(got, want)
+        # k == 0 disables; vector path must match the static no-op
+        got0 = np.asarray(filter_logits(z, 0.9, jnp.zeros((4, 1), jnp.int32),
+                                        0.0))
+        np.testing.assert_allclose(got0, np.asarray(filter_logits(z, 0.9, 0,
+                                                                  0.0)))
+
+    def test_mixed_slot_topk(self):
+        """A greedy (top_k=1) request decodes EXACTLY its single-stream
+        tokens while a free-sampling request shares the batch."""
+        rng = np.random.default_rng(10)
+        greedy = Request(rng_prompt(rng, CFG), 10, top_k=1)
+        wild = Request(rng_prompt(rng, CFG), 10, temperature=1.4, top_k=0)
+        want = greedy_single(PARAMS, CFG, greedy.prompt, 10)
+        out = serve(PARAMS, CFG, [greedy, wild], n_slots=2, chunk=4,
+                    top_k=0)
+        by_id = {c.request_id: c for c in out}
+        assert by_id[0].tokens == want
+        assert all(0 <= t < CFG.vocab_size for t in by_id[1].tokens)
+
+    def test_engine_default_fallback(self):
+        """Requests without top_k inherit the engine-wide default."""
+        rng = np.random.default_rng(11)
+        prompt = rng_prompt(rng, CFG)
+        want = greedy_single(PARAMS, CFG, prompt, 8)
+        out = serve(PARAMS, CFG, [Request(prompt, 8)], n_slots=2, chunk=4,
+                    top_k=1)
+        assert out[0].tokens == want
