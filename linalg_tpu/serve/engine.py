@@ -115,8 +115,14 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
     from ..models.gpt import _decode_chunk_core, _dt_decode_ops
     from ..models.moe import MoEGPTConfig, _moe_decode_ops
 
-    ops = (_moe_decode_ops(params, cfg) if isinstance(cfg, MoEGPTConfig)
-           else _dt_decode_ops(params, cfg))
+    if isinstance(cfg, MoEGPTConfig):
+        ops = _moe_decode_ops(params, cfg)
+    elif "tok_W_q" in params:  # int8 weight-only engine (quant="int8")
+        from ..models.quant import _q_decode_ops
+
+        ops = _q_decode_ops(params, cfg)
+    else:
+        ops = _dt_decode_ops(params, cfg)
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
     top_k = jnp.asarray(top_k, jnp.int32)  # (B,); filter_logits broadcasts
@@ -165,13 +171,26 @@ class ServeEngine:
 
     def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
                  chunk: int = 32, top_k: int = 0,
-                 prefill_window: Optional[int] = None, seed: int = 0):
+                 prefill_window: Optional[int] = None, seed: int = 0,
+                 quant: str = "none"):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
                          else gpt_prefill)
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
+        if quant == "int8":
+            # int8 weight-only DECODE; admission prefill stays in the
+            # compute dtype (it is MXU-compute-bound, not weight-bound)
+            if isinstance(cfg, MoEGPTConfig):
+                raise ValueError("quant decode supports the dense GPT only")
+            from ..models.quant import quantize_gpt_params
+
+            self._decode_params = quantize_gpt_params(params, cfg)
+        elif quant in ("", "none"):
+            self._decode_params = params
+        else:
+            raise ValueError(f"unknown quant mode: {quant!r}")
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -379,7 +398,7 @@ class ServeEngine:
                               jnp.asarray(self._top_p),
                               jnp.asarray(self._top_k))
         toks, self._logits, self._cache = decode_chunk_slots(
-            self.params, self._cache, self._logits, k,
+            self._decode_params, self._cache, self._logits, k,
             *self._samp_dev, self.cfg, self.chunk)
         try:
             toks.copy_to_host_async()
@@ -433,11 +452,11 @@ class ServeEngine:
 def serve(params, cfg: GPTConfig, requests: Sequence[Request],
           n_slots: int = 8, chunk: int = 32, top_k: int = 0,
           prefill_window: Optional[int] = None, seed: int = 0,
-          ) -> List[Completion]:
+          quant: str = "none") -> List[Completion]:
     """One-shot convenience: submit ``requests``, run to completion, return
     completions ordered by request_id."""
     eng = ServeEngine(params, cfg, n_slots=n_slots, chunk=chunk, top_k=top_k,
-                      prefill_window=prefill_window, seed=seed)
+                      prefill_window=prefill_window, seed=seed, quant=quant)
     for r in requests:
         eng.submit(r)
     done = eng.run()

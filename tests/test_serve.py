@@ -287,3 +287,42 @@ class TestPerSlotTopK:
         out = serve(PARAMS, CFG, [Request(prompt, 8)], n_slots=2, chunk=4,
                     top_k=1)
         assert out[0].tokens == want
+
+
+class TestServeQuant:
+    """Int8 weight-only decode inside the engine: exact slot-isolation pin
+    against the single-stream quantized decode (same ops, same cache
+    contract), plus the dense-only guard."""
+
+    def _greedy_single_q(self, prompt, n):
+        from linalg_tpu.models.quant import (gpt_decode_chunk_q,
+                                             quantize_gpt_params)
+
+        ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+        logits, cache = gpt_prefill(PARAMS, ids, CFG)
+        q = quantize_gpt_params(PARAMS, CFG)
+        toks, _, _ = gpt_decode_chunk_q(q, cache, logits,
+                                        jax.random.PRNGKey(0), CFG, n,
+                                        1.0, 1, 0.0)
+        return np.asarray(toks)[0].tolist()
+
+    def test_concurrent_matches_single_stream_quant(self):
+        rng = np.random.default_rng(12)
+        reqs = [Request(rng_prompt(rng, CFG), int(n)) for n in (6, 10)]
+        want = [self._greedy_single_q(r.prompt, r.max_new_tokens)
+                for r in reqs]
+        out = serve(PARAMS, CFG, reqs, n_slots=2, chunk=4, top_k=1,
+                    quant="int8")
+        assert [c.tokens for c in out] == want
+
+    def test_moe_quant_raises(self):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                            n_layers=2, ctx_len=64, n_experts=2)
+        with pytest.raises(ValueError, match="dense"):
+            ServeEngine(init_moe_params(mcfg, seed=0), mcfg, quant="int8")
+
+    def test_unknown_quant_raises(self):
+        with pytest.raises(ValueError, match="quant"):
+            ServeEngine(PARAMS, CFG, quant="fp4")
