@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "speculative decoding (exact sampling distribution; "
                     "needs prompt+gen_tokens+K+1 <= ctx_len, falls back "
                     "to plain decode otherwise; dense GPT only)")
+    ap.add_argument("--draft_ckpt", type=str, default="",
+                    help="REPL: checkpoint dir of a (smaller) DRAFT model "
+                         "for draft-model speculative decoding; used with "
+                         "--speculative K. The draft proposes greedily, "
+                         "the target verifies — same vocabulary required. "
+                         "Empty = prompt-lookup drafting (no extra model)")
     ap.add_argument("--quant", type=str, default="none",
                     choices=("none", "int8"),
                     help="REPL: decode with int8 weight-only quantized "
@@ -109,6 +115,17 @@ def repl(args) -> None:
 
     params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
     tok = load_tokenizer(args.ckpt_dir)  # char or BPE, from the sidecar
+    draft = None
+    if getattr(args, "draft_ckpt", ""):
+        dparams, dcfg, _, _ = load_ckpt(args.draft_ckpt)
+        if dcfg.vocab_size != cfg.vocab_size:
+            print(f"(--draft_ckpt vocab {dcfg.vocab_size} != target "
+                  f"{cfg.vocab_size}; ignoring the draft model)")
+        elif dcfg.ctx_len < cfg.ctx_len:
+            print(f"(--draft_ckpt ctx_len {dcfg.ctx_len} < target "
+                  f"{cfg.ctx_len}; ignoring the draft model)")
+        else:
+            draft = (dparams, dcfg)
     print("\nREPL — type a prompt, Ctrl+C to exit.\n")
     while True:
         try:
@@ -132,12 +149,22 @@ def repl(args) -> None:
             print("(speculative decode needs prompt+gen_tokens+K+1 <= "
                   "ctx_len and a dense GPT; using plain decode)")
         if spec_ok:
-            from ..models.speculative import gpt_generate_speculative
+            if draft is not None:
+                from ..models.speculative import \
+                    gpt_generate_speculative_draft
 
-            toks, rounds = gpt_generate_speculative(
-                params, cfg, ctx, args.gen_tokens,
-                n_draft=args.speculative, temperature=args.temperature,
-                top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+                toks, rounds = gpt_generate_speculative_draft(
+                    params, cfg, draft[0], draft[1], ctx, args.gen_tokens,
+                    n_draft=args.speculative,
+                    temperature=args.temperature,
+                    top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+            else:
+                from ..models.speculative import gpt_generate_speculative
+
+                toks, rounds = gpt_generate_speculative(
+                    params, cfg, ctx, args.gen_tokens,
+                    n_draft=args.speculative, temperature=args.temperature,
+                    top_k=args.top_k, top_p=args.top_p, seed=args.seed)
             if hasattr(tok, "token_bytes"):
                 text = b"".join(
                     tok.token_bytes(int(t)) for t in toks

@@ -7,10 +7,16 @@ Speculative decoding exploits that: draft S candidate tokens cheaply,
 verify them all in ONE block forward, and keep the longest accepted
 prefix — per round the model does one step's work but emits 1..S+1 tokens.
 
-Drafting here is prompt-lookup (n-gram copying, the "assisted generation"
-scheme): char-level text is highly repetitive, so the continuation of the
-most recent occurrence of the current bigram is a strong guess. No draft
-model, no extra weights, no training.
+Two drafters, one verifier:
+
+- prompt-lookup (``gpt_generate_speculative``): n-gram copying, the
+  "assisted generation" scheme — char-level text is highly repetitive, so
+  the continuation of the most recent occurrence of the current bigram is
+  a strong guess. No draft model, no extra weights, no training.
+- draft model (``gpt_generate_speculative_draft``): a smaller GPT proposes
+  GREEDILY with its own KV cache (classic Leviathan et al. two-model
+  serving); greedy drafting keeps the proposal a point mass, so both
+  drafters share the same exact verifier below.
 
 Verification is the exact Leviathan et al. rejection scheme specialized to
 a point-mass draft distribution: accept draft d_i with probability
@@ -59,7 +65,7 @@ from ..nn.functional import (
 )
 
 __all__ = ["gpt_decode_block", "gpt_generate_speculative",
-           "spec_accept_or_resample"]
+           "gpt_generate_speculative_draft", "spec_accept_or_resample"]
 
 
 def spec_accept_or_resample(key, z, draft):
@@ -282,3 +288,129 @@ def _spec_loop(params, cache, cfg: GPTConfig, S: int, prompt, n_tokens: int,
           key, jnp.asarray(0, jnp.int32))
     cache, hist, hlen, count, key, rounds = lax.while_loop(cond, step, st)
     return hist[P:P + n_tokens], rounds
+
+
+def gpt_generate_speculative_draft(params, cfg: GPTConfig, draft_params,
+                                   draft_cfg: GPTConfig, prompt,
+                                   n_tokens: int, *, n_draft: int = 4,
+                                   temperature: float = 1.0,
+                                   top_k: int = 0, top_p: float = 0.0,
+                                   seed: int = 0):
+    """Draft-MODEL speculative decoding: a small GPT proposes, the target
+    verifies (Leviathan et al. 2023 with a deterministic drafter).
+
+    The draft model drafts GREEDILY (argmax), so its proposal distribution
+    is a point mass and verification reuses the exact point-mass
+    rejection scheme of the prompt-lookup path: the emitted stream follows
+    the target sampler's distribution EXACTLY, whatever the draft model
+    knows. A good draft raises the acceptance rate (up to n_draft+1
+    tokens per target forward); a useless one only costs the cheap draft
+    steps. Both models must share the vocabulary; the draft keeps its own
+    KV cache, re-synced to the accepted prefix each round (the functional
+    cache masks slots past ``length``, so rollback is free on both).
+
+    Returns (tokens (n_tokens,), rounds) like ``gpt_generate_speculative``.
+    """
+    if draft_cfg.vocab_size != cfg.vocab_size:
+        raise ValueError(
+            f"draft vocab {draft_cfg.vocab_size} != target vocab "
+            f"{cfg.vocab_size}")
+    if draft_cfg.ctx_len < cfg.ctx_len:
+        raise ValueError(
+            f"draft ctx_len {draft_cfg.ctx_len} must cover the target's "
+            f"{cfg.ctx_len} (both caches index the same positions)")
+    prompt = np.asarray(prompt, dtype=np.int32).ravel()
+    P = int(prompt.shape[0])
+    S = n_draft + 1
+    if P < 1:
+        raise ValueError("prompt must be non-empty")
+    if P + n_tokens + S > cfg.ctx_len:
+        raise ValueError(
+            f"prompt ({P}) + n_tokens ({n_tokens}) + draft block ({S}) "
+            f"must fit ctx_len ({cfg.ctx_len}); the speculative path does "
+            "not roll the context window")
+
+    from ..nn.cache import fkv_init
+
+    if P > 1:
+        _, cache = gpt_prefill(params, jnp.asarray(prompt[None, :-1]), cfg)
+        _, dcache = gpt_prefill(draft_params, jnp.asarray(prompt[None, :-1]),
+                                draft_cfg)
+    else:
+        cache = fkv_init(cfg.n_layers, 1, cfg.n_heads, cfg.ctx_len,
+                         cfg.d_head, dtype=cfg.compute_dtype)
+        dcache = fkv_init(draft_cfg.n_layers, 1, draft_cfg.n_heads,
+                          draft_cfg.ctx_len, draft_cfg.d_head,
+                          dtype=draft_cfg.compute_dtype)
+
+    out, rounds = _spec_draft_loop(
+        params, cache, draft_params, dcache, cfg, draft_cfg, S,
+        jnp.asarray(prompt), n_tokens, jnp.float32(temperature), int(top_k),
+        jnp.float32(top_p), jax.random.PRNGKey(seed))
+    return np.asarray(out), int(rounds)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "draft_cfg", "S", "n_tokens", "top_k"))
+def _spec_draft_loop(params, cache, draft_params, dcache, cfg: GPTConfig,
+                     draft_cfg: GPTConfig, S: int, prompt, n_tokens: int,
+                     temperature, top_k: int, top_p, key):
+    C = cfg.ctx_len
+    P = prompt.shape[0]
+    hist0 = jnp.zeros((C,), jnp.int32).at[:P].set(prompt)
+
+    def cond(st):
+        return st[3] < n_tokens
+
+    def step(st):
+        cache, dcache, hist, count, hlen, key, rounds = st
+        key, kacc, krep = jax.random.split(key, 3)
+        pending = hist[hlen - 1]
+
+        # -- draft: S-1 greedy single-token steps on the SMALL model -----
+        def dstep(carry, _):
+            dc, tok = carry
+            lg, dc = gpt_decode_block(draft_params, dc, tok[None, None],
+                                      draft_cfg, 1)
+            dc = dict(dc, length=dc["length"] + 1)
+            nxt = jnp.argmax(lg[0, 0]).astype(jnp.int32)
+            return (dc, nxt), nxt
+
+        (dcache, _), drafts = lax.scan(dstep, (dcache, pending),
+                                       None, length=S - 1)
+
+        # -- verify: ONE target block forward over pending + drafts ------
+        block = jnp.concatenate([pending[None], drafts])[None]  # (1, S)
+        logits, cache = gpt_decode_block(params, cache, block, cfg, S)
+        z = filter_logits(logits[0], temperature, top_k, top_p)  # (S, V)
+        probs = jax.nn.softmax(z, axis=-1)
+
+        u = jax.random.uniform(kacc, (S - 1,))
+        p_draft = probs[jnp.arange(S - 1), drafts]
+        ok = u < p_draft
+        n_acc = jnp.argmin(jnp.concatenate(
+            [ok.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+        ).astype(jnp.int32)
+        all_ok = n_acc == (S - 1)
+        d_rej = drafts[jnp.minimum(n_acc, S - 2)]
+        z_fix = z[n_acc].at[d_rej].set(
+            jnp.where(all_ok, z[n_acc, d_rej], -jnp.inf))
+        extra = jax.random.categorical(krep, z_fix).astype(jnp.int32)
+
+        emit = jnp.concatenate([drafts, extra[None]])
+        emit = jnp.where(jnp.arange(S) > n_acc, 0, emit)
+        emit = emit.at[n_acc].set(extra)
+        hist = lax.dynamic_update_slice(hist, emit, (hlen,))
+        cache = dict(cache, length=cache["length"] + n_acc + 1)
+        # draft cache re-sync: it processed pending + ALL S-1 drafts; only
+        # pending + the n_acc accepted ones are real history, so its live
+        # length equals the target's (both have consumed hist[:hlen'-1]);
+        # the rejected tail past ``length`` is masked and overwritten
+        dcache = dict(dcache, length=cache["length"])
+        return (cache, dcache, hist, count + n_acc + 1, hlen + n_acc + 1,
+                key, rounds + 1)
+
+    st = (cache, dcache, hist0, jnp.asarray(0, jnp.int32),
+          jnp.asarray(P, jnp.int32), key, jnp.asarray(0, jnp.int32))
+    st = lax.while_loop(cond, step, st)
+    return st[2][P:P + n_tokens], st[6]

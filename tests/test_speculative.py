@@ -149,3 +149,76 @@ class TestGuards:
         params = init_gpt_params(cfg, seed=0)
         with pytest.raises(ValueError, match="non-empty"):
             gpt_generate_speculative(params, cfg, [], 4)
+
+
+class TestDraftModel:
+    """Draft-MODEL speculative decoding (greedy drafter = point mass, so
+    the exactness scheme is shared with prompt-lookup)."""
+
+    def _cfgs(self, pos="sinusoidal"):
+        cfg = GPTConfig(vocab_size=23, d_model=32, n_heads=4, n_layers=3,
+                        ctx_len=96, pos=pos)
+        dcfg = GPTConfig(vocab_size=23, d_model=16, n_heads=2, n_layers=1,
+                         ctx_len=96, pos=pos)
+        return cfg, dcfg
+
+    def test_self_draft_accepts_everything(self):
+        """Draft == target: greedy drafting always matches the greedy
+        target, so every round emits n_draft+1 tokens."""
+        from linalg_tpu.models.speculative import \
+            gpt_generate_speculative_draft
+
+        cfg, _ = self._cfgs()
+        params = init_gpt_params(cfg, seed=0)
+        base = [1, 2, 3, 4, 5]
+        out, rounds = gpt_generate_speculative_draft(
+            params, cfg, params, cfg, base, 30, n_draft=5,
+            temperature=1e-6, seed=0)
+        assert list(out) == _greedy_ref(params, cfg, base, 30)
+        assert rounds == -(-30 // 6)  # ceil(30 / (n_draft+1))
+
+    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "alibi"])
+    def test_small_random_draft_greedy_equality(self, pos):
+        """A useless random draft model cannot change the emitted stream:
+        greedy output is bit-identical to plain greedy decode."""
+        from linalg_tpu.models.speculative import \
+            gpt_generate_speculative_draft
+
+        cfg, dcfg = self._cfgs(pos)
+        params = init_gpt_params(cfg, seed=1)
+        dparams = init_gpt_params(dcfg, seed=99)
+        rng = np.random.default_rng(5)
+        base = list(rng.integers(0, 23, 9))
+        out, rounds = gpt_generate_speculative_draft(
+            params, cfg, dparams, dcfg, base, 25, n_draft=4,
+            temperature=1e-6, seed=3)
+        assert list(out) == _greedy_ref(params, cfg, base, 25)
+        assert -(-25 // 5) <= rounds <= 25
+
+    def test_stochastic_in_range_and_reproducible(self):
+        from linalg_tpu.models.speculative import \
+            gpt_generate_speculative_draft
+
+        cfg, dcfg = self._cfgs()
+        params = init_gpt_params(cfg, seed=2)
+        dparams = init_gpt_params(dcfg, seed=4)
+        a, _ = gpt_generate_speculative_draft(
+            params, cfg, dparams, dcfg, [3, 1], 20, n_draft=3,
+            temperature=1.0, top_k=5, seed=11)
+        b, _ = gpt_generate_speculative_draft(
+            params, cfg, dparams, dcfg, [3, 1], 20, n_draft=3,
+            temperature=1.0, top_k=5, seed=11)
+        assert list(a) == list(b)
+        assert all(0 <= t < 23 for t in a)
+
+    def test_vocab_mismatch_raises(self):
+        from linalg_tpu.models.speculative import \
+            gpt_generate_speculative_draft
+
+        cfg, dcfg = self._cfgs()
+        bad = GPTConfig(vocab_size=7, d_model=16, n_heads=2, n_layers=1,
+                        ctx_len=96)
+        params = init_gpt_params(cfg, seed=0)
+        with pytest.raises(ValueError, match="vocab"):
+            gpt_generate_speculative_draft(
+                params, cfg, init_gpt_params(bad, seed=0), bad, [1], 4)
