@@ -454,9 +454,12 @@ def bench_quant():
     from linalg_tpu.models.quant import (gpt_decode_chunk_q,
                                          quantize_gpt_params)
 
-    def tok_s(cfg, params_like, decode, n=128, chains=3, reps=3):
+    def tok_s(cfg, params_like, decode, n=128, chains=3, reps=3,
+              cache_xform=None):
         prompt = (np.arange(8) % cfg.vocab_size).astype(np.int32)
         logits, cache = gpt_prefill(_P[cfg], jnp.asarray(prompt[None]), cfg)
+        if cache_xform is not None:
+            cache = cache_xform(cache)
         key = jax.random.PRNGKey(0)
 
         def run():
@@ -490,6 +493,21 @@ def bench_quant():
             _emit(f"int8 weight-only decode ({mode}), {name} ctx512 "
                   f"(vs bf16 decode {bf:.0f} tok/s)",
                   q8, "tok/s", q8 / max(bf, 1.0))
+
+    # long context: per-token traffic is KV-dominated, the int8 KV cache
+    # (quant=int8kv) halves it
+    from linalg_tpu.models.quant import quantize_kv_cache
+
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=4096, dtype="bfloat16")
+    _P[cfg] = init_gpt_params(cfg, seed=0)
+    qparams = quantize_gpt_params(_P[cfg], cfg)
+    bf = tok_s(cfg, _P[cfg], gpt_decode_chunk)
+    kv8 = tok_s(cfg, qparams, _partial(gpt_decode_chunk_q, kv8=True),
+                cache_xform=quantize_kv_cache)
+    _emit(f"int8 weights + int8 KV decode, d512/4L ctx4096 "
+          f"(vs bf16 decode {bf:.0f} tok/s)", kv8, "tok/s",
+          kv8 / max(bf, 1.0))
 
 
 SECTIONS = {

@@ -59,10 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "the target verifies — same vocabulary required. "
                          "Empty = prompt-lookup drafting (no extra model)")
     ap.add_argument("--quant", type=str, default="none",
-                    choices=("none", "int8"),
+                    choices=("none", "int8", "int8kv"),
                     help="REPL: decode with int8 weight-only quantized "
                          "matvecs (per-output-channel scales, bf16 "
-                         "dequant-in-dot arithmetic; dense GPT only)")
+                         "dequant-in-dot arithmetic; dense GPT only). "
+                         "int8kv additionally stores the KV cache int8 "
+                         "(per-row scales) — halves the cache traffic "
+                         "that dominates long-context decode")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
     ap.add_argument("--top_p", type=float, default=0.0,

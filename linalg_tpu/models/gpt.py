@@ -790,12 +790,17 @@ def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
     continuous-batching engine), and the cache-write primitive
     (``fkv_write`` vs the per-slot ``fkv_write_slots``). ``temperature``/
     ``top_p`` may be scalars or per-row (B, 1) vectors.
+
+    ``kbuf``/``vbuf`` may be any pytree the (write_fn, ops["attn"]) pair
+    agrees on — the int8 KV cache passes {q, s} dicts; plain arrays use
+    the default ``sdpa`` consumer.
     """
     dt = cfg.compute_dtype
     D = cfg.d_model
     t_ids = jnp.arange(cfg.ctx_len)
     start1 = jnp.atleast_1d(start)
     slopes = alibi_slopes(cfg.n_heads) if cfg.pos == "alibi" else None
+    attn = ops.get("attn") or sdpa
 
     def decode_step(kbuf, vbuf, pos, token):
         rel = jnp.atleast_1d(pos - start)
@@ -834,7 +839,7 @@ def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
                 q = rope_rotate(q, rope[0], rope[1])
                 k = rope_rotate(k, rope[0], rope[1])
             k_l, v_l = write_fn(k_l, v_l, pos, k, v)
-            a = ops["out"](lw, _unheads(sdpa(q, k_l, v_l, mask)))
+            a = ops["out"](lw, _unheads(attn(q, k_l, v_l, mask)))
             h1 = h_in + a
             f = ops["ffn"](lw, ops["ln2"](lw, h1))
             return h1 + f, (k_l, v_l)

@@ -52,7 +52,8 @@ from ..nn.functional import sinusoidal_encoding
 from .gpt import GPTConfig, Params, _decode_chunk_core
 from ..nn.cache import fkv_write
 
-__all__ = ["quantize_weight", "quantize_gpt_params", "gpt_decode_chunk_q"]
+__all__ = ["quantize_weight", "quantize_gpt_params", "quantize_kv_cache",
+           "gpt_decode_chunk_q"]
 
 
 def quantize_weight(w, axis: int = -2):
@@ -214,16 +215,83 @@ def _q_decode_ops(qparams: Dict[str, Any], cfg: GPTConfig,
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k", "mode"))
+@partial(jax.jit,
+         static_argnames=("cfg", "n_tokens", "top_k", "mode", "kv8"))
 def gpt_decode_chunk_q(qparams, cache, logits, key, cfg: GPTConfig,
                        n_tokens: int, temperature=1.0, top_k: int = 0,
-                       top_p=0.0, mode: str = "deq"):
+                       top_p=0.0, mode: str = "deq", kv8: bool = False):
     """Int8 weight-only twin of ``gpt_decode_chunk``: same cache contract
     (take the cache from the full-precision ``gpt_prefill``), same sampling
-    semantics; only the per-token matvecs read int8 weights."""
+    semantics; only the per-token matvecs read int8 weights.
+
+    ``kv8=True`` additionally reads/writes the KV cache int8 — pass the
+    cache through ``quantize_kv_cache`` first. Halves the per-token cache
+    traffic, which dominates at long contexts.
+    """
     ops = _q_decode_ops(qparams, cfg, mode)
+    write = fkv_write
+    if kv8:
+        ops = dict(ops, attn=_kv8_attn(cfg.compute_dtype))
+        write = _kv8_write(fkv_write)
     start = cache.get("start", jnp.zeros((), jnp.int32))
     toks, logits, K, V, pos = _decode_chunk_core(
         cfg, ops, logits, cache["k"], cache["v"], cache["length"], start,
-        key, n_tokens, temperature, top_k, top_p, fkv_write)
+        key, n_tokens, temperature, top_k, top_p, write)
     return toks, logits, dict(cache, k=K, v=V, length=pos)
+
+
+# -- int8 KV cache ----------------------------------------------------------
+#
+# At long contexts the decode token's traffic is KV-dominated, not
+# weight-dominated: per token it reads L*2*ctx*D cache bytes vs one pass
+# over the weights. Storing K/V int8 with a PER-WRITTEN-ROW scale (one
+# scale per (layer, batch, head, position) over d_head — each cached row
+# is quantized once, at write time, against its own magnitude) halves
+# that traffic; the dequantize (int8 -> f32 * scale) fuses into the
+# attention dot's operand read exactly like ``_ddot`` does for weights.
+
+def _kv_row_quantize(x):
+    """(B, h, S, d) rows -> (int8 rows, per-row f32 scales (B, h, S, 1))."""
+    x = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_kv_cache(cache):
+    """Convert a full-precision decode cache {k, v: (L, B, h, ctx, d), ...}
+    (from ``gpt_prefill``) to the int8 form {k, v: {q, s}, ...} consumed by
+    ``gpt_decode_chunk_q(..., kv8=True)``. Slots past ``length`` hold
+    garbage in both forms (masked by the live mask; overwritten as decode
+    advances)."""
+    kq, ks = _kv_row_quantize(cache["k"])
+    vq, vs = _kv_row_quantize(cache["v"])
+    return dict(cache, k={"q": kq, "s": ks}, v={"q": vq, "s": vs})
+
+
+def _kv8_write(write_fn):
+    """Lift a plain-array cache writer to the {q, s} representation."""
+
+    def write(kd, vd, pos, k, v):
+        kq, ks = _kv_row_quantize(k)
+        vq, vs = _kv_row_quantize(v)
+        q_k, q_v = write_fn(kd["q"], vd["q"], pos, kq, vq)
+        s_k, s_v = write_fn(kd["s"], vd["s"], pos,
+                            ks.astype(kd["s"].dtype),
+                            vs.astype(vd["s"].dtype))
+        return dict(kd, q=q_k, s=s_k), dict(vd, q=q_v, s=s_v)
+
+    return write
+
+
+def _kv8_attn(dt):
+    """sdpa over {q, s} caches: dequant fused into the operand read."""
+    from ..nn.functional import sdpa
+
+    def attn(q, kd, vd, mask):
+        k = (kd["q"].astype(jnp.float32) * kd["s"]).astype(dt)
+        v = (vd["q"].astype(jnp.float32) * vd["s"]).astype(dt)
+        return sdpa(q, k, v, mask)
+
+    return attn

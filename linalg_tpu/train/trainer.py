@@ -477,15 +477,22 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
             raise ValueError("quant decode supports the dense GPT only")
         from ..models.moe import moe_decode_chunk as gpt_decode_chunk
         from ..models.moe import moe_prefill as prefill_fn
-    elif quant == "int8":
+    elif quant in ("int8", "int8kv"):
         # int8 weight-only decode: prefill stays full-precision (compute-
-        # bound), the per-token matvecs read int8 weights (traffic-bound)
-        from ..models.quant import gpt_decode_chunk_q, quantize_gpt_params
+        # bound), the per-token matvecs read int8 weights (traffic-bound);
+        # "int8kv" additionally stores the KV cache int8 (halves the
+        # cache traffic that dominates long-context decode)
+        from ..models.quant import (gpt_decode_chunk_q, quantize_gpt_params,
+                                    quantize_kv_cache)
 
         qparams = quantize_gpt_params(params, cfg)
+        kv8 = quant == "int8kv"
         gpt_decode_chunk = (lambda p, *a, **kw:
-                            gpt_decode_chunk_q(qparams, *a, **kw))
-        prefill_fn = gpt_prefill
+                            gpt_decode_chunk_q(qparams, *a, kv8=kv8, **kw))
+
+        def prefill_fn(p, ids, c, length=None):
+            logits, cache = gpt_prefill(p, ids, c, length=length)
+            return logits, (quantize_kv_cache(cache) if kv8 else cache)
     elif quant in ("", "none"):
         from ..models.gpt import gpt_decode_chunk
 

@@ -166,3 +166,84 @@ class TestQuantDecode:
 
         # int8 weights + f32 scales: well under half the f32 original
         assert nbytes(q) < 0.45 * nbytes(PARAMS)
+
+
+class TestKV8:
+    """Int8 KV cache: per-row write-time quantization, {q, s} pytree cache
+    through the shared decode core."""
+
+    def _prefill(self, cfg=CFG, params=PARAMS, seed=0):
+        rng = np.random.default_rng(seed)
+        prompt = rng.integers(0, cfg.vocab_size, size=12)
+        ids = jnp.asarray(prompt[None].astype(np.int32))
+        return gpt_prefill(params, ids, cfg)
+
+    def test_roundtrip_error_bound(self):
+        from linalg_tpu.models.quant import _kv_row_quantize
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 2, 8, 16)), jnp.float32)
+        q, s = _kv_row_quantize(x)
+        assert q.dtype == jnp.int8 and s.shape == (2, 2, 8, 1)
+        err = np.abs(np.asarray(q, np.float32) * np.asarray(s)
+                     - np.asarray(x))
+        assert (err <= np.asarray(s) * 0.5 + 1e-7).all()
+
+    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "alibi"])
+    def test_kv8_first_step_logits_close(self, pos):
+        from linalg_tpu.models.quant import quantize_kv_cache
+
+        cfg = GPTConfig(vocab_size=31, d_model=64, n_heads=2, n_layers=2,
+                        ctx_len=64, pos=pos)
+        params = init_gpt_params(cfg, seed=13)
+        logits, cache = self._prefill(cfg, params, seed=8)
+        q = quantize_gpt_params(params, cfg)
+        key = jax.random.PRNGKey(0)
+        _, lf, _ = gpt_decode_chunk(params, cache, logits, key, cfg, 1,
+                                    1.0, 1, 0.0)
+        _, lq, c2 = gpt_decode_chunk_q(q, quantize_kv_cache(cache), logits,
+                                       key, cfg, 1, 1.0, 1, 0.0, kv8=True)
+        a, b = np.asarray(lf)[0], np.asarray(lq)[0]
+        assert np.argmax(a) == np.argmax(b)
+        assert np.corrcoef(a, b)[0, 1] > 0.995
+        # the evolved cache keeps the int8 representation
+        assert c2["k"]["q"].dtype == jnp.int8
+
+    def test_kv8_greedy_prefix_agreement(self):
+        from linalg_tpu.models.quant import quantize_kv_cache
+
+        logits, cache = self._prefill()
+        q = quantize_gpt_params(PARAMS, CFG)
+        key = jax.random.PRNGKey(1)
+        t_f, _, _ = gpt_decode_chunk(PARAMS, cache, logits, key, CFG, 24,
+                                     1.0, 1, 0.0)
+        t_q, _, _ = gpt_decode_chunk_q(q, quantize_kv_cache(cache), logits,
+                                       key, CFG, 24, 1.0, 1, 0.0, kv8=True)
+        t_f, t_q = np.asarray(t_f)[0], np.asarray(t_q)[0]
+        prefix = int(np.argmin(t_f == t_q)) if (t_f != t_q).any() else 24
+        assert prefix >= 6, (prefix, t_f.tolist(), t_q.tolist())
+
+    def test_kv8_cache_halves(self):
+        from linalg_tpu.models.quant import quantize_kv_cache
+
+        _, cache = self._prefill()
+        c8 = quantize_kv_cache(cache)
+
+        def nbytes(t):
+            return sum(np.asarray(x).nbytes for x in jax.tree.leaves(t))
+
+        # int8 rows + one f32 scale per d_head row: well under 0.5x of f32
+        assert nbytes((c8["k"], c8["v"])) < 0.45 * nbytes(
+            (cache["k"], cache["v"]))
+
+    def test_kv8_sampler_integration(self):
+        from linalg_tpu.train.trainer import sample
+
+        itos = {i: chr(97 + i % 26) for i in range(CFG.vocab_size)}
+        out = "".join(sample(PARAMS, CFG, np.asarray([1, 2, 3]), itos,
+                             steps=40, seed=9, quant="int8kv", top_k=1))
+        out_f = "".join(sample(PARAMS, CFG, np.asarray([1, 2, 3]), itos,
+                               steps=40, seed=9, top_k=1))
+        assert len(out) == 40
+        agree = sum(1 for a, b in zip(out, out_f) if a == b)
+        assert agree >= 20, (agree, out, out_f)
