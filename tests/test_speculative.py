@@ -175,7 +175,11 @@ class TestDraftModel:
             params, cfg, params, cfg, base, 30, n_draft=5,
             temperature=1e-6, seed=0)
         assert list(out) == _greedy_ref(params, cfg, base, 30)
-        assert rounds == -(-30 // 6)  # ceil(30 / (n_draft+1))
+        # near-ceil(30/6): the S=1 draft forward and the S=6 verify
+        # forward are mathematically identical but differently shaped, so
+        # near-tie argmaxes of an untrained model can flip a round; a
+        # cache-sync bug would reject every draft (rounds ~ 30)
+        assert rounds <= -(-30 // 6) + 2, rounds
 
     @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "alibi"])
     def test_small_random_draft_greedy_equality(self, pos):
