@@ -109,7 +109,129 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--vocab_size", type=int, default=512,
                     help="BPE vocabulary size (used with --tokenizer bpe; "
                          "char vocab is always the corpus character set)")
+    ap.add_argument("--serve", action="store_true",
+                    help="batch-serve mode: run every prompt in --prompts "
+                         "through the continuous-batching engine "
+                         "(serve.ServeEngine) and print/write completions")
+    ap.add_argument("--prompts", type=str, default="-",
+                    help="serve mode: file with one prompt per line "
+                         "('-' = stdin)")
+    ap.add_argument("--n_slots", type=int, default=8,
+                    help="serve mode: concurrent decode slots in the engine")
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="serve mode: decode-chunk length (tokens sampled "
+                         "per device dispatch)")
+    ap.add_argument("--out", type=str, default="",
+                    help="serve mode: write completions as JSON lines to "
+                         "this file instead of stdout")
     return ap
+
+
+def _decode_text(tok, itos, toks) -> str:
+    """Token ids -> text through whichever tokenizer the checkpoint uses."""
+    if hasattr(tok, "token_bytes"):  # byte-level BPE
+        return b"".join(
+            tok.token_bytes(int(t)) for t in toks
+        ).decode("utf-8", "replace")
+    return "".join(itos[int(t)] for t in toks)
+
+
+def serve_cli(args) -> None:
+    """Serve a batch of prompts through the continuous-batching engine.
+
+    The CLI surface the reference never had (its only inference path is the
+    one-stream REPL, /root/reference/gpt.py:549-575): prompts stream through
+    ``serve.ServeEngine``'s fixed-shape slot decode concurrently, each with
+    the CLI's sampling params, and completions come back in request order.
+    Prompts longer than the engine's prefill window keep their LAST window
+    tokens — the reference's context-truncation rule (gpt.py:525-527).
+    """
+    import sys
+    import time as _time
+
+    from ..models.moe import MoEGPTConfig
+    from ..serve.engine import Request, ServeEngine
+    from ..train.checkpoint import load_ckpt, load_tokenizer
+
+    params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+    tok = load_tokenizer(args.ckpt_dir)
+    quant = getattr(args, "quant", "none")
+    if quant != "none" and isinstance(cfg, MoEGPTConfig):
+        print("(--quant supports the dense GPT only; serving full "
+              "precision)")
+        quant = "none"
+
+    if args.prompts == "-":
+        lines = [ln.rstrip("\n") for ln in sys.stdin]
+    else:
+        with open(args.prompts, encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f]
+    lines = [ln for ln in lines if ln.strip()]
+    if not lines:
+        print("serve: no prompts")
+        return
+
+    eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
+                      top_k=args.top_k, seed=args.seed, quant=quant)
+    # the engine reserves ceil(gen/chunk)*chunk cache rows per request;
+    # cap gen so one prompt token always fits, then truncate each prompt
+    # to leave the full reserved budget (the reference truncates context
+    # to make room for generation the same way, gpt.py:525-527)
+    gen_max = (cfg.ctx_len - 1) // args.chunk * args.chunk
+    gen = min(args.gen_tokens, max(gen_max, 1))
+    if gen < args.gen_tokens:
+        print(f"(gen_tokens capped to {gen}: decode budget is rounded up "
+              f"to {args.chunk}-token chunks and must fit ctx_len "
+              f"{cfg.ctx_len})")
+    reserved = -(-gen // args.chunk) * args.chunk
+    plen_max = min(eng.prefill_window, cfg.ctx_len - reserved)
+    prompts = []
+    for ln in lines:
+        ids = tok.encode(ln)
+        if not len(ids):
+            prompts.append(None)  # nothing encodable; emit empty completion
+            continue
+        ids = list(ids)[-plen_max:]  # reference-style tail truncation
+        prompts.append(ids)
+
+    t0 = _time.perf_counter()
+    rid_to_line = {}
+    for i, ids in enumerate(prompts):
+        if ids is None:
+            continue
+        rid = eng.submit(Request(
+            prompt=ids, max_new_tokens=gen,
+            temperature=args.temperature, top_p=args.top_p,
+            top_k=args.top_k if args.top_k > 0 else None))
+        rid_to_line[rid] = i
+    done = {rid_to_line[c.request_id]: c for c in eng.run()}
+    wall = _time.perf_counter() - t0
+
+    out_f = open(args.out, "w", encoding="utf-8") if args.out else None
+    try:
+        for i, ln in enumerate(lines):
+            c = done.get(i)
+            text = _decode_text(tok, itos, c.tokens) if c else ""
+            reason = c.finish_reason if c else "empty"
+            if out_f is not None:
+                import json
+
+                out_f.write(json.dumps({
+                    "id": i, "prompt": ln, "text": text,
+                    "finish_reason": reason,
+                    "new_tokens": len(c.tokens) if c else 0,
+                }) + "\n")
+            else:
+                print(f"--- [{i}] {ln!r}")
+                print(text)
+    finally:
+        if out_f is not None:
+            out_f.close()
+    n_tok = sum(len(c.tokens) for c in done.values())
+    print(f"[serve: {len(done)} completions, {n_tok} tokens in {wall:.2f}s "
+          f"= {n_tok / max(wall, 1e-9):.0f} tok/s useful; "
+          f"slots={args.n_slots} chunk={args.chunk} "
+          f"prefills={eng.stats['prefills']}]")
 
 
 def repl(args) -> None:
@@ -168,13 +290,7 @@ def repl(args) -> None:
                     params, cfg, ctx, args.gen_tokens,
                     n_draft=args.speculative, temperature=args.temperature,
                     top_k=args.top_k, top_p=args.top_p, seed=args.seed)
-            if hasattr(tok, "token_bytes"):
-                text = b"".join(
-                    tok.token_bytes(int(t)) for t in toks
-                ).decode("utf-8", "replace")
-            else:
-                text = "".join(itos[int(t)] for t in toks)
-            print(text)
+            print(_decode_text(tok, itos, toks))
             print(f"[speculative: {len(toks)} tokens in {rounds} rounds, "
                   f"{len(toks) / max(rounds, 1):.2f} tok/round]")
             continue
@@ -203,10 +319,12 @@ def main() -> None:
         from ..train.trainer import train
 
         train(args)
+    if args.serve:
+        serve_cli(args)
     if args.repl:
         repl(args)
-    if not args.train and not args.repl:
-        print("Nothing to do. Pass --train and/or --repl.")
+    if not args.train and not args.repl and not args.serve:
+        print("Nothing to do. Pass --train, --repl, and/or --serve.")
 
 
 if __name__ == "__main__":

@@ -326,3 +326,76 @@ class TestServeQuant:
     def test_unknown_quant_raises(self):
         with pytest.raises(ValueError, match="quant"):
             ServeEngine(PARAMS, CFG, quant="fp4")
+
+
+class TestServeCLI:
+    """--serve end-to-end: checkpoint -> prompts file -> engine -> JSONL.
+
+    The engine's token equality is pinned above; this pins the CLI
+    plumbing — encode, reference-style tail truncation of over-window
+    prompts, request-order output, unencodable-prompt handling, and the
+    JSONL schema.
+    """
+
+    def _ckpt(self, tmp_path):
+        from linalg_tpu.train.checkpoint import save_ckpt
+
+        chars = "abcdefghijklmnopqrstuvwxyz .,!?"  # 31 = CFG.vocab_size
+        assert len(chars) == CFG.vocab_size
+        stoi = {c: i for i, c in enumerate(chars)}
+        itos = {i: c for i, c in enumerate(chars)}
+        save_ckpt(tmp_path, PARAMS, CFG, stoi, itos)
+        return stoi, itos
+
+    def _serve_args(self, tmp_path, **over):
+        from linalg_tpu.apps.gpt import build_parser
+
+        args = build_parser().parse_args([
+            "--serve", "--ckpt_dir", str(tmp_path),
+            "--prompts", str(tmp_path / "prompts.txt"),
+            "--out", str(tmp_path / "out.jsonl"),
+            "--gen_tokens", "6", "--n_slots", "2", "--chunk", "4",
+            "--top_k", "1",  # greedy: deterministic
+        ])
+        for k, v in over.items():
+            setattr(args, k, v)
+        return args
+
+    def test_serve_cli_jsonl(self, tmp_path, capsys):
+        import json
+
+        from linalg_tpu.apps.gpt import serve_cli
+
+        stoi, itos = self._ckpt(tmp_path)
+        long_prompt = "the quick brown fox " * 8  # > prefill window (56)
+        (tmp_path / "prompts.txt").write_text(
+            "hello world\n\n" + long_prompt + "\n###\n", encoding="utf-8")
+        serve_cli(self._serve_args(tmp_path))
+        out = capsys.readouterr().out
+        assert "tok/s useful" in out
+        rows = [json.loads(ln) for ln in
+                (tmp_path / "out.jsonl").read_text().splitlines()]
+        # blank line dropped; "###" has no encodable chars -> empty row
+        assert [r["id"] for r in rows] == [0, 1, 2]
+        assert rows[0]["prompt"] == "hello world"
+        assert rows[2]["finish_reason"] == "empty" and rows[2]["text"] == ""
+        for r in rows[:2]:
+            assert r["new_tokens"] == 6
+            assert len(r["text"]) == 6
+            assert all(ch in stoi for ch in r["text"])
+
+        # greedy CLI output == single-stream greedy oracle (tail-truncated
+        # prompt, exactly as the CLI must feed the engine: ctx 64 minus the
+        # 8-row reserved budget for gen=6 in 4-token chunks -> 56)
+        ids = [stoi[c] for c in long_prompt if c in stoi][-56:]
+        want = greedy_single(PARAMS, CFG, ids, 6)
+        assert rows[1]["text"] == "".join(itos[t] for t in want)
+
+    def test_serve_cli_stdout_mode(self, tmp_path, capsys):
+        from linalg_tpu.apps.gpt import serve_cli
+
+        self._ckpt(tmp_path)
+        (tmp_path / "prompts.txt").write_text("hello\n", encoding="utf-8")
+        serve_cli(self._serve_args(tmp_path, out=""))
+        out = capsys.readouterr().out
+        assert "--- [0] 'hello'" in out
