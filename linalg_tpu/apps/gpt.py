@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "int8kv additionally stores the KV cache int8 "
                          "(per-row scales) — halves the cache traffic "
                          "that dominates long-context decode")
+    ap.add_argument("--beam", type=int, default=0, metavar="B",
+                    help="REPL: deterministic beam-search decoding with B "
+                         "beams instead of sampling (ignores temperature/"
+                         "top_k/top_p; needs prompt+gen_tokens <= ctx_len; "
+                         "dense GPT only)")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top_k", type=int, default=0)
     ap.add_argument("--top_p", type=float, default=0.0,
@@ -266,6 +271,20 @@ def repl(args) -> None:
             continue
         from ..models.moe import MoEGPTConfig
 
+        beam_ok = (args.beam > 0 and not isinstance(cfg, MoEGPTConfig)
+                   and ctx.size + args.gen_tokens <= cfg.ctx_len)
+        if args.beam > 0 and not beam_ok:
+            print("(beam search needs prompt+gen_tokens <= ctx_len and a "
+                  "dense GPT; using plain decode)")
+        if beam_ok:
+            from ..models.beam import gpt_generate_beam
+
+            toks, score = gpt_generate_beam(params, cfg, ctx,
+                                            args.gen_tokens, beam=args.beam)
+            print(_decode_text(tok, itos, toks))
+            print(f"[beam={args.beam}: log-prob {score:.2f}, "
+                  f"{score / max(len(toks), 1):.3f}/token]")
+            continue
         spec_ok = (args.speculative > 0
                    and not isinstance(cfg, MoEGPTConfig)
                    and ctx.size + args.gen_tokens + args.speculative + 1

@@ -1,3 +1,4 @@
+from .beam import gpt_generate_beam
 from .gpt import (
     GPTConfig,
     gpt_apply,
@@ -48,6 +49,7 @@ __all__ = [
     "gpt_decode_chunk",
     "init_decode_cache",
     "sample_token",
+    "gpt_generate_beam",
     # mixture-of-experts GPT
     "MoEGPTConfig",
     "init_moe_params",

@@ -774,26 +774,14 @@ def _dt_decode_ops(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
     }
 
 
-def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
-                       key, n_tokens: int, temperature, top_k: int, top_p,
-                       write_fn):
-    """Shared sample->decode-step scan under every decode chunk.
+def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
+    """One-token decode step factory shared by the sampling chunk scan
+    (``_decode_chunk_core``) and beam search (``models.beam``).
 
-    Each host dispatch costs a ~40 ms round trip on this runtime, so the
-    whole loop runs as a lax.scan on device; only the final (tokens,
-    logits, cache) cross the host boundary per chunk.
-
-    Parameterized over the weight representation (``ops``, see
-    ``_dt_decode_ops`` / ``models.quant``), the cache-position model
-    (``pos0``/``start`` scalar = one shared decode position as in
-    ``gpt_prefill[_batched]``; vectors = per-slot positions as in the
-    continuous-batching engine), and the cache-write primitive
-    (``fkv_write`` vs the per-slot ``fkv_write_slots``). ``temperature``/
-    ``top_p`` may be scalars or per-row (B, 1) vectors.
-
-    ``kbuf``/``vbuf`` may be any pytree the (write_fn, ops["attn"]) pair
-    agrees on — the int8 KV cache passes {q, s} dicts; plain arrays use
-    the default ``sdpa`` consumer.
+    Returns ``decode_step(kbuf, vbuf, pos, token) -> (K, V, logits)``:
+    embed ``token`` at position ``pos`` (scalar shared position or per-row
+    vector), run the layer stack against the KV cache, write the new K/V
+    via ``write_fn``, and return the next-token logits.
     """
     dt = cfg.compute_dtype
     D = cfg.d_model
@@ -846,6 +834,32 @@ def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
 
         h2, (K, V) = lax.scan(body, h, (ops["lws"], kbuf, vbuf))
         return K, V, ops["head"](h2[:, -1])
+
+    return decode_step
+
+
+def _decode_chunk_core(cfg: GPTConfig, ops, logits, kbuf, vbuf, pos0, start,
+                       key, n_tokens: int, temperature, top_k: int, top_p,
+                       write_fn):
+    """Shared sample->decode-step scan under every decode chunk.
+
+    Each host dispatch costs a ~40 ms round trip on this runtime, so the
+    whole loop runs as a lax.scan on device; only the final (tokens,
+    logits, cache) cross the host boundary per chunk.
+
+    Parameterized over the weight representation (``ops``, see
+    ``_dt_decode_ops`` / ``models.quant``), the cache-position model
+    (``pos0``/``start`` scalar = one shared decode position as in
+    ``gpt_prefill[_batched]``; vectors = per-slot positions as in the
+    continuous-batching engine), and the cache-write primitive
+    (``fkv_write`` vs the per-slot ``fkv_write_slots``). ``temperature``/
+    ``top_p`` may be scalars or per-row (B, 1) vectors.
+
+    ``kbuf``/``vbuf`` may be any pytree the (write_fn, ops["attn"]) pair
+    agrees on — the int8 KV cache passes {q, s} dicts; plain arrays use
+    the default ``sdpa`` consumer.
+    """
+    decode_step = _make_decode_step(cfg, ops, start, write_fn)
 
     def outer(carry, k):
         lg, kb, vb, pos = carry
