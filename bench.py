@@ -510,12 +510,86 @@ def bench_quant():
           kv8 / max(bf, 1.0))
 
 
+def bench_speculative():
+    """Speculative decoding vs plain decode (greedy, published config).
+
+    Two honest rows: prompt-LOOKUP drafting on a repetitive prompt (the
+    workload n-gram lookup is built for — the ratio on non-repetitive
+    text tends to 1.0 minus overhead), and SELF-draft (the target
+    drafting for itself, so draft cost == target cost — a worst-case
+    overhead row, expected < 1.0). On CPU x64 self-draft acceptance is
+    exact (rounds == ceil(n/(K+1)), pinned in tests); on the chip the
+    decode and block-verify kernels fuse differently, and with
+    random-init near-uniform logits those f32-level differences flip
+    greedy argmax ties, so measured acceptance is partial — the row
+    prints the actual round count.
+    """
+    from linalg_tpu.models.gpt import (GPTConfig, gpt_decode_chunk,
+                                       gpt_prefill, init_gpt_params)
+    from linalg_tpu.models.speculative import (
+        gpt_generate_speculative, gpt_generate_speculative_draft)
+
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=1024)
+    params = init_gpt_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    motif = rng.integers(0, 65, size=(24,)).astype(np.int32)
+    prompt = np.tile(motif, 6)  # 144 tokens, heavily repetitive
+    n_new, K = 512, 8
+
+    def plain():
+        import jax
+        import jax.numpy as jnp
+
+        logits, cache = gpt_prefill(params, jnp.asarray(prompt[None]), cfg)
+        toks, _, _ = gpt_decode_chunk(params, cache, logits,
+                                      jax.random.PRNGKey(0), cfg, n_new,
+                                      1.0, 1, 0.0)
+        return np.asarray(toks)
+
+    plain()  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        plain()
+    base = n_new / ((time.perf_counter() - t0) / 3)
+
+    def lookup():
+        toks, rounds = gpt_generate_speculative(
+            params, cfg, prompt, n_new, n_draft=K, top_k=1, seed=0)
+        return rounds
+
+    rounds = lookup()  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rounds = lookup()
+    tps = n_new / ((time.perf_counter() - t0) / 3)
+    _emit(f"speculative prompt-lookup K={K}, repetitive prompt, greedy "
+          f"{n_new} tokens ({rounds} rounds vs {n_new} plain; plain decode "
+          f"{base:.0f} tok/s)", tps, "tok/s", tps / max(base, 1.0))
+
+    def selfdraft():
+        toks, rounds = gpt_generate_speculative_draft(
+            params, cfg, params, cfg, prompt, n_new, n_draft=4, top_k=1,
+            seed=0)
+        return rounds
+
+    rounds = selfdraft()  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rounds = selfdraft()
+    tps = n_new / ((time.perf_counter() - t0) / 3)
+    _emit(f"speculative self-draft K=4 overhead row, greedy {n_new} "
+          f"tokens ({rounds} rounds; plain {base:.0f} tok/s)",
+          tps, "tok/s", tps / max(base, 1.0))
+
+
 SECTIONS = {
     "attention": bench_attention,
     "train": bench_train,
     "moe": bench_moe,
     "sampler": bench_sampler,
     "serve": bench_serve,
+    "speculative": bench_speculative,
     "quant": bench_quant,
     "qr": bench_qr,
 }
@@ -535,7 +609,7 @@ def main():
     elif args.all:
         # headline (qr) LAST: the driver parses the final line
         for name in ("attention", "train", "moe", "sampler", "serve",
-                     "quant", "qr"):
+                     "speculative", "quant", "qr"):
             SECTIONS[name]()
     else:
         bench_qr()

@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="path to a local corpus text file (optional)")
     ap.add_argument("--profile", type=str, default=None,
                     help="capture a jax.profiler trace of training into DIR")
+    ap.add_argument("--log_file", type=str, default=None,
+                    help="append training/eval metrics as JSON lines here "
+                         "(written only at existing host-sync points — "
+                         "adds no device round trips)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel mesh axis (multi-device training)")
     ap.add_argument("--tp", type=int, default=1,

@@ -235,6 +235,30 @@ def _resume_or_init(args):
     return text, params, cfg, tok, stoi, itos
 
 
+class _MetricsLog:
+    """Append-mode JSONL metrics sink (``--log_file``); None path = no-op.
+
+    Rows are written only at the loop's EXISTING host-sync points (the
+    every-20-step loss readback and evals) — observability must not add
+    device round trips. Append mode keeps the history across
+    resume-or-init restarts.
+    """
+
+    def __init__(self, path):
+        self._f = open(path, "a", encoding="utf-8") if path else None
+
+    def write(self, **row):
+        if self._f is not None:
+            import json
+
+            self._f.write(json.dumps(row) + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+
+
 def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
                 train_ids, val_ids, tok, stoi, itos, desc: str):
     """The one training loop every axis shares.
@@ -252,6 +276,7 @@ def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
     tokens_per_step = args.batch_size * cfg.ctx_len
     timer = StepTimer(tokens_per_step, window=10)
     last_sync = 0
+    mlog = _MetricsLog(getattr(args, "log_file", None))
     with trace(getattr(args, "profile", None)):
         for step in range(1, args.steps + 1):
             params, opt_state, key, loss = step_fn(
@@ -265,18 +290,34 @@ def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
                         f"{timer.tokens_per_sec:.0f} tok/s)"
                         if step > 1 else "")
                 print(f"step {step:6d}  loss {loss_f:.4f}{rate}")
+                mlog.write(event="train", step=step, loss=loss_f,
+                           steps_per_sec=(timer.steps_per_sec
+                                          if step > 1 else None),
+                           tokens_per_sec=(timer.tokens_per_sec
+                                           if step > 1 else None),
+                           elapsed_s=round(time.time() - t0, 3))
             if step % args.eval_every == 0:
                 key, sub = jax.random.split(key)
                 val_loss = float(eval_fn(params, val_ids, sub))
                 print(f"[eval] step {step:6d}  val_loss {val_loss:.4f}")
+                saved = None
                 if val_loss < best:
                     best = val_loss
                     path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos,
                                      tokenizer=tok)
                     print(f"  saved best -> {path}  (val {best:.4f})")
+                    saved = str(path)
+                mlog.write(event="eval", step=step, val_loss=val_loss,
+                           best=best, ckpt=saved,
+                           elapsed_s=round(time.time() - t0, 3))
     dt = time.time() - t0
     print(f"done in {dt:.1f}s  ({desc}{args.steps / dt:.2f} steps/s, "
           f"{args.steps * tokens_per_step / dt:.0f} tok/s)")
+    mlog.write(event="done", steps=args.steps, wall_s=round(dt, 3),
+               steps_per_sec=round(args.steps / dt, 3),
+               tokens_per_sec=round(args.steps * tokens_per_step / dt, 1),
+               best_val_loss=(best if best < 1e9 else None))
+    mlog.close()
     return params
 
 

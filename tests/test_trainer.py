@@ -179,3 +179,30 @@ class TestClipNorm:
         for _ in range(30):
             p, o, k, l = step(p, o, data, k)
         assert float(l) < float(l0)
+
+
+class TestMetricsLog:
+    def test_log_file_jsonl(self, tmp_path):
+        import json
+
+        log = tmp_path / "metrics.jsonl"
+        train(_args(tmp_path, steps=30, log_file=str(log)))
+        rows = [json.loads(ln) for ln in log.read_text().splitlines()]
+        train_rows = [r for r in rows if r["event"] == "train"]
+        eval_rows = [r for r in rows if r["event"] == "eval"]
+        done_rows = [r for r in rows if r["event"] == "done"]
+        assert [r["step"] for r in train_rows] == [1, 20]
+        assert all(np.isfinite(r["loss"]) for r in train_rows)
+        assert train_rows[1]["tokens_per_sec"] > 0
+        assert [r["step"] for r in eval_rows] == [15, 30]
+        assert eval_rows[0]["ckpt"]  # first eval always checkpoints
+        assert len(done_rows) == 1 and done_rows[0]["steps"] == 30
+        assert done_rows[0]["best_val_loss"] == min(
+            r["val_loss"] for r in eval_rows)
+
+        # resume APPENDS (history preserved across restarts)
+        train(_args(tmp_path, steps=5, eval_every=5, log_file=str(log)))
+        rows2 = [json.loads(ln) for ln in log.read_text().splitlines()]
+        assert len(rows2) > len(rows)
+        assert [r["event"] for r in rows2[:len(rows)]] == \
+            [r["event"] for r in rows]
