@@ -29,15 +29,24 @@ __all__ = ["make_ring_attention", "ring_attention_local"]
 _NEG = -1e30
 
 
-def ring_attention_local(q, k, v, *, axis: str, causal: bool = True):
+def ring_attention_local(q, k, v, *, axis: str, causal: bool = True,
+                         slopes=None):
     """Per-device body: q/k/v are LOCAL chunks (B, h, Tl, d) of a sequence
     sharded over mesh axis ``axis``. Must run inside shard_map/pjit with
-    that axis in scope."""
+    that axis in scope.
+
+    ``slopes`` (h,) adds the ALiBi per-head distance bias
+    ``slope_h * (col - row)`` to the scores — global row/col positions are
+    already in hand for the causal mask, so the bias costs one fused
+    multiply-add per chunk and no extra communication.
+    """
     sp = lax.axis_size(axis)
     idx = lax.axis_index(axis)
     B, h, Tl, d = q.shape
     scale = 1.0 / math.sqrt(d)
     rows = (idx * Tl + jnp.arange(Tl))[:, None]  # global q positions
+    if slopes is not None:
+        sl = jnp.asarray(slopes, jnp.float32)[None, :, None, None]
 
     m = jnp.full((B, h, Tl, 1), _NEG, jnp.float32)
     l = jnp.zeros((B, h, Tl, 1), jnp.float32)
@@ -49,6 +58,8 @@ def ring_attention_local(q, k, v, *, axis: str, causal: bool = True):
         src = (idx - s) % sp  # origin device of the chunk we now hold
         cols = (src * Tl + jnp.arange(Tl))[None, :]
         sc = scale * jnp.einsum("bhtd,bhsd->bhts", q, k_cur)
+        if slopes is not None:
+            sc = sc + sl * (cols - rows).astype(jnp.float32)[None, None]
         if causal:
             sc = jnp.where(cols <= rows, sc, _NEG)
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
@@ -66,15 +77,18 @@ def ring_attention_local(q, k, v, *, axis: str, causal: bool = True):
 
 
 def make_ring_attention(mesh, *, axis: str = "sp", causal: bool = True,
-                        batch_axis: str | None = None):
+                        batch_axis: str | None = None, slopes=None):
     """shard_map-wrapped ring attention over ``mesh``.
 
     Returns attn(q, k, v) for GLOBAL (B, h, T, d) arrays with T sharded on
     ``axis`` (and optionally B on ``batch_axis``). T must divide by the
-    axis size.
+    axis size. ``slopes`` (h,) enables the ALiBi per-head distance bias.
     """
     spec = P(batch_axis, None, axis, None)
-    body = partial(ring_attention_local, axis=axis, causal=causal)
+    if slopes is not None:
+        slopes = tuple(float(s) for s in slopes)
+    body = partial(ring_attention_local, axis=axis, causal=causal,
+                   slopes=slopes)
     return jax.shard_map(
         lambda q, k, v: body(q, k, v),
         mesh=mesh,

@@ -53,10 +53,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _slope_for_program(slopes, n_heads: int):
+    """This grid program's ALiBi slope as a scalar select chain.
+
+    The grid is B*h row-major, so ``program_id % n_heads`` is the head.
+    Pallas kernels may not capture constant ARRAYS, so the (static float)
+    slopes are folded in as a chain of scalar ``where`` selects instead of
+    an indexed lookup table.
+    """
+    hid = lax.rem(pl.program_id(0), jnp.int32(n_heads))
+    sl = jnp.float32(slopes[0])
+    for i, s in enumerate(slopes[1:], start=1):
+        sl = jnp.where(hid == jnp.int32(i), jnp.float32(s), sl)
+    return sl
+
+
 def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
                  acc_s, csrc, cdst, kv_send, kv_recv, c_send, c_recv,
                  *, axis_names, sp_axis: str, n: int, causal: bool,
-                 scale: float):
+                 scale: float, slopes=None, n_heads: int = 1):
     Tl, d = q_ref.shape[1], q_ref.shape[2]
 
     # Logical device ids of the up/downstream ring neighbors: same mesh
@@ -98,6 +113,8 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
 
     q = q_ref[0].astype(jnp.float32)
     rows = my_sp * Tl + lax.broadcasted_iota(jnp.int32, (Tl, Tl), 0)
+    if slopes is not None:
+        sl = _slope_for_program(slopes, n_heads)
 
     def body(s, _):
         cur = lax.rem(s, 2)
@@ -131,9 +148,10 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            cols = src * Tl + lax.broadcasted_iota(jnp.int32, (Tl, Tl), 1)
+            if slopes is not None:
+                sc = sc + sl * (cols - rows).astype(jnp.float32)
             if causal:
-                cols = src * Tl + lax.broadcasted_iota(
-                    jnp.int32, (Tl, Tl), 1)
                 sc = jnp.where(cols <= rows, sc, _NEG)
             m_new = jnp.maximum(m_s[:], jnp.max(sc, axis=-1, keepdims=True))
             p = jnp.exp(sc - m_new)
@@ -165,11 +183,13 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
 
 
 def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
-                                causal: bool = True, with_lse: bool = False):
+                                causal: bool = True, with_lse: bool = False,
+                                slopes=None):
     """Per-device body (inside shard_map): q/k/v are local (B, h, Tl, d).
 
     ``with_lse=True`` also returns the per-row logsumexp (B, h, Tl) for
-    the backward kernel.
+    the backward kernel. ``slopes`` (len h, static) adds the ALiBi
+    per-head distance bias inside the kernel.
     """
     if _interpret() and len(mesh.axis_names) > 1:
         # interpret-mode DMA discharge only supports single-named-axis
@@ -177,11 +197,13 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
         # off-TPU (same results, ppermute rotation)
         from .ring import ring_attention_local
 
-        out = ring_attention_local(q, k, v, axis=axis, causal=causal)
+        out = ring_attention_local(q, k, v, axis=axis, causal=causal,
+                                   slopes=slopes)
         if not with_lse:
             return out
         # lse via one extra local pass of the same online softmax shape
-        lse = _xla_local_lse(q, k, v, axis=axis, causal=causal)
+        lse = _xla_local_lse(q, k, v, axis=axis, causal=causal,
+                             slopes=slopes)
         return out, lse
     B, h, Tl, d = q.shape
     n = mesh.shape[axis]
@@ -190,7 +212,7 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
     rs = lambda x: x.reshape(B * h, Tl, d)
     kern = functools.partial(
         _ring_kernel, axis_names=axis_names, sp_axis=axis, n=n,
-        causal=causal, scale=scale,
+        causal=causal, scale=scale, slopes=slopes, n_heads=h,
     )
     spec = pl.BlockSpec((1, Tl, d), lambda g: (g, 0, 0))
     lspec = pl.BlockSpec((1, 8, Tl), lambda g: (g, 0, 0))
@@ -224,7 +246,7 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
     return out, L8.reshape(B, h, 8, Tl)[:, :, 0]
 
 
-def _xla_local_lse(q, k, v, *, axis: str, causal: bool):
+def _xla_local_lse(q, k, v, *, axis: str, causal: bool, slopes=None):
     """Per-row logsumexp of the ring attention scores (ppermute pass) —
     the interpret-mode fallback companion to the Pallas forward."""
     sp = lax.axis_size(axis)
@@ -232,6 +254,8 @@ def _xla_local_lse(q, k, v, *, axis: str, causal: bool):
     B, h, Tl, d = q.shape
     scale = 1.0 / math.sqrt(d)
     rows = (idx * Tl + jnp.arange(Tl))[:, None]
+    if slopes is not None:
+        sl = jnp.asarray(slopes, jnp.float32)[None, :, None, None]
     m = jnp.full((B, h, Tl, 1), _NEG, jnp.float32)
     l = jnp.zeros((B, h, Tl, 1), jnp.float32)
     perm = [(j, (j + 1) % sp) for j in range(sp)]
@@ -240,6 +264,8 @@ def _xla_local_lse(q, k, v, *, axis: str, causal: bool):
         src = (idx - s) % sp
         cols = (src * Tl + jnp.arange(Tl))[None, :]
         sc = scale * jnp.einsum("bhtd,bhsd->bhts", q, k_cur)
+        if slopes is not None:
+            sc = sc + sl * (cols - rows).astype(jnp.float32)[None, None]
         if causal:
             sc = jnp.where(cols <= rows, sc, _NEG)
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
@@ -256,7 +282,7 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
                      bundle, dq_s, csrc, cdst, b_send, b_recv,
                      c_send, c_recv,
                      *, axis_names, sp_axis: str, n: int, causal: bool,
-                     scale: float):
+                     scale: float, slopes=None, n_heads: int = 1):
     """Backward ring: a (k, v, dk, dv) bundle makes one full lap.
 
     Each device holds its q/do/L/delta; as the bundle for chunk c visits,
@@ -305,6 +331,8 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
     L = l_ref[0][0][:, None]      # (Tl, 1) logsumexp
     delta = d_ref[0][0][:, None]  # (Tl, 1) rowsum(do * o)
     rows = my_sp * Tl + lax.broadcasted_iota(jnp.int32, (Tl, Tl), 0)
+    if slopes is not None:
+        sl = _slope_for_program(slopes, n_heads)
 
     def body(s, _):
         cur = lax.rem(s, 2)
@@ -322,9 +350,10 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            cols = src * Tl + lax.broadcasted_iota(jnp.int32, (Tl, Tl), 1)
+            if slopes is not None:
+                sc = sc + sl * (cols - rows).astype(jnp.float32)
             if causal:
-                cols = src * Tl + lax.broadcasted_iota(
-                    jnp.int32, (Tl, Tl), 1)
                 sc = jnp.where(cols <= rows, sc, _NEG)
             p = jnp.exp(sc - L)  # recomputed probabilities
             dp = lax.dot_general(
@@ -372,7 +401,8 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
 
 
 def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
-                                    axis: str, causal: bool = True):
+                                    axis: str, causal: bool = True,
+                                    slopes=None):
     """Per-device backward body: returns local (dq, dk, dv)."""
     B, h, Tl, d = q.shape
     n = mesh.shape[axis]
@@ -383,7 +413,7 @@ def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
         x.reshape(B * h, 1, Tl), (B * h, 8, Tl)).astype(jnp.float32)
     kern = functools.partial(
         _ring_bwd_kernel, axis_names=axis_names, sp_axis=axis, n=n,
-        causal=causal, scale=scale,
+        causal=causal, scale=scale, slopes=slopes, n_heads=h,
     )
     spec = pl.BlockSpec((1, Tl, d), lambda g: (g, 0, 0))
     lspec = pl.BlockSpec((1, 8, Tl), lambda g: (g, 0, 0))
@@ -414,7 +444,7 @@ def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
 
 def make_ring_attention_pallas(mesh, *, axis: str = "sp",
                                causal: bool = True,
-                               batch_axis: str | None = None):
+                               batch_axis: str | None = None, slopes=None):
     """shard_map-wrapped Pallas ring attention over ``mesh``.
 
     Same contract as ``make_ring_attention``: attn(q, k, v) on GLOBAL
@@ -422,21 +452,25 @@ def make_ring_attention_pallas(mesh, *, axis: str = "sp",
     run the in-kernel DMA ring (the backward laps a (k, v, dk, dv)
     bundle around the ring, recomputing P strips from the forward's
     logsumexp).  Off-TPU multi-axis meshes fall back to the XLA ring.
+    ``slopes`` (len h) bakes the ALiBi per-head distance bias into both
+    kernels as compile-time constants.
     """
     from .ring import make_ring_attention
 
     spec = P(batch_axis, None, axis, None)
     lse_spec = P(batch_axis, None, axis)
     fallback = _interpret() and len(mesh.axis_names) > 1
+    if slopes is not None:
+        slopes = tuple(float(s) for s in slopes)
 
     local_fwd = functools.partial(ring_attention_pallas_local, mesh=mesh,
-                                  axis=axis, causal=causal)
+                                  axis=axis, causal=causal, slopes=slopes)
     fwd_plain = jax.shard_map(
         lambda q, k, v: local_fwd(q, k, v), mesh=mesh,
         in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
     )
     xla_ring = make_ring_attention(mesh, axis=axis, causal=causal,
-                                   batch_axis=batch_axis)
+                                   batch_axis=batch_axis, slopes=slopes)
 
     if fallback:
         bwd_impl = None
@@ -447,7 +481,8 @@ def make_ring_attention_pallas(mesh, *, axis: str = "sp",
             check_vma=False,
         )
         local_bwd = functools.partial(ring_attention_pallas_bwd_local,
-                                      mesh=mesh, axis=axis, causal=causal)
+                                      mesh=mesh, axis=axis, causal=causal,
+                                      slopes=slopes)
         bwd_impl = jax.shard_map(
             lambda q, k, v, do, lse, delta: local_bwd(q, k, v, do, lse,
                                                       delta),

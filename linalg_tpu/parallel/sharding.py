@@ -175,13 +175,7 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     ``pallas=True`` swaps in the in-kernel DMA ring (forward AND backward
     Pallas kernels, ``parallel.ring_pallas``) for compute/comm overlap.
     """
-    if cfg.pos == "alibi":
-        raise NotImplementedError(
-            "pos='alibi' is not wired into the ring-attention (sp) paths "
-            "yet — the ring kernels bake in a pure causal mask; use "
-            "dp/tp/pp/ep sharding or a non-alibi positional mode with --sp"
-        )
-    attn_fn = _sp_ring(mesh, pallas)
+    attn_fn = _sp_ring(mesh, pallas, cfg)
 
     repl_leaf = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl_leaf, gpt_param_specs(None, cfg),
@@ -208,19 +202,31 @@ def make_sp_train_step(cfg: GPTConfig, mesh: Mesh, *,
     )
 
 
-def _sp_ring(mesh: Mesh, pallas: bool):
+def _sp_ring(mesh: Mesh, pallas: bool, cfg: GPTConfig | None = None):
     """The sp attention ring: in-kernel DMA Pallas ring (compute/comm
-    overlap, the TPU training default) or the XLA ppermute ring."""
+    overlap, the TPU training default) or the XLA ppermute ring.
+
+    ``cfg.pos == "alibi"`` threads the per-head distance-bias slopes into
+    the ring bodies (global row/col positions are already tracked for the
+    causal mask, so the bias is a fused multiply-add per chunk — zero
+    extra communication; the Pallas kernels bake the slopes in as
+    compile-time constants selected by head grid index).
+    """
+    slopes = None
+    if cfg is not None and cfg.pos == "alibi":
+        from ..nn.positional import alibi_slopes
+
+        slopes = tuple(float(s) for s in alibi_slopes(cfg.n_heads))
     if pallas:
         from .ring_pallas import make_ring_attention_pallas
 
         ring = make_ring_attention_pallas(mesh, axis="sp", causal=True,
-                                          batch_axis="dp")
+                                          batch_axis="dp", slopes=slopes)
     else:
         from .ring import make_ring_attention
 
         ring = make_ring_attention(mesh, axis="sp", causal=True,
-                                   batch_axis="dp")
+                                   batch_axis="dp", slopes=slopes)
     return lambda q, k, v, mask: ring(q, k, v)
 
 
@@ -244,12 +250,7 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
     from ..train.optim import AdamWState, adamw_update, gpt_lr_scales, \
         gpt_wd_mask, warmup_cosine
 
-    if cfg.pos == "alibi":
-        raise NotImplementedError(
-            "pos='alibi' is not wired into the ring-attention (sp) paths "
-            "yet — use dp/tp/pp/ep sharding or a non-alibi positional mode"
-        )
-    attn_fn = _sp_ring(mesh, pallas)
+    attn_fn = _sp_ring(mesh, pallas, cfg)
 
     repl = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None, cfg),
@@ -288,7 +289,7 @@ def make_sp_device_train_step(cfg: GPTConfig, mesh: Mesh, batch_size: int,
 def make_sp_eval(cfg: GPTConfig, mesh: Mesh, batch: int, batches: int,
                  pallas: bool = False):
     """Device-resident (dp, sp) eval companion to make_sp_device_train_step."""
-    attn_fn = _sp_ring(mesh, pallas)
+    attn_fn = _sp_ring(mesh, pallas, cfg)
     repl = NamedSharding(mesh, P())
     param_sh = jax.tree.map(lambda _: repl, gpt_param_specs(None, cfg),
                             is_leaf=lambda v: isinstance(v, P))

@@ -5,8 +5,9 @@ The reference lists ALiBi as an unbuilt roadmap item (README.md:57-65);
 as the per-head additive score bias ``slope_h * (j - i)`` (Press et al.,
 "Train Short, Test Long") — no PE table, no rotation — threaded through
 the training trunk, prefill, cached decode, batched serving, the dp x tp
-sharded step (head-sliced slopes inside shard_map), MoE, and the pipeline
-stages. The sp ring paths raise until their kernels learn the bias.
+sharded step (head-sliced slopes inside shard_map), MoE, the pipeline
+stages, and the sp rings (XLA ppermute AND the in-kernel DMA Pallas ring,
+where the slopes are baked in as compile-time constants).
 """
 
 import jax
@@ -149,14 +150,71 @@ class TestSharded:
             sh = float(gpt_loss(params, x, y, CFG, attn_fn=attn))
         assert abs(sh - ref) < 1e-4
 
-    def test_sp_raises(self):
+    def _alibi_sdpa_ref(self, q, k, v):
+        """Dense reference: sdpa with the per-head distance bias folded
+        into the causal mask (exactly models.gpt._trunk_mask's shape)."""
+        from linalg_tpu.nn.functional import causal_mask, sdpa
+
+        h, T = q.shape[1], q.shape[2]
+        sl = alibi_slopes(h)
+        i = jnp.arange(T)
+        bias = sl[:, None, None] * (i[None, None, :] - i[None, :, None])
+        mask = causal_mask(T, dtype=q.dtype) + bias[None].astype(q.dtype)
+        return sdpa(q, k, v, mask)
+
+    def _qkv(self, B=2, H=4, T=24, d=8, seed=3):
+        rng = np.random.default_rng(seed)
+        return tuple(jnp.asarray(rng.normal(size=(B, H, T, d)), jnp.float32)
+                     for _ in range(3))
+
+    def test_sp_xla_ring_alibi_matches_sdpa(self):
+        from linalg_tpu.parallel import make_ring_attention
+        from linalg_tpu.parallel.mesh import make_mesh
+
+        q, k, v = self._qkv()
+        mesh = make_mesh((8,), ("sp",), jax.devices()[:8])
+        sl = tuple(float(s) for s in alibi_slopes(q.shape[1]))
+        out = make_ring_attention(mesh, slopes=sl)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(self._alibi_sdpa_ref(q, k, v)),
+                                   atol=1e-5)
+
+    def test_sp_pallas_ring_alibi_fwd_and_grads(self):
+        """The in-kernel DMA ring (fwd AND bundle-lap bwd) with baked-in
+        slopes must match autodiff through the dense alibi sdpa."""
+        from linalg_tpu.parallel import make_ring_attention_pallas
+        from linalg_tpu.parallel.mesh import make_mesh
+
+        q, k, v = self._qkv(T=32, seed=4)
+        mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+        sl = tuple(float(s) for s in alibi_slopes(q.shape[1]))
+        ring = make_ring_attention_pallas(mesh, slopes=sl)
+        np.testing.assert_allclose(np.asarray(ring(q, k, v)),
+                                   np.asarray(self._alibi_sdpa_ref(q, k, v)),
+                                   atol=1e-5)
+        w = jnp.asarray(np.random.default_rng(5).normal(size=q.shape),
+                        jnp.float32)
+        g_p = jax.grad(lambda *a: jnp.sum(ring(*a) * w),
+                       argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(lambda *a: jnp.sum(self._alibi_sdpa_ref(*a) * w),
+                       argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_p, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+    def test_sp_train_step_matches_unsharded(self):
         from linalg_tpu.parallel.mesh import make_mesh
         from linalg_tpu.parallel.sharding import make_sp_train_step
+        from linalg_tpu.train.optim import adamw_init
 
         devs = jax.devices()
         mesh = make_mesh((1, 8), ("dp", "sp"), devs[:8])
-        with pytest.raises(NotImplementedError, match="alibi"):
-            make_sp_train_step(CFG, mesh)
+        params = init_gpt_params(CFG, seed=0)
+        x, y = _data(B=2)
+        ref = float(gpt_loss(params, x, y, CFG))
+        step = make_sp_train_step(CFG, mesh)
+        _, _, loss = step(params, adamw_init(params), x, y)
+        assert abs(float(loss) - ref) < 1e-4
 
     def test_pipeline_loss_matches_unsharded(self):
         from linalg_tpu.parallel.mesh import make_mesh
