@@ -19,6 +19,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ctx_len", type=int, default=256)
     ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--kv_heads", type=int, default=None,
+                    help="grouped-query attention: number of K/V heads "
+                         "(must divide --heads; 1 = multi-query). Shrinks "
+                         "the KV cache and its decode HBM traffic by "
+                         "heads/kv_heads; default = --heads (standard MHA)")
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval_every", type=int, default=200)

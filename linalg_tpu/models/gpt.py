@@ -72,6 +72,13 @@ class GPTConfig:
     ctx_len: int = 256
     pos: str = "sinusoidal"  # "sinusoidal" | "rope" | "learned" | "alibi"
     dtype: str = "float32"  # compute dtype: "float32" or "bfloat16"
+    # Grouped-query attention (Ainslie et al. 2023): K/V are projected to
+    # n_kv_heads <= n_heads heads and each KV head serves a GROUP of
+    # n_heads/n_kv_heads query heads. None = n_heads (standard MHA);
+    # 1 = multi-query attention. Shrinks the KV cache (and its decode
+    # HBM traffic — the long-context serving bottleneck) by the group
+    # factor; training compute is unchanged.
+    n_kv_heads: Optional[int] = None
 
     def __post_init__(self):
         if self.pos not in ("sinusoidal", "rope", "learned", "alibi"):
@@ -80,6 +87,12 @@ class GPTConfig:
             raise ValueError("RoPE requires an even head dimension")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unknown compute dtype: {self.dtype!r}")
+        if self.n_kv_heads is not None and (
+                self.n_kv_heads < 1
+                or self.n_heads % self.n_kv_heads != 0):
+            raise ValueError(
+                "n_kv_heads must divide n_heads (each KV head serves an "
+                "equal group of query heads)")
 
     @property
     def dff(self) -> int:
@@ -88,6 +101,11 @@ class GPTConfig:
     @property
     def d_head(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        """Number of K/V heads (== n_heads unless GQA/MQA is on)."""
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
 
     @property
     def compute_dtype(self):
@@ -108,12 +126,13 @@ def init_gpt_params(cfg: GPTConfig, seed: int = 123) -> Params:
             rng.normal(0.0, math.sqrt(2.0 / fan_in), size=shape), jnp.float32
         )
 
+    KD = cfg.kv_heads * cfg.d_head  # K/V projection width (== D for MHA)
     layers = {
         "ln1_g": jnp.ones((L, D), jnp.float32),
         "ln1_b": jnp.zeros((L, D), jnp.float32),
         "Wq": he(D, (L, D, D)),
-        "Wk": he(D, (L, D, D)),
-        "Wv": he(D, (L, D, D)),
+        "Wk": he(D, (L, D, KD)),
+        "Wv": he(D, (L, D, KD)),
         "Wo": he(D, (L, D, D)),
         "ln2_g": jnp.ones((L, D), jnp.float32),
         "ln2_b": jnp.zeros((L, D), jnp.float32),
@@ -146,8 +165,45 @@ def _unheads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, T, h * d)
 
 
+def _gqa_expand(kv, n_heads: int):
+    """Tile grouped K/V heads (B, hk, T, d) up to (B, n_heads, T, d).
+
+    Used on the PARALLEL (training/prefill) paths so every attention
+    backend (sdpa, flash, rings) sees equal head counts; the gradient of
+    the repeat sums each group's dK/dV back into its shared head — exactly
+    the GQA backward. The decode hot loop instead reads the grouped cache
+    directly (``_gqa_decode_attn``) so cache HBM traffic stays hk/H-sized.
+    """
+    hk = kv.shape[1]
+    if hk == n_heads:
+        return kv
+    return jnp.repeat(kv, n_heads // hk, axis=1)
+
+
+def _gqa_decode_attn(q, k, v, mask):
+    """Single-position attention against a GROUPED KV cache.
+
+    q is (B, H, 1, d); k/v are (B, hk, S, d) with hk dividing H — the
+    cache is read once at its grouped size (the whole point of GQA: the
+    per-token HBM traffic shrinks by H/hk). ``mask`` is (B, 1|H, 1, S)
+    additive. Plain einsums (no custom_vjp): decode never differentiates.
+    """
+    B, H, Tq, d = q.shape
+    hk, S = k.shape[1], k.shape[2]
+    if hk == H:
+        return sdpa(q, k, v, mask)
+    g = H // hk
+    qg = q.reshape(B, hk, g * Tq, d)
+    sc = jnp.einsum("bkgd,bksd->bkgs", qg, k) / math.sqrt(d)
+    m = jnp.broadcast_to(mask, (B, H, Tq, S)).reshape(B, hk, g * Tq, S)
+    p = jax.nn.softmax((sc + m).astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgs,bksd->bkgd", p, v)
+    return out.reshape(B, H, Tq, d)
+
+
 def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
-           fused: bool = False, attn_btd: Optional[Callable] = None):
+           fused: bool = False, attn_btd: Optional[Callable] = None,
+           n_kv: Optional[int] = None):
     """One pre-LN decoder block (reference gpt.py:161-169).
 
     ``rope`` is an optional (cos, sin) pair of (T, d_head/2) tables; when
@@ -161,7 +217,12 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
     ``attn_btd``, when set, is a fused (B, T, H*d)-layout attention
     (``nn.flash_btd``): the head split/merge relayouts disappear and the
     raw QKV projection outputs feed the kernel directly.
+
+    ``n_kv`` (grouped-query attention) projects K/V into that many heads
+    and tiles them up to ``n_heads`` for the attention backend; the
+    RETURNED (k, v) — the prefill cache — stay at their grouped size.
     """
+    n_kv = n_heads if n_kv is None else n_kv
     if attn_btd is not None and rope is None:
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         a = attn_btd(xn @ lp["Wq"], xn @ lp["Wk"], xn @ lp["Wv"]) @ lp["Wo"]
@@ -174,17 +235,18 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
 
         qf, kf, vf = ln_qkv(h_in, lp["ln1_g"], lp["ln1_b"],
                             lp["Wq"], lp["Wk"], lp["Wv"])
-        q, k, v = _heads(qf, n_heads), _heads(kf, n_heads), _heads(vf, n_heads)
+        q, k, v = _heads(qf, n_heads), _heads(kf, n_kv), _heads(vf, n_kv)
     else:
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         q = _heads(xn @ lp["Wq"], n_heads)
-        k = _heads(xn @ lp["Wk"], n_heads)
-        v = _heads(xn @ lp["Wv"], n_heads)
+        k = _heads(xn @ lp["Wk"], n_kv)
+        v = _heads(xn @ lp["Wv"], n_kv)
     if rope is not None:
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
         k = rope_rotate(k, cos, sin)
-    a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
+                         _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
     h1 = h_in + a
     if fused:
         f = ln_ffn(h1, lp["ln2_g"], lp["ln2_b"],
@@ -207,6 +269,8 @@ def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
     correctness suite keeps them honest for that regime)."""
     import os
 
+    if cfg.kv_heads != cfg.n_heads:
+        return False  # the fused QKV kernel assumes equal-width projections
     if os.environ.get("LINALG_TPU_FUSED_LN", "") != "1":
         return False
     try:
@@ -395,9 +459,12 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
     """Embedding + layer stack: token ids (B, T) -> final hidden (B, T, D)
     in the compute dtype (everything except the tied head)."""
     T = x_ids.shape[-1]
+    gqa = cfg.kv_heads != cfg.n_heads
     attn_btd = None
     if attn_fn is None:
-        if cfg.pos != "alibi":
+        if cfg.pos != "alibi" and not gqa:
+            # the (B, T, H*d)-layout kernel consumes the raw QKV
+            # projections (no head split), so it can't group K/V heads
             attn_btd = _pick_attn_btd(x_ids.shape[0], T, cfg)
         attn_fn = _pick_attn_cfg(cfg, T)
     h, rope = _embed(params, x_ids, cfg, T)
@@ -408,11 +475,11 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
         rope = (rope[0].astype(dt), rope[1].astype(dt))
     mask = _trunk_mask(cfg, T, dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
-    fused = _pick_fused(x_ids.shape[0], T, cfg)
+    fused = (not gqa) and _pick_fused(x_ids.shape[0], T, cfg)
 
     def body(carry, lp):
         out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope, fused,
-                        attn_btd)
+                        attn_btd, n_kv=cfg.kv_heads)
         return out, None
 
     # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
@@ -474,7 +541,7 @@ def gpt_loss(params: Params, x_ids, y_ids, cfg: GPTConfig,
 def init_decode_cache(cfg: GPTConfig, batch: int = 1) -> Dict[str, jnp.ndarray]:
     from ..nn.cache import fkv_init
 
-    return fkv_init(cfg.n_layers, batch, cfg.n_heads, cfg.ctx_len,
+    return fkv_init(cfg.n_layers, batch, cfg.kv_heads, cfg.ctx_len,
                     cfg.d_head, dtype=cfg.compute_dtype)
 
 
@@ -504,7 +571,8 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
-        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope)
+        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope,
+                             n_kv=cfg.kv_heads)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -567,7 +635,8 @@ def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
     def body(carry, lp):
-        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope)
+        out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope,
+                             n_kv=cfg.kv_heads)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -666,14 +735,14 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         lp, k_l, v_l = xs
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         q = _heads(xn @ lp["Wq"], cfg.n_heads)
-        k = _heads(xn @ lp["Wk"], cfg.n_heads)
-        v = _heads(xn @ lp["Wv"], cfg.n_heads)
+        k = _heads(xn @ lp["Wk"], cfg.kv_heads)
+        v = _heads(xn @ lp["Wv"], cfg.kv_heads)
         if rope is not None:
             cos, sin = rope
             q = rope_rotate(q, cos, sin)
             k = rope_rotate(k, cos, sin)  # cached keys are stored rotated
         k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
-        a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+        a = _unheads(_gqa_decode_attn(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
         f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
@@ -747,7 +816,8 @@ def _dt_decode_ops(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
     dt = cfg.compute_dtype
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     W3 = jnp.concatenate(
-        [layers["Wq"], layers["Wk"], layers["Wv"]], axis=-1)  # (L, D, 3D)
+        [layers["Wq"], layers["Wk"], layers["Wv"]],
+        axis=-1)  # (L, D, D + 2*kv_heads*d_head)
     tokW = params["tok_W"].astype(dt)
     head_b = params["head_b"].astype(dt)
     pe = None
@@ -785,10 +855,11 @@ def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
     """
     dt = cfg.compute_dtype
     D = cfg.d_model
+    KD = cfg.kv_heads * cfg.d_head
     t_ids = jnp.arange(cfg.ctx_len)
     start1 = jnp.atleast_1d(start)
     slopes = alibi_slopes(cfg.n_heads) if cfg.pos == "alibi" else None
-    attn = ops.get("attn") or sdpa
+    attn = ops.get("attn") or _gqa_decode_attn
 
     def decode_step(kbuf, vbuf, pos, token):
         rel = jnp.atleast_1d(pos - start)
@@ -821,8 +892,8 @@ def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
             xn = ops["ln1"](lw, h_in)
             qkv = ops["qkv"](lw, xn)
             q = _heads(qkv[..., :D], cfg.n_heads)
-            k = _heads(qkv[..., D:2 * D], cfg.n_heads)
-            v = _heads(qkv[..., 2 * D:], cfg.n_heads)
+            k = _heads(qkv[..., D:D + KD], cfg.kv_heads)
+            v = _heads(qkv[..., D + KD:], cfg.kv_heads)
             if rope is not None:
                 q = rope_rotate(q, rope[0], rope[1])
                 k = rope_rotate(k, rope[0], rope[1])

@@ -30,7 +30,8 @@ import numpy as np
 from jax import lax
 
 from ..nn.functional import causal_mask, layer_norm, relu, rope_rotate, rope_tables
-from .gpt import (GPTConfig, _alibi_decode_bias, _heads, _pick_attn_cfg,
+from .gpt import (GPTConfig, _alibi_decode_bias, _gqa_decode_attn,
+                  _gqa_expand, _heads, _pick_attn_cfg,
                   _trunk_mask, _unheads, _embed)
 
 __all__ = [
@@ -72,12 +73,13 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
             rng.normal(0.0, math.sqrt(2.0 / fan_in), size=shape), jnp.float32
         )
 
+    KD = cfg.kv_heads * cfg.d_head  # GQA: grouped K/V projection width
     layers = {
         "ln1_g": jnp.ones((L, D), jnp.float32),
         "ln1_b": jnp.zeros((L, D), jnp.float32),
         "Wq": he(D, (L, D, D)),
-        "Wk": he(D, (L, D, D)),
-        "Wv": he(D, (L, D, D)),
+        "Wk": he(D, (L, D, KD)),
+        "Wv": he(D, (L, D, KD)),
         "Wo": he(D, (L, D, D)),
         "ln2_g": jnp.ones((L, D), jnp.float32),
         "ln2_b": jnp.zeros((L, D), jnp.float32),
@@ -245,29 +247,32 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
 
 def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
                rope, capacity: int, top_k: int = 1, fused: bool = False,
-               mode: str = "gather", valid=None):
+               mode: str = "gather", valid=None, n_kv: Optional[int] = None):
     """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
 
-    Returns (out, (k, v), aux) — the K/V pair feeds the decode cache.
-    ``fused=True`` uses the fused LN+QKV Pallas kernel for the attention
-    half (the MoE FFN keeps its routed dispatch)."""
+    Returns (out, (k, v), aux) — the K/V pair feeds the decode cache (at
+    the grouped ``n_kv`` head count under GQA). ``fused=True`` uses the
+    fused LN+QKV Pallas kernel for the attention half (the MoE FFN keeps
+    its routed dispatch)."""
+    n_kv = n_heads if n_kv is None else n_kv
     if fused:
         from ..nn.fused_layer import ln_qkv
 
         qf, kf, vf = ln_qkv(h_in, lp["ln1_g"], lp["ln1_b"],
                             lp["Wq"], lp["Wk"], lp["Wv"])
-        q, k, v = (_heads(qf, n_heads), _heads(kf, n_heads),
-                   _heads(vf, n_heads))
+        q, k, v = (_heads(qf, n_heads), _heads(kf, n_kv),
+                   _heads(vf, n_kv))
     else:
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         q = _heads(xn @ lp["Wq"], n_heads)
-        k = _heads(xn @ lp["Wk"], n_heads)
-        v = _heads(xn @ lp["Wv"], n_heads)
+        k = _heads(xn @ lp["Wk"], n_kv)
+        v = _heads(xn @ lp["Wv"], n_kv)
     if rope is not None:
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
         k = rope_rotate(k, cos, sin)
-    a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
+                         _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
     f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],
@@ -305,7 +310,8 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
 
     def body(carry, lp):
         out, _, aux = _moe_layer(carry, lp, mask, cfg.n_heads, attn_fn, rope,
-                                 cap, cfg.router_top_k, fused, cfg.dispatch)
+                                 cap, cfg.router_top_k, fused, cfg.dispatch,
+                                 n_kv=cfg.kv_heads)
         return out, aux
 
     h, auxes = lax.scan(body, h, layers)
@@ -363,7 +369,7 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
     def body(carry, lp):
         out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
                                     rope, cap, cfg.router_top_k,
-                                    mode=cfg.dispatch)
+                                    mode=cfg.dispatch, n_kv=cfg.kv_heads)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -422,7 +428,8 @@ def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
     def body(carry, lp):
         out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
                                     rope, cap, cfg.router_top_k,
-                                    mode=cfg.dispatch, valid=valid)
+                                    mode=cfg.dispatch, valid=valid,
+                                    n_kv=cfg.kv_heads)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -470,14 +477,14 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
         lp, k_l, v_l = xs
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         q = _heads(xn @ lp["Wq"], cfg.n_heads)
-        k = _heads(xn @ lp["Wk"], cfg.n_heads)
-        v = _heads(xn @ lp["Wv"], cfg.n_heads)
+        k = _heads(xn @ lp["Wk"], cfg.kv_heads)
+        v = _heads(xn @ lp["Wv"], cfg.kv_heads)
         if rope is not None:
             cos, sin = rope
             q = rope_rotate(q, cos, sin)
             k = rope_rotate(k, cos, sin)
         k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
-        a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+        a = _unheads(_gqa_decode_attn(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
         f, _ = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"],

@@ -286,12 +286,14 @@ def _kv8_write(write_fn):
 
 
 def _kv8_attn(dt):
-    """sdpa over {q, s} caches: dequant fused into the operand read."""
-    from ..nn.functional import sdpa
+    """Attention over {q, s} caches: dequant fused into the operand read.
+    Routes through the grouped decode attention so GQA caches (kv_heads <
+    n_heads) are read at their grouped size."""
+    from .gpt import _gqa_decode_attn
 
     def attn(q, kd, vd, mask):
         k = (kd["q"].astype(jnp.float32) * kd["s"]).astype(dt)
         v = (vd["q"].astype(jnp.float32) * vd["s"]).astype(dt)
-        return sdpa(q, k, v, mask)
+        return _gqa_decode_attn(q, k, v, mask)
 
     return attn

@@ -135,15 +135,15 @@ def gpt_decode_block(params, cache, tokens, cfg: GPTConfig, S: int):
         attn_mask = attn_mask + (sl[:, None, None] * dist[None]).astype(
             dt)[None]  # (B, H, S, ctx)
 
-    from ..nn.functional import sdpa
+    from .gpt import _gqa_decode_attn
 
     def body(carry, xs):
         h_in = carry
         lp, k_l, v_l = xs
         xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
         q = _heads(xn @ lp["Wq"], cfg.n_heads)
-        k = _heads(xn @ lp["Wk"], cfg.n_heads)
-        v = _heads(xn @ lp["Wv"], cfg.n_heads)
+        k = _heads(xn @ lp["Wk"], cfg.kv_heads)
+        v = _heads(xn @ lp["Wv"], cfg.kv_heads)
         if rope is not None:
             q = rope_rotate(q, rope[0], rope[1])
             k = rope_rotate(k, rope[0], rope[1])
@@ -153,7 +153,7 @@ def gpt_decode_block(params, cache, tokens, cfg: GPTConfig, S: int):
             k_l, k.astype(k_l.dtype), (z32, z32, pos, z32))
         v_l = lax.dynamic_update_slice(
             v_l, v.astype(v_l.dtype), (z32, z32, pos, z32))
-        a = _unheads(sdpa(q, k_l, v_l, attn_mask)) @ lp["Wo"]
+        a = _unheads(_gqa_decode_attn(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
         f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
@@ -228,7 +228,7 @@ def gpt_generate_speculative(params, cfg: GPTConfig, prompt, n_tokens: int,
     else:
         from ..nn.cache import fkv_init
 
-        cache = fkv_init(cfg.n_layers, 1, cfg.n_heads, cfg.ctx_len,
+        cache = fkv_init(cfg.n_layers, 1, cfg.kv_heads, cfg.ctx_len,
                          cfg.d_head, dtype=cfg.compute_dtype)
 
     out, rounds = _spec_loop(params, cache, cfg, S,
@@ -337,9 +337,9 @@ def gpt_generate_speculative_draft(params, cfg: GPTConfig, draft_params,
         _, dcache = gpt_prefill(draft_params, jnp.asarray(prompt[None, :-1]),
                                 draft_cfg)
     else:
-        cache = fkv_init(cfg.n_layers, 1, cfg.n_heads, cfg.ctx_len,
+        cache = fkv_init(cfg.n_layers, 1, cfg.kv_heads, cfg.ctx_len,
                          cfg.d_head, dtype=cfg.compute_dtype)
-        dcache = fkv_init(draft_cfg.n_layers, 1, draft_cfg.n_heads,
+        dcache = fkv_init(draft_cfg.n_layers, 1, draft_cfg.kv_heads,
                           draft_cfg.ctx_len, draft_cfg.d_head,
                           dtype=draft_cfg.compute_dtype)
 

@@ -204,7 +204,7 @@ class ServeEngine:
                 f"{self.prefill_window} (ctx_len={cfg.ctx_len}, "
                 f"chunk={chunk})")
         dt = cfg.compute_dtype
-        shape = (cfg.n_layers, n_slots, cfg.n_heads, cfg.ctx_len, cfg.d_head)
+        shape = (cfg.n_layers, n_slots, cfg.kv_heads, cfg.ctx_len, cfg.d_head)
         self._cache: Dict[str, Any] = {
             "k": jnp.zeros(shape, dt),
             "v": jnp.zeros(shape, dt),

@@ -71,6 +71,8 @@ def _build_meta(cfg: GPTConfig, stoi, itos, tokenizer=None) -> dict:
         "d_ff": cfg.d_ff,  # None = the 4*d_model default
         "dtype": cfg.dtype,
     }
+    if cfg.n_kv_heads is not None:  # GQA/MQA: grouped K/V head count
+        meta["kv_heads"] = cfg.n_kv_heads
     # a non-char tokenizer rides the sidecar (type + merge table); char
     # checkpoints keep the reference's stoi/itos-only format for interop
     from ..nn.tokenizers import BPETokenizer
@@ -136,6 +138,7 @@ def _cfg_from_meta(meta: dict) -> GPTConfig:
         pos=meta.get("pos", "sinusoidal"),  # absent in reference-format meta
         d_ff=meta.get("d_ff"),  # absent in reference-format meta -> default
         dtype=meta.get("dtype", "float32"),
+        n_kv_heads=meta.get("kv_heads"),  # absent = standard MHA
     )
     if meta.get("experts", 0):
         from ..models.moe import MoEGPTConfig

@@ -217,6 +217,7 @@ def _resume_or_init(args):
         ctx_len=args.ctx_len,
         pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
         dtype=getattr(args, "dtype", "float32") or "float32",
+        n_kv_heads=getattr(args, "kv_heads", None),  # GQA/MQA
     )
     n_experts = int(getattr(args, "experts", 0) or 0)
     if n_experts > 0:
