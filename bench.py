@@ -510,6 +510,55 @@ def bench_quant():
           kv8 / max(bf, 1.0))
 
 
+def bench_gqa():
+    """Grouped-query attention decode at long context vs the MHA twin.
+
+    Decode is KV-cache-read bound at long context; GQA shrinks the cache
+    (and its per-token HBM traffic) by heads/kv_heads, so the win should
+    track the group factor as ctx grows. Same chained-chunk protocol as
+    bench_quant: 3 chained 128-token chunks from one prefill, one final
+    readback, median of 3. Rows: h8 MHA baseline, GQA kv=2 (4x smaller
+    cache), MQA kv=1 (8x), each at ctx 4096, d512/4L bf16.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from linalg_tpu.models.gpt import (GPTConfig, gpt_decode_chunk,
+                                       gpt_prefill, init_gpt_params)
+
+    def tok_s(cfg, params, n=128, chains=3, reps=3):
+        prompt = (np.arange(8) % cfg.vocab_size).astype(np.int32)
+        logits, cache = gpt_prefill(params, jnp.asarray(prompt[None]), cfg)
+        key = jax.random.PRNGKey(0)
+
+        def run():
+            lg, c = logits, cache
+            t = None
+            for _ in range(chains):
+                t, lg, c = gpt_decode_chunk(params, c, lg, key, cfg, n,
+                                            1.0, 0, 0.0)
+            np.asarray(t)  # ONE sync for the whole chain
+
+        run()  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            ts.append(chains * n / (time.perf_counter() - t0))
+        return float(np.median(ts))
+
+    base = None
+    for name, kv in (("MHA kv=8", None), ("GQA kv=2", 2), ("MQA kv=1", 1)):
+        cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=8, n_layers=4,
+                        ctx_len=4096, dtype="bfloat16", n_kv_heads=kv)
+        tps = tok_s(cfg, init_gpt_params(cfg, seed=0))
+        if base is None:
+            base = tps
+        _emit(f"grouped-query decode {name}, d512/4L h8 ctx4096 bf16 "
+              f"(vs MHA {base:.0f} tok/s)", tps, "tok/s",
+              tps / max(base, 1.0))
+
+
 def bench_speculative():
     """Speculative decoding vs plain decode (greedy, published config).
 
@@ -591,6 +640,7 @@ SECTIONS = {
     "serve": bench_serve,
     "speculative": bench_speculative,
     "quant": bench_quant,
+    "gqa": bench_gqa,
     "qr": bench_qr,
 }
 
@@ -609,7 +659,7 @@ def main():
     elif args.all:
         # headline (qr) LAST: the driver parses the final line
         for name in ("attention", "train", "moe", "sampler", "serve",
-                     "speculative", "quant", "qr"):
+                     "speculative", "quant", "gqa", "qr"):
             SECTIONS[name]()
     else:
         bench_qr()
