@@ -326,6 +326,52 @@ class TestSharded:
         _, _, loss = step(params, adamw_init(params), x, y)
         assert abs(float(loss) - ref) < 1e-4
 
+    def test_gspmd_step_loss_matches_unsharded(self):
+        """The GSPMD dp x tp step with tp > kv_heads: Wk/Wv column shards
+        split single KV heads across devices; GSPMD must reshard around
+        the grouped-head reshape without changing the math (only f32
+        reassociation-level drift allowed)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from linalg_tpu.parallel.mesh import make_mesh
+        from linalg_tpu.parallel.sharding import (gpt_param_specs,
+                                                  make_sharded_train_step)
+        from linalg_tpu.train.optim import AdamWState, adamw_init
+
+        cfg = GPTConfig(vocab_size=37, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, n_kv_heads=2)
+        params = init_gpt_params(cfg, seed=0)
+        x, y = _data(B=8, T=16)
+        ref = float(gpt_loss(params, x, y, cfg))
+        mesh = make_mesh((2, 4), ("dp", "tp"))
+        sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                          gpt_param_specs(None),
+                          is_leaf=lambda v: isinstance(v, P))
+        params_s = jax.device_put(params, sh)
+        opt_s = jax.device_put(
+            adamw_init(params),
+            AdamWState(m=sh, v=sh, t=NamedSharding(mesh, P())))
+        xb = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+        yb = jax.device_put(y, NamedSharding(mesh, P("dp", None)))
+        step = make_sharded_train_step(cfg, mesh, lr=1e-3, weight_decay=0.0)
+        _, _, loss = step(params_s, opt_s, xb, yb)
+        assert float(loss) == pytest.approx(ref, rel=1e-5)
+
+    def test_cli_train_dp_tp_gqa(self, tmp_path):
+        """The product surface: --kv_heads through the sharded trainer."""
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "10", "--eval_every", "10",
+            "--batch_size", "8", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir", str(tmp_path),
+            "--dp", "2", "--tp", "4", "--kv_heads", "2",
+        ])
+        _, cfg, _, _ = train(args)
+        assert cfg.kv_heads == 2
+        assert (tmp_path / "chars_gpt_best.npz").exists()
+
     def test_sp_train_step_matches_unsharded(self):
         from linalg_tpu.parallel.mesh import make_mesh
         from linalg_tpu.parallel.sharding import make_sp_train_step
