@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--out", type=str, default="",
                     help="serve mode: write completions as JSON lines to "
                          "this file instead of stdout")
+    ap.add_argument("--prefix_file", type=str, default="",
+                    help="serve mode: file whose text is a shared prompt "
+                         "PREFIX (e.g. a system prompt) prepended to every "
+                         "prompt; its KV is prefilled once and reused per "
+                         "request (ServeEngine.register_prefix)")
     return ap
 
 
@@ -198,13 +203,37 @@ def serve_cli(args) -> None:
               f"to {args.chunk}-token chunks and must fit ctx_len "
               f"{cfg.ctx_len})")
     reserved = -(-gen // args.chunk) * args.chunk
-    plen_max = min(eng.prefill_window, cfg.ctx_len - reserved)
+    pid, pref_len = None, 0
+    if getattr(args, "prefix_file", ""):
+        with open(args.prefix_file, encoding="utf-8") as f:
+            pref_ids = list(tok.encode(f.read().rstrip("\n")))
+        # the prefix must leave room for >=1 prompt token + the decode
+        # budget; tail-truncate like prompts (reference gpt.py:525-527)
+        pref_cap = min(cfg.ctx_len - args.chunk - 1,
+                       cfg.ctx_len - reserved - 1)
+        if len(pref_ids) > pref_cap:
+            print(f"(prefix truncated to its last {pref_cap} tokens)")
+            pref_ids = pref_ids[-pref_cap:]
+        if isinstance(cfg, MoEGPTConfig):
+            print("(--prefix_file supports the dense GPT only; prefix "
+                  "prepended per-prompt instead)")
+            pref_raw = pref_ids
+        elif pref_ids:
+            pid, pref_len = eng.register_prefix(pref_ids), len(pref_ids)
+            pref_raw = None
+        else:
+            pref_raw = None
+    else:
+        pref_raw = None
+    plen_max = min(eng.prefill_window, cfg.ctx_len - reserved - pref_len)
     prompts = []
     for ln in lines:
         ids = tok.encode(ln)
         if not len(ids):
             prompts.append(None)  # nothing encodable; emit empty completion
             continue
+        if pref_raw is not None:  # MoE fallback: plain per-prompt prepend
+            ids = pref_raw + list(ids)
         ids = list(ids)[-plen_max:]  # reference-style tail truncation
         prompts.append(ids)
 
@@ -216,7 +245,8 @@ def serve_cli(args) -> None:
         rid = eng.submit(Request(
             prompt=ids, max_new_tokens=gen,
             temperature=args.temperature, top_p=args.top_p,
-            top_k=args.top_k if args.top_k > 0 else None))
+            top_k=args.top_k if args.top_k > 0 else None,
+            prefix_id=pid))
         rid_to_line[rid] = i
     done = {rid_to_line[c.request_id]: c for c in eng.run()}
     wall = _time.perf_counter() - t0

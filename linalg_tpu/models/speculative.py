@@ -121,7 +121,10 @@ def gpt_decode_block(params, cache, tokens, cfg: GPTConfig, S: int):
     h = h.astype(dt)
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
 
-    t_ids = jnp.arange(cfg.ctx_len)
+    # buffer row count comes from the cache, not cfg.ctx_len: callers may
+    # pass ctx+S padded buffers so the S-row block write can never clamp
+    # at the end of the buffer (serve._extend_prefix does)
+    t_ids = jnp.arange(cache["k"].shape[-2])
     # row r (cache slot pos+r) attends to slots start <= j <= pos+r
     live = (t_ids[None, None, :] <= (pos + offs)[None, :, None]) & (
         t_ids[None, None, :] >= jnp.atleast_1d(start)[:, None, None])

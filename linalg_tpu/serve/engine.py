@@ -76,6 +76,10 @@ class Request:
     top_p: float = 0.0
     top_k: Optional[int] = None
     stop_token: int = -1
+    # id from ``ServeEngine.register_prefix``: the request's effective
+    # prompt is prefix + prompt, but admission reuses the prefix's cached
+    # KV and prefills only ``prompt`` (the suffix)
+    prefix_id: Optional[int] = None
     request_id: int = -1  # assigned by the engine at submit()
 
 
@@ -136,6 +140,42 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
         jnp.zeros((), jnp.int32), key, n_tokens, temp, top_k, top_p,
         write_slots)
     return toks, logits, dict(cache, k=K, v=V, pos=pos)
+
+
+@partial(jax.jit, static_argnames=("cfg", "S"))
+def _extend_prefix(params, pk, pv, plen, suffix_ids, slen, cfg: GPTConfig,
+                   S: int):
+    """Extend a cached prefix KV by a request's suffix in one block forward.
+
+    ``pk``/``pv`` are the prefix's (L, 1, h, ctx, d) buffers (rows
+    [0, plen) live), ``suffix_ids`` is (1, S) right-padded, ``slen`` the
+    real suffix length. Reuses ``gpt_decode_block`` (the speculative
+    verifier's block forward): suffix K/V land at rows [plen, plen+S) and
+    each suffix row attends causally over prefix + earlier suffix with
+    correct absolute positions for every positional mode. Rows beyond
+    ``slen`` are padding — their K/V are garbage above the slot position,
+    which later decode masks (j < pos) and then overwrites in place.
+
+    Returns the post-suffix next-token logits (1, V) and the extended
+    buffers, ready for ``_admit_slot`` with position ``plen + slen``.
+
+    The block writes S rows at [plen, plen+S), which can run past ctx for
+    long prefixes (``dynamic_update_slice`` would CLAMP the start and
+    silently overwrite prefix rows) — so the buffers are padded by S rows
+    for the extend and sliced back; rows the slice drops are padding by
+    the submit-time budget check (plen + slen + reserved <= ctx).
+    """
+    from ..models.speculative import gpt_decode_block
+
+    pad = [(0, 0)] * pk.ndim
+    pad[-2] = (0, S)
+    cache = {"k": jnp.pad(pk, pad), "v": jnp.pad(pv, pad),
+             "length": jnp.asarray(plen, jnp.int32)}
+    logits, cache = gpt_decode_block(params, cache, suffix_ids, cfg, S)
+    last = lax.dynamic_slice_in_dim(
+        logits, jnp.asarray(slen, jnp.int32) - 1, 1, axis=1)  # (1, 1, V)
+    ctx = pk.shape[-2]
+    return (last[:, 0], cache["k"][..., :ctx, :], cache["v"][..., :ctx, :])
 
 
 @partial(jax.jit, static_argnames=())
@@ -232,6 +272,10 @@ class ServeEngine:
         self._since_sync = 0
         self.sync_every = 16  # safety valve on dispatch-queue depth
         self._queue: Deque[Request] = deque()
+        # prefix_id -> (k, v, logits, plen): KV of a shared prompt prefix,
+        # prefilled ONCE and scattered+extended per admission
+        self._prefixes: Dict[int, tuple] = {}
+        self._prefix_ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
         self._submit_ts: Dict[int, float] = {}
@@ -240,6 +284,38 @@ class ServeEngine:
                       "prefills": 0, "syncs": 0}
 
     # -- submission ---------------------------------------------------------
+
+    def register_prefix(self, tokens: Sequence[int]) -> int:
+        """Prefill a shared prompt prefix ONCE and cache its KV.
+
+        Requests submitted with ``prefix_id=<returned id>`` behave as if
+        their prompt were ``tokens + prompt``, but admission scatters the
+        cached prefix KV into the slot and block-extends it with only the
+        suffix — the prefix's prefill FLOPs (the quadratic part) are paid
+        once per prefix, not once per request. This also lifts the
+        effective prompt-length cap: prefix length is bounded by
+        ``ctx_len``, not ``prefill_window``.
+
+        Dense GPT only (the block-extend forward has no MoE routing).
+        """
+        from ..models.moe import MoEGPTConfig
+
+        if isinstance(self.cfg, MoEGPTConfig):
+            raise ValueError("prefix caching supports the dense GPT only")
+        plen = len(tokens)
+        limit = self.cfg.ctx_len - self.chunk - 1
+        if not (0 < plen <= limit):
+            raise ValueError(
+                f"prefix length must be in (0, ctx_len - chunk - 1] = "
+                f"(0, {limit}]; got {plen}")
+        # ONE compile for any prefix length: right-pad to the cap
+        ids = np.zeros((1, limit), np.int32)
+        ids[0, :plen] = np.asarray(tokens, np.int32)
+        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                      self.cfg, length=plen)
+        pid = next(self._prefix_ids)
+        self._prefixes[pid] = (cache["k"], cache["v"], logits, plen)
+        return pid
 
     def submit(self, req: Request) -> int:
         """Queue a request; returns its assigned request_id."""
@@ -252,12 +328,18 @@ class ServeEngine:
                 f"{self.prefill_window}")
         if req.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        pref_len = 0
+        if req.prefix_id is not None:
+            if req.prefix_id not in self._prefixes:
+                raise ValueError(f"unknown prefix_id {req.prefix_id}")
+            pref_len = self._prefixes[req.prefix_id][3]
         reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
-        if plen + reserved > self.cfg.ctx_len:
+        if pref_len + plen + reserved > self.cfg.ctx_len:
             raise ValueError(
-                f"prompt ({plen}) + reserved decode budget ({reserved} = "
-                f"max_new_tokens rounded up to the {self.chunk}-token chunk) "
-                f"exceeds ctx_len {self.cfg.ctx_len}")
+                f"prefix ({pref_len}) + prompt ({plen}) + reserved decode "
+                f"budget ({reserved} = max_new_tokens rounded up to the "
+                f"{self.chunk}-token chunk) exceeds ctx_len "
+                f"{self.cfg.ctx_len}")
         req = dataclasses.replace(req, request_id=next(self._ids))
         self._submit_ts[req.request_id] = time.perf_counter()
         self._queue.append(req)
@@ -278,13 +360,21 @@ class ServeEngine:
         ids = np.zeros((1, W), np.int32)
         plen = len(req.prompt)
         ids[0, :plen] = np.asarray(req.prompt, np.int32)
-        # async: the prefill and the slot scatter are dispatched, never
-        # synced — the next decode chunk consumes them on-device
-        logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
-                                      length=plen)
-        self._cache, self._logits = _admit_slot(
-            self._cache, self._logits, cache["k"], cache["v"],
-            plen, logits, slot)
+        # async: the prefill/extend and the slot scatter are dispatched,
+        # never synced — the next decode chunk consumes them on-device
+        if req.prefix_id is not None:
+            pk, pv, _, pref_len = self._prefixes[req.prefix_id]
+            logits, ek, ev = _extend_prefix(self.params, pk, pv, pref_len,
+                                            jnp.asarray(ids), plen, cfg, W)
+            self._cache, self._logits = _admit_slot(
+                self._cache, self._logits, ek, ev, pref_len + plen,
+                logits, slot)
+        else:
+            logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
+                                          length=plen)
+            self._cache, self._logits = _admit_slot(
+                self._cache, self._logits, cache["k"], cache["v"],
+                plen, logits, slot)
         req_k = self.top_k if req.top_k is None else req.top_k
         if (self._temp[slot] != req.temperature
                 or self._top_p[slot] != req.top_p

@@ -399,3 +399,132 @@ class TestServeCLI:
         serve_cli(self._serve_args(tmp_path, out=""))
         out = capsys.readouterr().out
         assert "--- [0] 'hello'" in out
+
+    def test_serve_cli_prefix_file(self, tmp_path, capsys):
+        """--prefix_file: output equals the single-stream greedy decode of
+        prefix + prompt (one shared prefill, per-request suffix extend)."""
+        import json
+
+        from linalg_tpu.apps.gpt import serve_cli
+
+        stoi, itos = self._ckpt(tmp_path)
+        prefix_text = "the quick brown fox jumps"
+        (tmp_path / "sys.txt").write_text(prefix_text, encoding="utf-8")
+        (tmp_path / "prompts.txt").write_text(" over\n lazy\n",
+                                              encoding="utf-8")
+        serve_cli(self._serve_args(tmp_path,
+                                   prefix_file=str(tmp_path / "sys.txt")))
+        rows = [json.loads(ln) for ln in
+                (tmp_path / "out.jsonl").read_text().splitlines()]
+        assert len(rows) == 2
+        for row, suffix in zip(rows, (" over", " lazy")):
+            ids = [stoi[c] for c in (prefix_text + suffix)]
+            want = greedy_single(PARAMS, CFG, ids, 6)
+            assert row["text"] == "".join(itos[t] for t in want)
+
+
+class TestPrefixCache:
+    """Prefix caching: register a shared prompt prefix once, admit requests
+    that reuse its KV and block-extend with only their suffix. Oracle: the
+    engine given the FULL prompt (prefix + suffix) as a plain request."""
+
+    def _eng(self, cfg=None, params=None, **kw):
+        return ServeEngine(params if params is not None else PARAMS,
+                           cfg if cfg is not None else CFG,
+                           n_slots=2, chunk=4, top_k=1, **kw)
+
+    @pytest.mark.parametrize("pos", ["sinusoidal", "rope", "alibi",
+                                     "learned"])
+    def test_matches_full_prompt(self, pos):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64, pos=pos)
+        params = init_gpt_params(cfg, seed=9)
+        rng = np.random.default_rng(4)
+        prefix = rng_prompt(rng, cfg, 8, 16)
+        suffixes = [rng_prompt(rng, cfg, 2, 6) for _ in range(3)]
+        want = [greedy_single(params, cfg, prefix + s, 8) for s in suffixes]
+
+        eng = self._eng(cfg, params)
+        pid = eng.register_prefix(prefix)
+        for s in suffixes:
+            eng.submit(Request(s, 8, prefix_id=pid))
+        done = sorted(eng.run(), key=lambda c: c.request_id)
+        assert [c.tokens for c in done] == want
+
+    def test_gqa_prefix(self):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=64, n_kv_heads=2, pos="rope")
+        params = init_gpt_params(cfg, seed=3)
+        rng = np.random.default_rng(5)
+        prefix, suffix = rng_prompt(rng, cfg, 8, 16), rng_prompt(rng, cfg)
+        want = greedy_single(params, cfg, prefix + suffix, 6)
+        eng = self._eng(cfg, params)
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(suffix, 6, prefix_id=pid))
+        assert eng.run()[0].tokens == want
+
+    def test_lifts_prompt_length_cap(self):
+        """prefix + suffix can exceed prefill_window (the plain-prompt cap);
+        only the SUFFIX must fit the window."""
+        rng = np.random.default_rng(6)
+        prefix = rng_prompt(rng, CFG, 30, 31)  # 30 tokens
+        suffix = rng_prompt(rng, CFG, 6, 8)
+        eng = self._eng(prefill_window=16)  # full prompt would be rejected
+        with pytest.raises(ValueError, match="exceeds prefill_window"):
+            eng.submit(Request(prefix + suffix, 4))
+        want = greedy_single(PARAMS, CFG, prefix + suffix, 4)
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(suffix, 4, prefix_id=pid))
+        assert eng.run()[0].tokens == want
+
+    def test_mixed_prefix_and_plain_slots(self):
+        """A prefix-cached request and a plain request decode side by side
+        in one engine batch without cross-talk."""
+        rng = np.random.default_rng(7)
+        prefix = rng_prompt(rng, CFG, 10, 14)
+        suffix = rng_prompt(rng, CFG, 3, 6)
+        plain = rng_prompt(rng, CFG)
+        want_pref = greedy_single(PARAMS, CFG, prefix + suffix, 7)
+        want_plain = greedy_single(PARAMS, CFG, plain, 7)
+        eng = self._eng()
+        pid = eng.register_prefix(prefix)
+        a = eng.submit(Request(suffix, 7, prefix_id=pid))
+        b = eng.submit(Request(plain, 7))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        assert done[a] == want_pref and done[b] == want_plain
+
+    def test_slot_reuse_after_prefix_request(self):
+        """A later PLAIN admission fully overwrites a prefix slot."""
+        rng = np.random.default_rng(8)
+        prefix = rng_prompt(rng, CFG, 10, 14)
+        plain = rng_prompt(rng, CFG)
+        eng = ServeEngine(PARAMS, CFG, n_slots=1, chunk=4, top_k=1)
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(rng_prompt(rng, CFG, 2, 4), 5, prefix_id=pid))
+        eng.submit(Request(plain, 5))
+        done = sorted(eng.run(), key=lambda c: c.request_id)
+        assert done[1].tokens == greedy_single(PARAMS, CFG, plain, 5)
+
+    def test_validation(self):
+        eng = self._eng()
+        with pytest.raises(ValueError, match="unknown prefix_id"):
+            eng.submit(Request([1, 2], 4, prefix_id=99))
+        with pytest.raises(ValueError, match="prefix length"):
+            eng.register_prefix([])
+        with pytest.raises(ValueError, match="prefix length"):
+            eng.register_prefix(list(range(CFG.ctx_len)))
+        pid = eng.register_prefix(list(range(20)))
+        # prefix + prompt + reserved budget must fit ctx_len (64)
+        with pytest.raises(ValueError, match="reserved decode budget"):
+            eng.submit(Request(list(range(12)), 33, prefix_id=pid))
+
+    def test_moe_rejected(self):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        cfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                           ctx_len=64, n_experts=2)
+        eng = ServeEngine(init_moe_params(cfg, seed=0), cfg, n_slots=2,
+                          chunk=4)
+        with pytest.raises(ValueError, match="dense GPT only"):
+            eng.register_prefix([1, 2, 3])
+
