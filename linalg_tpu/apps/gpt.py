@@ -190,8 +190,23 @@ def serve_cli(args) -> None:
         print("serve: no prompts")
         return
 
+    mesh = None
+    if getattr(args, "tp", 1) > 1:
+        # tensor-parallel serving over the first tp devices (ICI mesh);
+        # params head-sharded, KV cache tp-local, one psum per layer
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = _jax.devices()
+        if len(devs) < args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} needs {args.tp} devices; have {len(devs)}")
+        mesh = Mesh(_np.asarray(devs[:args.tp]).reshape(1, args.tp),
+                    ("dp", "tp"))
     eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
-                      top_k=args.top_k, seed=args.seed, quant=quant)
+                      top_k=args.top_k, seed=args.seed, quant=quant,
+                      mesh=mesh)
     # the engine reserves ceil(gen/chunk)*chunk cache rows per request;
     # cap gen so one prompt token always fits, then truncate each prompt
     # to leave the full reserved budget (the reference truncates context

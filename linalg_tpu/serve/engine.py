@@ -212,13 +212,45 @@ class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
                  chunk: int = 32, top_k: int = 0,
                  prefill_window: Optional[int] = None, seed: int = 0,
-                 quant: str = "none"):
+                 quant: str = "none", mesh=None):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
                          else gpt_prefill)
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
+        if mesh is not None:
+            # tensor-parallel serving: params megatron-sharded over the
+            # mesh's 'tp' axis and the KV cache sharded on its heads axis;
+            # GSPMD propagates through the (unannotated) jitted decode/
+            # prefill and inserts the one psum after Wo — token-identical
+            # to unsharded serving (tests/test_serve.py::TestServeTP).
+            # Best when tp divides kv_heads (each device owns whole KV
+            # heads); other tp values are correct but reshard.
+            if isinstance(cfg, MoEGPTConfig) or quant not in ("", "none"):
+                raise ValueError(
+                    "mesh serving supports the full-precision dense GPT")
+            if "tp" not in mesh.axis_names:
+                raise ValueError("serving mesh needs a 'tp' axis")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import gpt_param_specs
+
+            psh = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), gpt_param_specs(None, cfg),
+                is_leaf=lambda v: isinstance(v, P))
+            params = jax.device_put(params, psh)
+            # head-shard the cache only when tp divides the KV head count
+            # (device_put needs even shards); otherwise keep it replicated
+            # and let GSPMD shard activations where it pays
+            tp = mesh.shape["tp"]
+            kv_spec = (P(None, None, "tp", None, None)
+                       if cfg.kv_heads % tp == 0 else P())
+            self._kv_sh = NamedSharding(mesh, kv_spec)
+            self._repl_sh = NamedSharding(mesh, P())
+        else:
+            self._kv_sh = self._repl_sh = None
+        self.mesh = mesh
         if quant == "int8":
             # int8 weight-only DECODE; admission prefill stays in the
             # compute dtype (it is MXU-compute-bound, not weight-bound)
@@ -251,6 +283,11 @@ class ServeEngine:
             "pos": jnp.zeros((n_slots,), jnp.int32),
         }
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
+        if mesh is not None:
+            self._cache = jax.device_put(
+                self._cache, {"k": self._kv_sh, "v": self._kv_sh,
+                              "pos": self._repl_sh})
+            self._logits = jax.device_put(self._logits, self._repl_sh)
         self._temp = np.ones((n_slots,), np.float32)
         self._top_p = np.zeros((n_slots,), np.float32)
         self._top_k = np.full((n_slots,), top_k, np.int32)

@@ -528,3 +528,96 @@ class TestPrefixCache:
         with pytest.raises(ValueError, match="dense GPT only"):
             eng.register_prefix([1, 2, 3])
 
+
+
+class TestServeTP:
+    """Tensor-parallel serving (ServeEngine(mesh=...)): params megatron-
+    sharded on 'tp', KV cache head-sharded, GSPMD inserts the collectives.
+    The contract is TOKEN-IDENTICAL output to the unsharded engine."""
+
+    def _mesh(self, tp=4):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:tp]).reshape(1, tp),
+                    ("dp", "tp"))
+
+    def _run(self, params, cfg, prompts, n, mesh=None, **kw):
+        eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1,
+                          mesh=mesh, **kw)
+        ids = [eng.submit(Request(p, n)) for p in prompts]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        return [done[i] for i in ids]
+
+    def test_matches_unsharded(self):
+        rng = np.random.default_rng(0)
+        prompts = [rng_prompt(rng, CFG) for _ in range(4)]
+        want = self._run(PARAMS, CFG, prompts, 8)
+        got = self._run(PARAMS, CFG, prompts, 8, mesh=self._mesh())
+        assert got == want
+
+    def test_gqa_rope_tp(self):
+        """tp=4 with kv_heads=2: KV head shards are finer than whole heads;
+        GSPMD reshards, tokens must not change."""
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=64, n_kv_heads=2, pos="rope")
+        params = init_gpt_params(cfg, seed=3)
+        rng = np.random.default_rng(1)
+        prompts = [rng_prompt(rng, cfg) for _ in range(3)]
+        want = self._run(params, cfg, prompts, 6)
+        got = self._run(params, cfg, prompts, 6, mesh=self._mesh())
+        assert got == want
+
+    def test_prefix_cache_under_tp(self):
+        rng = np.random.default_rng(2)
+        prefix = rng_prompt(rng, CFG, 10, 14)
+        suffix = rng_prompt(rng, CFG, 3, 6)
+        want = greedy_single(PARAMS, CFG, prefix + suffix, 6)
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          mesh=self._mesh())
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(suffix, 6, prefix_id=pid))
+        assert eng.run()[0].tokens == want
+
+    def test_validation(self):
+        from jax.sharding import Mesh
+
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        mesh = self._mesh()
+        with pytest.raises(ValueError, match="dense GPT"):
+            cfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                               n_layers=2, ctx_len=64, n_experts=2)
+            ServeEngine(init_moe_params(cfg, seed=0), cfg, mesh=mesh)
+        with pytest.raises(ValueError, match="dense GPT"):
+            ServeEngine(PARAMS, CFG, mesh=mesh, quant="int8")
+        bad = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("x",))
+        with pytest.raises(ValueError, match="'tp' axis"):
+            ServeEngine(PARAMS, CFG, mesh=bad)
+
+    def test_serve_cli_tp(self, tmp_path):
+        import json
+
+        from linalg_tpu.apps.gpt import serve_cli
+        from linalg_tpu.train.checkpoint import save_ckpt
+
+        chars = "abcdefghijklmnopqrstuvwxyz .,!?"
+        stoi = {c: i for i, c in enumerate(chars)}
+        itos = {i: c for i, c in enumerate(chars)}
+        save_ckpt(tmp_path, PARAMS, CFG, stoi, itos)
+        (tmp_path / "prompts.txt").write_text("hello there\n",
+                                              encoding="utf-8")
+        from linalg_tpu.apps.gpt import build_parser
+
+        args = build_parser().parse_args([
+            "--serve", "--ckpt_dir", str(tmp_path),
+            "--prompts", str(tmp_path / "prompts.txt"),
+            "--out", str(tmp_path / "out.jsonl"),
+            "--gen_tokens", "6", "--n_slots", "2", "--chunk", "4",
+            "--top_k", "1", "--tp", "4",
+        ])
+        serve_cli(args)
+        rows = [json.loads(ln) for ln in
+                (tmp_path / "out.jsonl").read_text().splitlines()]
+        ids = [stoi[c] for c in "hello there"]
+        want = greedy_single(PARAMS, CFG, ids, 6)
+        assert rows[0]["text"] == "".join(itos[t] for t in want)
