@@ -539,13 +539,36 @@ def dryrun_multichip(n_devices: int) -> None:
     _, _, ep_loss = ep_step(ep_params, adamw_init(ep_params), xep, yep)
     ep_ok = abs(float(ep_loss) - ref_ep) < 1e-4
 
+    # tensor-parallel SERVING: the continuous-batching engine over a tp
+    # mesh (megatron param shards + head-sharded KV cache, GQA grouping)
+    # must emit token-identical greedy output to the unsharded engine
+    from ..serve.engine import Request, ServeEngine
+
+    sv_tp = min(n_devices, 4)
+    sv_mesh = _mk((1, sv_tp), ("dp", "tp"), devices[:sv_tp])
+    sv_cfg = GPTConfig(vocab_size=37, d_model=32, n_heads=4, n_layers=2,
+                       ctx_len=32, n_kv_heads=2, pos="rope")
+    sv_params = init_gpt_params(sv_cfg, seed=0)
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8]]
+
+    def _serve(mesh_arg):
+        eng = ServeEngine(sv_params, sv_cfg, n_slots=2, chunk=4, top_k=1,
+                          mesh=mesh_arg)
+        ids = [eng.submit(Request(p, 6)) for p in prompts]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        return [done[i] for i in ids]
+
+    sv_ok = _serve(sv_mesh) == _serve(None)
+
     print(
         f"dryrun_multichip ok: mesh dp={dp} tp={tp}, one train step, "
         f"loss={float(loss):.4f}; ring attention sp={n_devices} "
         f"{'ok' if ring_ok else 'MISMATCH'}; "
         f"pipeline dp={pp_dp} pp={pp} {'ok' if pp_ok else 'MISMATCH'}; "
-        f"moe dp={ep_dp} ep={ep} {'ok' if ep_ok else 'MISMATCH'}"
+        f"moe dp={ep_dp} ep={ep} {'ok' if ep_ok else 'MISMATCH'}; "
+        f"tp-serving tp={sv_tp} {'ok' if sv_ok else 'MISMATCH'}"
     )
     assert ring_ok, "ring attention mismatch vs sdpa"
     assert pp_ok, "pipeline-parallel loss mismatch vs unsharded"
     assert ep_ok, "expert-parallel loss mismatch vs unsharded"
+    assert sv_ok, "tp-serving tokens mismatch vs unsharded engine"
