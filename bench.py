@@ -614,6 +614,43 @@ def bench_gqa():
               tps / max(base, 1.0))
 
 
+def bench_stream():
+    """Sliding-window streaming sampler vs the bounded rollover sampler.
+
+    Long streams through a ctx-256 model: the bounded path re-prefills
+    every ctx/2 tokens (plus a per-chunk length readback); the windowed
+    ring path (models/stream.py) decodes through an O(window) ring cache
+    with unbounded positions — no rollover, ever. The models differ by
+    the window semantics (full vs banded attention), so this is a
+    WORKLOAD throughput row, not a same-model kernel A/B.
+    """
+    import jax
+
+    from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+    from linalg_tpu.train.trainer import sample
+
+    itos = {i: chr(97 + (i % 26)) for i in range(65)}
+    ctx = np.asarray([1, 2, 3], dtype=np.int32)
+    n = 4096
+    rates = {}
+    for name, kw in (("rollover", {}), ("stream", {"window": 256})):
+        cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                        ctx_len=256, pos="rope", **kw)
+        params = init_gpt_params(cfg, seed=0)
+        list(sample(params, cfg, ctx, itos, steps=256, seed=0))  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = list(sample(params, cfg, ctx, itos, steps=n, seed=1))
+            ts.append(n / (time.perf_counter() - t0))
+        assert len(out) == n
+        rates[name] = float(np.median(ts))
+    _emit(f"windowed ring-stream sampler, {n} tokens through ctx-256 "
+          f"rope model, window 256 (vs bounded rollover sampler "
+          f"{rates['rollover']:.0f} tok/s)",
+          rates["stream"], "tok/s", rates["stream"] / rates["rollover"])
+
+
 def bench_speculative():
     """Speculative decoding vs plain decode (greedy, published config).
 
@@ -697,6 +734,7 @@ SECTIONS = {
     "quant": bench_quant,
     "gqa": bench_gqa,
     "prefix": bench_prefix,
+    "stream": bench_stream,
     "qr": bench_qr,
 }
 
@@ -715,7 +753,8 @@ def main():
     elif args.all:
         # headline (qr) LAST: the driver parses the final line
         for name in ("attention", "train", "moe", "sampler", "serve",
-                     "speculative", "quant", "gqa", "prefix", "qr"):
+                     "speculative", "quant", "gqa", "prefix", "stream",
+                     "qr"):
             SECTIONS[name]()
     else:
         bench_qr()

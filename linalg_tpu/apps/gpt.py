@@ -24,6 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(must divide --heads; 1 = multi-query). Shrinks "
                          "the KV cache and its decode HBM traffic by "
                          "heads/kv_heads; default = --heads (standard MHA)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="sliding-window attention: each token attends to "
+                         "the last N positions only (Mistral-style). "
+                         "Bounds attention cost by N instead of ctx_len; "
+                         "with --pos rope/alibi the sampler streams "
+                         "unboundedly through a ring-buffer KV cache "
+                         "(no context rollover). Default: full causal")
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--eval_every", type=int, default=200)

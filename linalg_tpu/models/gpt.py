@@ -79,6 +79,12 @@ class GPTConfig:
     # HBM traffic — the long-context serving bottleneck) by the group
     # factor; training compute is unchanged.
     n_kv_heads: Optional[int] = None
+    # Sliding-window attention (Mistral-style): each token attends to the
+    # last ``window`` positions (itself included). None = full causal.
+    # Bounds attention cost/KV state by the window instead of ctx_len;
+    # with rope/alibi it enables UNBOUNDED streaming decode through a
+    # ring-buffer cache (``gpt_stream_decode``) — no context rollover.
+    window: Optional[int] = None
 
     def __post_init__(self):
         if self.pos not in ("sinusoidal", "rope", "learned", "alibi"):
@@ -93,6 +99,9 @@ class GPTConfig:
             raise ValueError(
                 "n_kv_heads must divide n_heads (each KV head serves an "
                 "equal group of query heads)")
+        if self.window is not None and self.window < 1:
+            raise ValueError("window must be >= 1 (tokens always see "
+                             "at least themselves)")
 
     @property
     def dff(self) -> int:
@@ -271,6 +280,8 @@ def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
 
     if cfg.kv_heads != cfg.n_heads:
         return False  # the fused QKV kernel assumes equal-width projections
+    if cfg.window is not None:
+        return False  # downstream attention must see the window mask
     if os.environ.get("LINALG_TPU_FUSED_LN", "") != "1":
         return False
     try:
@@ -330,10 +341,11 @@ _REMAT_SDPA = jax.checkpoint(lambda q, k, v, mask: sdpa(q, k, v, mask))
 
 
 def _pick_attn_cfg(cfg: "GPTConfig", T: int):
-    """Config-aware attention pick: ALiBi forces the rematted sdpa (the
-    Pallas kernels bake in a pure causal mask and cannot thread the
-    per-head additive bias); everything else defers to ``_pick_attn``."""
-    if cfg.pos == "alibi":
+    """Config-aware attention pick: ALiBi and sliding-window force the
+    rematted sdpa (the Pallas kernels bake in a pure causal mask and can
+    thread neither the per-head additive bias nor the window band);
+    everything else defers to ``_pick_attn``."""
+    if cfg.pos == "alibi" or cfg.window is not None:
         return _REMAT_SDPA
     return _pick_attn(T, cfg.d_head)
 
@@ -428,9 +440,15 @@ def _trunk_mask(cfg: "GPTConfig", T: int, dt) -> jnp.ndarray:
     bias ``slope_h * (j - i)`` in, giving (H, T, T) — sdpa broadcasts it
     against (B, H, T, T) scores. The bias is purely relative, so it is
     also correct for left-padded batched prefill (a shared shift cancels
-    in j - i); pad positions stay at -1e9.
+    in j - i); pad positions stay at -1e9. ``cfg.window`` additionally
+    bans keys further than window-1 behind the query (sliding-window
+    attention).
     """
     m = causal_mask(T, dtype=dt)  # (1, 1, T, T)
+    if cfg.window is not None:
+        i = jnp.arange(T)
+        far = (i[:, None] - i[None, :]) >= cfg.window  # query i, key j
+        m = jnp.where(far[None, None], jnp.asarray(-1e9, dt), m)
     if cfg.pos == "alibi":
         sl = alibi_slopes(cfg.n_heads)
         i = jnp.arange(T)
@@ -462,9 +480,10 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
     gqa = cfg.kv_heads != cfg.n_heads
     attn_btd = None
     if attn_fn is None:
-        if cfg.pos != "alibi" and not gqa:
+        if cfg.pos != "alibi" and not gqa and cfg.window is None:
             # the (B, T, H*d)-layout kernel consumes the raw QKV
             # projections (no head split), so it can't group K/V heads
+            # and bakes in a pure causal mask (no window band)
             attn_btd = _pick_attn_btd(x_ids.shape[0], T, cfg)
         attn_fn = _pick_attn_cfg(cfg, T)
     h, rope = _embed(params, x_ids, cfg, T)
@@ -625,6 +644,9 @@ def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
     h = h.astype(dt)
     live = (cols[None, :, None] >= cols[None, None, :]) & (
         cols[None, None, :] >= start[:, None, None])  # causal & >= start
+    if cfg.window is not None:
+        # columns share the left-pad shift, so the band is column-relative
+        live &= (cols[None, :, None] - cols[None, None, :]) < cfg.window
     mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]  # (B, 1, W, W)
     if cfg.pos == "alibi":
         # relative bias: the shared left-pad shift cancels in (j - i)
@@ -727,6 +749,8 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
     # position p attends to cache slots <= pos (itself included at slot pos)
     live = (t_ids[None, :] <= pos) & (
         t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
+    if cfg.window is not None:
+        live &= t_ids[None, :] > pos - cfg.window
     attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
                  + _alibi_decode_bias(cfg, t_ids, pos, dt))
 
@@ -877,6 +901,8 @@ def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
         pos1 = jnp.atleast_1d(pos)
         live = (t_ids[None, :] <= pos1[:, None]) & (
             t_ids[None, :] >= start1[:, None])
+        if cfg.window is not None:
+            live &= t_ids[None, :] > pos1[:, None] - cfg.window
         mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
         if slopes is not None:
             # key slot j vs the query at ``pos``: slope_h * (j - pos);

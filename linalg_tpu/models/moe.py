@@ -415,6 +415,8 @@ def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
     h = h.astype(dt)
     live = (cols[None, :, None] >= cols[None, None, :]) & (
         cols[None, None, :] >= start[:, None, None])
+    if cfg.window is not None:  # sliding-window band (column-relative)
+        live &= (cols[None, :, None] - cols[None, None, :]) < cfg.window
     mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]
     if cfg.pos == "alibi":
         from ..nn.positional import alibi_slopes
@@ -469,6 +471,8 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
     t_ids = jnp.arange(cfg.ctx_len)
     live = (t_ids[None, :] <= pos) & (
         t_ids[None, :] >= jnp.atleast_1d(start)[:, None])
+    if cfg.window is not None:
+        live &= t_ids[None, :] > pos - cfg.window
     attn_mask = (jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
                  + _alibi_decode_bias(cfg, t_ids, pos, dt))
 

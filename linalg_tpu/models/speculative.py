@@ -128,6 +128,8 @@ def gpt_decode_block(params, cache, tokens, cfg: GPTConfig, S: int):
     # row r (cache slot pos+r) attends to slots start <= j <= pos+r
     live = (t_ids[None, None, :] <= (pos + offs)[None, :, None]) & (
         t_ids[None, None, :] >= jnp.atleast_1d(start)[:, None, None])
+    if cfg.window is not None:  # sliding-window band, row-relative
+        live &= t_ids[None, None, :] > (pos + offs)[None, :, None] - cfg.window
     attn_mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None]  # (B,1,S,ctx)
     if cfg.pos == "alibi":
         # per-row bias: slope_h * (j - (pos + r))

@@ -103,6 +103,9 @@ def make_sharded_attn(mesh: Mesh, T: int, d_head: int,
         i = jnp.arange(T)
         dist = (i[None, :] - i[:, None]).astype(jnp.float32)  # j - i
         base = causal_mask(T, dtype=jnp.float32)  # (1, 1, T, T)
+        if cfg.window is not None:  # sliding-window band under ALiBi
+            far = (i[:, None] - i[None, :]) >= cfg.window
+            base = jnp.where(far[None, None], -1e9, base)
 
         def local_attn(q, k, v):
             h_loc = q.shape[1]
@@ -115,6 +118,13 @@ def make_sharded_attn(mesh: Mesh, T: int, d_head: int,
             mask = (base
                     + (sl[:, None, None] * dist)[None]).astype(q.dtype)
             return _REMAT_SDPA(q, k, v, mask)
+    elif cfg is not None and cfg.window is not None:
+        # sliding window: the flash kernels bake in pure causal, so the
+        # tp-local attention is the rematted sdpa over the banded mask
+        from ..models.gpt import _trunk_mask
+
+        def local_attn(q, k, v):
+            return _REMAT_SDPA(q, k, v, _trunk_mask(cfg, T, q.dtype))
     else:
         local = _pick_attn(T, d_head)
 

@@ -73,6 +73,8 @@ def _build_meta(cfg: GPTConfig, stoi, itos, tokenizer=None) -> dict:
     }
     if cfg.n_kv_heads is not None:  # GQA/MQA: grouped K/V head count
         meta["kv_heads"] = cfg.n_kv_heads
+    if cfg.window is not None:  # sliding-window attention
+        meta["window"] = cfg.window
     # a non-char tokenizer rides the sidecar (type + merge table); char
     # checkpoints keep the reference's stoi/itos-only format for interop
     from ..nn.tokenizers import BPETokenizer
@@ -139,6 +141,7 @@ def _cfg_from_meta(meta: dict) -> GPTConfig:
         d_ff=meta.get("d_ff"),  # absent in reference-format meta -> default
         dtype=meta.get("dtype", "float32"),
         n_kv_heads=meta.get("kv_heads"),  # absent = standard MHA
+        window=meta.get("window"),  # absent = full causal attention
     )
     if meta.get("experts", 0):
         from ..models.moe import MoEGPTConfig

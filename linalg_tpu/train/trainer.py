@@ -218,6 +218,7 @@ def _resume_or_init(args):
         pos=getattr(args, "pos", "sinusoidal") or "sinusoidal",
         dtype=getattr(args, "dtype", "float32") or "float32",
         n_kv_heads=getattr(args, "kv_heads", None),  # GQA/MQA
+        window=getattr(args, "window", None),  # sliding-window attention
     )
     n_experts = int(getattr(args, "experts", 0) or 0)
     if n_experts > 0:
@@ -391,6 +392,9 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     elif is_sp:
         assert tp == 1, "--sp composes with --dp only (not --tp)"
         assert not is_moe, "--sp with --experts is not supported"
+        assert cfg.window is None, (
+            "--window is not supported with --sp (the ring-attention "
+            "kernels assume a full causal mask)")
         assert cfg.ctx_len % sp == 0, "ctx_len must divide by sp"
         mesh = make_mesh((dp, sp), ("dp", "sp"))
         pspecs = jax.tree.map(lambda s: P(), gpt_param_specs(None, cfg),
@@ -572,7 +576,30 @@ def sample(params, cfg: GPTConfig, ctx_ids, itos, steps: int = 200,
         buf[0, :len(ids)] = ids
         return prefill_fn(params, jnp.asarray(buf), cfg, len(ids))
 
+    stream = (cfg.window is not None and cfg.pos in ("rope", "alibi")
+              and not isinstance(cfg, MoEGPTConfig)
+              and quant in ("", "none"))
     logits, cache = _prefill(ids)
+    if stream:
+        # sliding-window model: decode through the O(window) ring cache —
+        # the absolute position is unbounded, so the stream NEVER
+        # re-prefills (the bounded path below pays a full prefill every
+        # ctx/2 tokens; models/stream.py pins ring == windowed forward)
+        from ..models.stream import (gpt_stream_chunk, init_stream_cache,
+                                     stream_fill)
+
+        ring = stream_fill(init_stream_cache(cfg), cache, cache["length"],
+                           cfg)
+        remaining = steps
+        while remaining > 0:
+            key, sub = jax.random.split(key)
+            toks, logits, ring = gpt_stream_chunk(
+                params, ring, logits, sub, cfg, n, temperature, top_k, top_p)
+            emit_n = min(n, remaining)
+            for t in np.asarray(toks[0])[:emit_n]:
+                yield emit(int(t))
+            remaining -= emit_n
+        return
     remaining = steps
     while remaining > 0:
         room = cfg.ctx_len - int(cache["length"])
