@@ -341,12 +341,37 @@ _REMAT_SDPA = jax.checkpoint(lambda q, k, v, mask: sdpa(q, k, v, mask))
 
 
 def _pick_attn_cfg(cfg: "GPTConfig", T: int):
-    """Config-aware attention pick: ALiBi and sliding-window force the
-    rematted sdpa (the Pallas kernels bake in a pure causal mask and can
-    thread neither the per-head additive bias nor the window band);
-    everything else defers to ``_pick_attn``."""
-    if cfg.pos == "alibi" or cfg.window is not None:
+    """Config-aware attention pick: ALiBi forces the rematted sdpa (no
+    kernel threads the per-head additive bias). Sliding-window uses the
+    BANDED streaming kernel on TPU at long T — ``flash_attention_stream``
+    skips block pairs behind the band at grid-build time, so windowed
+    attention costs O(T*window) instead of the O(T^2) a masked sdpa
+    would pay — and the rematted sdpa (whose mask carries the band)
+    below the T=512 kernel crossover or off-TPU."""
+    if cfg.pos == "alibi":
         return _REMAT_SDPA
+    if cfg.window is not None:
+        if T < 512 or jax.default_backend() != "tpu":
+            return _REMAT_SDPA
+        try:
+            from ..nn.flash_stream import flash_attention_stream
+        except ImportError as e:  # pragma: no cover
+            _logger.warning("Pallas stream kernel unavailable (%s); "
+                            "windowed attention falling to sdpa", e)
+            return _REMAT_SDPA
+        w = cfg.window
+        Tp = ((T + 255) // 256) * 256
+        if Tp == T:
+            return lambda q, k, v, mask: flash_attention_stream(
+                q, k, v, True, w)
+
+        def padded(q, k, v, mask):
+            pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+            out = flash_attention_stream(
+                jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), True, w)
+            return out[..., :T, :]
+
+        return padded
     return _pick_attn(T, cfg.d_head)
 
 

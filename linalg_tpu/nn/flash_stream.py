@@ -60,22 +60,35 @@ def _interpret() -> bool:
 
 
 def _pairs(nq: int, nk: int, causal: bool, kmajor: bool,
-           bq: int, bk: int):
+           bq: int, bk: int, window=None):
     """(i, j, first, last) arrays for the compressed block-pair grid.
 
     first/last flag the initial/final visit of the ACCUMULATED index (the
     q block for q-major orders, the k block for k-major), so kernels reset
     and flush scratch on them.
+
+    ``window`` (sliding-window attention) additionally drops block pairs
+    entirely BEHIND the band: key block j is dead for query block i when
+    its last key j*bk+bk-1 < (i*bq) - (window-1), the oldest key the
+    block's first query may see. At T=4096/window=512 this cuts the
+    causal grid's ~T^2/2 block area to ~T*window — the whole point of
+    windowed long-context training.
     """
+
+    def live(i, j):
+        if causal and j * bk > i * bq + bq - 1:
+            return False  # entirely in the future
+        if window is not None and j * bk + bk - 1 < i * bq - (window - 1):
+            return False  # entirely behind the band
+        return True
+
     if kmajor:
-        ps = [(i, j) for j in range(nk) for i in range(nq)
-              if not causal or j * bk <= i * bq + bq - 1]
+        ps = [(i, j) for j in range(nk) for i in range(nq) if live(i, j)]
         first = [p == 0 or ps[p][1] != ps[p - 1][1] for p in range(len(ps))]
         last = [p == len(ps) - 1 or ps[p][1] != ps[p + 1][1]
                 for p in range(len(ps))]
     else:
-        ps = [(i, j) for i in range(nq) for j in range(nk)
-              if not causal or j * bk <= i * bq + bq - 1]
+        ps = [(i, j) for i in range(nq) for j in range(nk) if live(i, j)]
         first = [p == 0 or ps[p][0] != ps[p - 1][0] for p in range(len(ps))]
         last = [p == len(ps) - 1 or ps[p][0] != ps[p + 1][0]
                 for p in range(len(ps))]
@@ -84,8 +97,22 @@ def _pairs(nq: int, nk: int, causal: bool, kmajor: bool,
             to(first), to(last))
 
 
+def _band_mask(s, qi, ki, BQ, BK, causal, window):
+    """Apply causal and/or sliding-window bans to a (BQ, BK) score tile
+    at block coordinates (qi, ki)."""
+    if not causal and window is None:
+        return s
+    rows = lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + qi * BQ
+    cols = lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + ki * BK
+    if causal:
+        s = jnp.where(cols <= rows, s, _NEG)
+    if window is not None:
+        s = jnp.where(cols > rows - window, s, _NEG)
+    return s
+
+
 def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
-                o_ref, l_ref, m_s, l_s, acc_s, *, scale, causal):
+                o_ref, l_ref, m_s, l_s, acc_s, *, scale, causal, window):
     p = pl.program_id(1)
     qi = i_ref[p]
     ki = j_ref[p]
@@ -104,10 +131,7 @@ def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
     s = scale * lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
-    if causal:
-        rows = lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + qi * BQ
-        cols = lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + ki * BK
-        s = jnp.where(cols <= rows, s, _NEG)
+    s = _band_mask(s, qi, ki, BQ, BK, causal, window)
     m_prev = m_s[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     pmat = jnp.exp(s - m_new)
@@ -126,12 +150,14 @@ def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         l_ref[0] = jnp.broadcast_to(L[None, :], (8, L.shape[0]))
 
 
-def _fwd_call(q, k, v, scale, causal):
+def _fwd_call(q, k, v, scale, causal, window=None):
     BH, T, d = q.shape
     bq = bk = _block(T)
     nq, nk = T // bq, T // bk
-    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False, bq=bq, bk=bk)
-    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal)
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False, bq=bq, bk=bk,
+                                window=window)
+    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                             window=window)
     qspec = pl.BlockSpec((1, bq, d), lambda b, p, i, j, f, l: (b, i[p], 0))
     kspec = pl.BlockSpec((1, bk, d), lambda b, p, i, j, f, l: (b, j[p], 0))
     ospec = pl.BlockSpec((1, bq, d), lambda b, p, i, j, f, l: (b, i[p], 0))
@@ -160,7 +186,7 @@ def _fwd_call(q, k, v, scale, causal):
 
 def _bwd_dkdv_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
                      do_ref, l_ref, d_ref, dk_ref, dv_ref, dk_s, dv_s,
-                     *, scale, causal):
+                     *, scale, causal, window):
     p = pl.program_id(1)
     qi = i_ref[p]
     ki = j_ref[p]
@@ -179,10 +205,7 @@ def _bwd_dkdv_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
     s = scale * lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
-    if causal:
-        rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
-        cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
-        s = jnp.where(cols <= rows, s, _NEG)
+    s = _band_mask(s, qi, ki, q.shape[0], k.shape[0], causal, window)
     pmat = jnp.exp(s - L)  # recomputed probabilities
     dv_s[:] += lax.dot_general(
         pmat.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -204,7 +227,8 @@ def _bwd_dkdv_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
 
 
 def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
-                   do_ref, l_ref, d_ref, dq_ref, dq_s, *, scale, causal):
+                   do_ref, l_ref, d_ref, dq_ref, dq_s, *, scale, causal,
+                   window):
     p = pl.program_id(1)
     qi = i_ref[p]
     ki = j_ref[p]
@@ -222,10 +246,7 @@ def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
     s = scale * lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if causal:
-        rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * q.shape[0]
-        cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
-        s = jnp.where(cols <= rows, s, _NEG)
+    s = _band_mask(s, qi, ki, q.shape[0], k.shape[0], causal, window)
     pmat = jnp.exp(s - L)
     dp = lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -239,7 +260,7 @@ def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         dq_ref[0] = dq_s[:].astype(dq_ref.dtype)
 
 
-def _bwd_call(q, k, v, do, L8, D8, scale, causal):
+def _bwd_call(q, k, v, do, L8, D8, scale, causal, window=None):
     """Streaming Pallas backward: (BH, T, d) blocks, O(block) VMEM."""
     BH, T, d = q.shape
     bq = bk = _block(T)
@@ -250,9 +271,11 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal):
     interp = _interpret()
 
     # dk/dv: key-major pair order, q/do/L/delta follow the inner (q) index.
-    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=True, bq=bq, bk=bk)
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=True, bq=bq, bk=bk,
+                                window=window)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal),
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
+                          window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(BH, i_a.shape[0]),
@@ -271,9 +294,11 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal):
     )(i_a, j_a, f_a, l_a, q, k, v, do, L8, D8)
 
     # dq: query-major pair order.
-    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False, bq=bq, bk=bk)
+    i_a, j_a, f_a, l_a = _pairs(nq, nk, causal, kmajor=False, bq=bq, bk=bk,
+                                window=window)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal),
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(BH, i_a.shape[0]),
@@ -287,26 +312,31 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_stream(q, k, v, causal: bool = True):
-    """Streaming fused attention for arbitrary T (multiple of 256)."""
-    return _fwd(q, k, v, causal)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_stream(q, k, v, causal: bool = True, window=None):
+    """Streaming fused attention for arbitrary T (multiple of 256).
+
+    ``window`` (sliding-window attention, ``GPTConfig.window``): bans
+    keys more than window-1 behind each query AND skips block pairs
+    entirely behind the band at grid-construction time — windowed
+    long-context attention costs O(T*window), not O(T^2)."""
+    return _fwd(q, k, v, causal, window)[0]
 
 
-def _fwd(q, k, v, causal):
+def _fwd(q, k, v, causal, window=None):
     B, h, T, d = q.shape
     scale = 1.0 / math.sqrt(d)
     rs = lambda x: x.reshape(B * h, T, d)
-    o, L = _fwd_call(rs(q), rs(k), rs(v), scale, causal)
+    o, L = _fwd_call(rs(q), rs(k), rs(v), scale, causal, window)
     o = o.reshape(B, h, T, d)
     return o, (q, k, v, o, L.reshape(B, h, 8, T)[:, :, 0])
 
 
-def _vjp_fwd(q, k, v, causal):
-    return _fwd(q, k, v, causal)
+def _vjp_fwd(q, k, v, causal, window):
+    return _fwd(q, k, v, causal, window)
 
 
-def _vjp_bwd(causal, res, do):
+def _vjp_bwd(causal, window, res, do):
     """Streaming Pallas backward (see _bwd_call)."""
     q, k, v, o, L = res  # L: (B, h, T)
     B, h, T, d = q.shape
@@ -318,13 +348,14 @@ def _vjp_bwd(causal, res, do):
         x.reshape(B * h, 1, T), (B * h, 8, T)
     ).astype(jnp.float32)
     dq, dk, dv = _bwd_call(
-        rs(q), rs(k), rs(v), rs(do), bcast(L), bcast(delta), scale, causal
+        rs(q), rs(k), rs(v), rs(do), bcast(L), bcast(delta), scale, causal,
+        window
     )
     back = lambda x: x.reshape(B, h, T, d)
     return back(dq), back(dk), back(dv)
 
 
-def _vjp_bwd_xla(causal, res, do):
+def _vjp_bwd_xla(causal, window, res, do):
     """Chunked XLA-level backward: recompute P strips from (q, k, L).
 
     Kept as the differential-test oracle for the Pallas backward."""
@@ -339,10 +370,12 @@ def _vjp_bwd_xla(causal, res, do):
         """dq for one q chunk + its (dk, dv) contribution."""
 
         s = scale * jnp.einsum("bhtd,bhsd->bhts", qc, k)
+        rows = q0 + jnp.arange(BQ)[:, None]
+        cols = jnp.arange(T)[None, :]
         if causal:
-            rows = q0 + jnp.arange(BQ)[:, None]
-            cols = jnp.arange(T)[None, :]
             s = jnp.where(cols <= rows, s, _NEG)
+        if window is not None:
+            s = jnp.where(cols > rows - window, s, _NEG)
         p = jnp.exp(s - Lc[..., None])
         dp = jnp.einsum("bhtd,bhsd->bhts", doc, v)
         ds = (dp - deltac[..., None]) * p

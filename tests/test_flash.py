@@ -82,20 +82,76 @@ class TestNonCausal:
 class TestStreamBackwardKernels:
     """The streaming Pallas backward vs the chunked-XLA oracle it replaced."""
 
-    @pytest.mark.parametrize("causal", [True, False])
-    def test_pallas_bwd_matches_xla_oracle(self, causal):
+    @pytest.mark.parametrize("causal,window",
+                             [(True, None), (False, None), (True, 64)])
+    def test_pallas_bwd_matches_xla_oracle(self, causal, window):
         from linalg_tpu.nn import flash_stream as fs
 
         B, h, T, d = 1, 2, 512, 16
         q, k, v = _rand((B, h, T, d), 20), _rand((B, h, T, d), 21), _rand((B, h, T, d), 22)
         do = _rand((B, h, T, d), 23)
         with pltpu.force_tpu_interpret_mode():
-            _o, res = fs._vjp_fwd(q, k, v, causal)
-            g_pallas = fs._vjp_bwd(causal, res, do)
-            g_xla = fs._vjp_bwd_xla(causal, res, do)
+            _o, res = fs._vjp_fwd(q, k, v, causal, window)
+            g_pallas = fs._vjp_bwd(causal, window, res, do)
+            g_xla = fs._vjp_bwd_xla(causal, window, res, do)
         for a, b in zip(g_pallas, g_xla):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
+
+
+class TestStreamWindow:
+    """Sliding-window band in the streaming kernel: block pairs behind
+    the band are skipped at grid-build time; the survivors mask in-tile.
+    Oracle: sdpa under the explicitly banded causal mask."""
+
+    @staticmethod
+    def _banded(T, window, dt=jnp.float32):
+        i = jnp.arange(T)
+        m = causal_mask(T, dtype=dt)
+        far = (i[:, None] - i[None, :]) >= window
+        return jnp.where(far[None, None], jnp.asarray(-1e9, dt), m)
+
+    # T=1536 (3 blocks of 512) with window 256 actually DROPS pair (2,0)
+    # from the grid; window 100 exercises a band inside one block; window
+    # 1536 must reproduce full causal exactly.
+    @pytest.mark.parametrize("T,window", [(512, 64), (512, 100),
+                                          (1536, 256), (512, 512)])
+    def test_forward_matches_banded_sdpa(self, T, window):
+        B, h, d = 1, 2, 16
+        q, k, v = _rand((B, h, T, d), 40), _rand((B, h, T, d), 41), _rand((B, h, T, d), 42)
+        with pltpu.force_tpu_interpret_mode():
+            o = flash_attention_stream(q, k, v, True, window)
+            ref = sdpa(q, k, v, self._banded(T, window))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("T,window", [(512, 64), (1536, 256)])
+    def test_backward_matches_banded_sdpa(self, T, window):
+        B, h, d = 1, 1, 16
+        q, k, v = _rand((B, h, T, d), 43), _rand((B, h, T, d), 44), _rand((B, h, T, d), 45)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(
+                lambda q, k, v: jnp.sum(
+                    jnp.sin(flash_attention_stream(q, k, v, True, window))),
+                argnums=(0, 1, 2))(q, k, v)
+            g2 = jax.grad(
+                lambda q, k, v: jnp.sum(
+                    jnp.sin(sdpa(q, k, v, self._banded(T, window)))),
+                argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_grid_skips_out_of_band_blocks(self):
+        from linalg_tpu.nn.flash_stream import _pairs
+
+        # T=1536, blocks 512: full causal keeps all 6 lower pairs; window
+        # 256 must drop (2,0) — queries 1024+ can see back to 769 at most
+        i_c, _, _, _ = _pairs(3, 3, True, False, 512, 512)
+        i_w, j_w, _, _ = _pairs(3, 3, True, False, 512, 512, window=256)
+        assert i_c.shape[0] == 6
+        assert i_w.shape[0] == 5
+        assert (2, 0) not in set(zip(i_w.tolist(), j_w.tolist()))
 
 
 class TestRaggedPadding:
