@@ -367,3 +367,19 @@ class TestStream:
         out = list(sample(params, cfg, np.asarray([1, 2, 3]), itos,
                           steps=100, seed=0))
         assert len(out) == 100  # 100 tokens >> ctx 16: no rollover crash
+
+
+class TestBeam:
+    def test_beam1_equals_greedy_with_window(self):
+        """Beam search rides _make_decode_step, so the window flows
+        through; beam=1 must equal greedy decode on a windowed model."""
+        from linalg_tpu.models.beam import gpt_generate_beam
+
+        params = init_gpt_params(CFG, seed=4)
+        rng = np.random.default_rng(4)
+        prompt = rng.integers(0, 37, size=(6,)).astype(np.int32)
+        greedy = np.asarray(
+            gpt_generate(params, CFG, [list(prompt)], 8,
+                         temperature=1e-6))[0]
+        beam, _ = gpt_generate_beam(params, CFG, prompt, 8, beam=1)
+        np.testing.assert_array_equal(np.asarray(beam), greedy)
