@@ -254,8 +254,13 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
         k = rope_rotate(k, cos, sin)
-    a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
-                         _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
+    if getattr(attn_fn, "gqa_native", False):
+        # the streaming kernel maps grouped KV heads to their query
+        # groups in-kernel — never materialize the expanded K/V in HBM
+        a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    else:
+        a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
+                             _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
     h1 = h_in + a
     if fused:
         f = ln_ffn(h1, lp["ln2_g"], lp["ln2_b"],
@@ -362,16 +367,18 @@ def _pick_attn_cfg(cfg: "GPTConfig", T: int):
         w = cfg.window
         Tp = ((T + 255) // 256) * 256
         if Tp == T:
-            return lambda q, k, v, mask: flash_attention_stream(
+            banded = lambda q, k, v, mask: flash_attention_stream(
                 q, k, v, True, w)
+        else:
+            def banded(q, k, v, mask):
+                pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+                out = flash_attention_stream(
+                    jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+                    True, w)
+                return out[..., :T, :]
 
-        def padded(q, k, v, mask):
-            pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
-            out = flash_attention_stream(
-                jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), True, w)
-            return out[..., :T, :]
-
-        return padded
+        banded.gqa_native = True  # stream reads grouped K/V directly
+        return banded
     return _pick_attn(T, cfg.d_head)
 
 
@@ -425,8 +432,13 @@ def _pick_attn(T: int, d_head: int):
     else:
         fn = flash_attention_stream
     if Tp == T:
-        return lambda q, k, v, mask: fn(q, k, v, True)
-    return _padded_attn(fn, T, Tp)
+        wrapped = lambda q, k, v, mask: fn(q, k, v, True)
+    else:
+        wrapped = _padded_attn(fn, T, Tp)
+    # the streaming kernel consumes grouped K/V directly (GQA-native);
+    # flash/flash_long need the expanded heads
+    wrapped.gqa_native = fn is flash_attention_stream
+    return wrapped
 
 
 def _padded_attn(fn, T: int, Tp: int):

@@ -271,8 +271,11 @@ def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
         cos, sin = rope
         q = rope_rotate(q, cos, sin)
         k = rope_rotate(k, cos, sin)
-    a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
-                         _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
+    if getattr(attn_fn, "gqa_native", False):
+        a = _unheads(attn_fn(q, k, v, mask)) @ lp["Wo"]
+    else:
+        a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
+                             _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
     f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],

@@ -150,7 +150,11 @@ def _fwd_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         l_ref[0] = jnp.broadcast_to(L[None, :], (8, L.shape[0]))
 
 
-def _fwd_call(q, k, v, scale, causal, window=None):
+def _fwd_call(q, k, v, scale, causal, window=None, g=1):
+    """``g`` (GQA): q is (B*H, T, d) while k/v are (B*hk, T, d) with
+    H = g*hk; the k/v index maps divide the grid's head-batch index by g,
+    so each grouped KV head block is STREAMED to its g query heads
+    without ever materializing the expanded (B*H)-head K/V in HBM."""
     BH, T, d = q.shape
     bq = bk = _block(T)
     nq, nk = T // bq, T // bk
@@ -159,7 +163,8 @@ def _fwd_call(q, k, v, scale, causal, window=None):
     kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
                              window=window)
     qspec = pl.BlockSpec((1, bq, d), lambda b, p, i, j, f, l: (b, i[p], 0))
-    kspec = pl.BlockSpec((1, bk, d), lambda b, p, i, j, f, l: (b, j[p], 0))
+    kspec = pl.BlockSpec((1, bk, d),
+                         lambda b, p, i, j, f, l: (b // g, j[p], 0))
     ospec = pl.BlockSpec((1, bq, d), lambda b, p, i, j, f, l: (b, i[p], 0))
     lspec = pl.BlockSpec((1, 8, bq), lambda b, p, i, j, f, l: (b, 0, i[p]))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -260,13 +265,19 @@ def _bwd_dq_kernel(i_ref, j_ref, f_ref, l_ref_flags, q_ref, k_ref, v_ref,
         dq_ref[0] = dq_s[:].astype(dq_ref.dtype)
 
 
-def _bwd_call(q, k, v, do, L8, D8, scale, causal, window=None):
-    """Streaming Pallas backward: (BH, T, d) blocks, O(block) VMEM."""
+def _bwd_call(q, k, v, do, L8, D8, scale, causal, window=None, g=1):
+    """Streaming Pallas backward: (BH, T, d) blocks, O(block) VMEM.
+
+    ``g`` (GQA): k/v are grouped (B*hk, T, d) and read through //g index
+    maps; dk/dv come back EXPANDED per query head (B*H, T, d) — the
+    caller reduces each g-group (the repeat's transpose)."""
     BH, T, d = q.shape
     bq = bk = _block(T)
     nq, nk = T // bq, T // bk
     qspec = pl.BlockSpec((1, bq, d), lambda b, p, i, j, f, l: (b, i[p], 0))
-    kspec = pl.BlockSpec((1, bk, d), lambda b, p, i, j, f, l: (b, j[p], 0))
+    kspec_g = pl.BlockSpec((1, bk, d),
+                           lambda b, p, i, j, f, l: (b // g, j[p], 0))
+    kspec_e = pl.BlockSpec((1, bk, d), lambda b, p, i, j, f, l: (b, j[p], 0))
     vec = pl.BlockSpec((1, 8, bq), lambda b, p, i, j, f, l: (b, 0, i[p]))
     interp = _interpret()
 
@@ -279,8 +290,8 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal, window=None):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(BH, i_a.shape[0]),
-            in_specs=[qspec, kspec, kspec, qspec, vec, vec],
-            out_specs=(kspec, kspec),
+            in_specs=[qspec, kspec_g, kspec_g, qspec, vec, vec],
+            out_specs=(kspec_e, kspec_e),
             scratch_shapes=[
                 pltpu.VMEM((bk, d), jnp.float32),
                 pltpu.VMEM((bk, d), jnp.float32),
@@ -302,7 +313,7 @@ def _bwd_call(q, k, v, do, L8, D8, scale, causal, window=None):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(BH, i_a.shape[0]),
-            in_specs=[qspec, kspec, kspec, qspec, vec, vec],
+            in_specs=[qspec, kspec_g, kspec_g, qspec, vec, vec],
             out_specs=qspec,
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
@@ -319,15 +330,25 @@ def flash_attention_stream(q, k, v, causal: bool = True, window=None):
     ``window`` (sliding-window attention, ``GPTConfig.window``): bans
     keys more than window-1 behind each query AND skips block pairs
     entirely behind the band at grid-construction time — windowed
-    long-context attention costs O(T*window), not O(T^2)."""
+    long-context attention costs O(T*window), not O(T^2).
+
+    GQA-native: k/v may carry FEWER heads than q (hk dividing H); each
+    grouped KV head streams to its H/hk query heads through the block
+    index maps — the expanded (B, H, T, d) K/V is never materialized in
+    HBM, and dk/dv reduce each group in the backward (exactly the
+    ``jnp.repeat`` transpose)."""
     return _fwd(q, k, v, causal, window)[0]
 
 
 def _fwd(q, k, v, causal, window=None):
     B, h, T, d = q.shape
+    hk = k.shape[1]
+    if h % hk:
+        raise ValueError(f"KV heads ({hk}) must divide query heads ({h})")
     scale = 1.0 / math.sqrt(d)
-    rs = lambda x: x.reshape(B * h, T, d)
-    o, L = _fwd_call(rs(q), rs(k), rs(v), scale, causal, window)
+    o, L = _fwd_call(q.reshape(B * h, T, d), k.reshape(B * hk, T, d),
+                     v.reshape(B * hk, T, d), scale, causal, window,
+                     g=h // hk)
     o = o.reshape(B, h, T, d)
     return o, (q, k, v, o, L.reshape(B, h, 8, T)[:, :, 0])
 
@@ -340,6 +361,8 @@ def _vjp_bwd(causal, window, res, do):
     """Streaming Pallas backward (see _bwd_call)."""
     q, k, v, o, L = res  # L: (B, h, T)
     B, h, T, d = q.shape
+    hk = k.shape[1]
+    g = h // hk
     scale = 1.0 / math.sqrt(d)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)  # (B, h, T)
@@ -348,11 +371,14 @@ def _vjp_bwd(causal, window, res, do):
         x.reshape(B * h, 1, T), (B * h, 8, T)
     ).astype(jnp.float32)
     dq, dk, dv = _bwd_call(
-        rs(q), rs(k), rs(v), rs(do), bcast(L), bcast(delta), scale, causal,
-        window
+        rs(q), k.reshape(B * hk, T, d), v.reshape(B * hk, T, d), rs(do),
+        bcast(L), bcast(delta), scale, causal, window, g=g
     )
-    back = lambda x: x.reshape(B, h, T, d)
-    return back(dq), back(dk), back(dv)
+    dq = dq.reshape(B, h, T, d)
+    # dk/dv come back per QUERY head; sum each g-group (repeat transpose)
+    dk = dk.reshape(B, hk, g, T, d).sum(axis=2).astype(k.dtype)
+    dv = dv.reshape(B, hk, g, T, d).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
 
 
 def _vjp_bwd_xla(causal, window, res, do):

@@ -210,3 +210,47 @@ class TestRaggedPadding:
             ref = sdpa(q, k, v, causal_mask(T))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestStreamGQA:
+    """GQA-native streaming kernel: k/v carry fewer heads than q and are
+    mapped to query groups by the //g block index maps — no expanded K/V
+    in HBM. Oracle: sdpa over jnp.repeat-expanded heads (forward) and its
+    grads (dk/dv group-sum = the repeat transpose)."""
+
+    @pytest.mark.parametrize("H,hk,window", [(4, 2, None), (4, 1, None),
+                                             (4, 2, 64)])
+    def test_forward_and_grads_match_expanded(self, H, hk, window):
+        from linalg_tpu.nn import flash_stream as fs
+
+        B, T, d = 2, 512, 16
+        g = H // hk
+        q = _rand((B, H, T, d), 50)
+        k = _rand((B, hk, T, d), 51)
+        v = _rand((B, hk, T, d), 52)
+
+        def ref(q, k, v):
+            m = causal_mask(T)
+            if window is not None:
+                i = jnp.arange(T)
+                m = jnp.where((i[:, None] - i[None, :]) >= window, -1e9, m)
+            return sdpa(q, jnp.repeat(k, g, 1), jnp.repeat(v, g, 1), m)
+
+        with pltpu.force_tpu_interpret_mode():
+            o = flash_attention_stream(q, k, v, True, window)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref(q, k, v)),
+                                       atol=1e-5)
+            g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(
+                flash_attention_stream(*a, True, window))),
+                argnums=(0, 1, 2))(q, k, v)
+            g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                          argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_bad_head_ratio_raises(self):
+        q = _rand((1, 3, 512, 16), 53)
+        k = _rand((1, 2, 512, 16), 54)
+        with pytest.raises(ValueError, match="divide"):
+            flash_attention_stream(q, k, k, True)
