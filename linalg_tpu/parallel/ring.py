@@ -30,7 +30,7 @@ _NEG = -1e30
 
 
 def ring_attention_local(q, k, v, *, axis: str, causal: bool = True,
-                         slopes=None):
+                         slopes=None, window=None):
     """Per-device body: q/k/v are LOCAL chunks (B, h, Tl, d) of a sequence
     sharded over mesh axis ``axis``. Must run inside shard_map/pjit with
     that axis in scope.
@@ -39,6 +39,12 @@ def ring_attention_local(q, k, v, *, axis: str, causal: bool = True,
     ``slope_h * (col - row)`` to the scores — global row/col positions are
     already in hand for the causal mask, so the bias costs one fused
     multiply-add per chunk and no extra communication.
+
+    ``window`` (sliding-window attention) bans keys more than window-1
+    behind each query. The rotation schedule is unchanged — every chunk
+    still makes the full loop (a static ring; chunks wholly behind the
+    band just contribute nothing), so the win is model semantics, not
+    comm volume.
     """
     sp = lax.axis_size(axis)
     idx = lax.axis_index(axis)
@@ -62,6 +68,8 @@ def ring_attention_local(q, k, v, *, axis: str, causal: bool = True,
             sc = sc + sl * (cols - rows).astype(jnp.float32)[None, None]
         if causal:
             sc = jnp.where(cols <= rows, sc, _NEG)
+        if window is not None:
+            sc = jnp.where(cols > rows - window, sc, _NEG)
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
         p = jnp.exp(sc - m_new)
         alpha = jnp.exp(m - m_new)
@@ -77,18 +85,20 @@ def ring_attention_local(q, k, v, *, axis: str, causal: bool = True,
 
 
 def make_ring_attention(mesh, *, axis: str = "sp", causal: bool = True,
-                        batch_axis: str | None = None, slopes=None):
+                        batch_axis: str | None = None, slopes=None,
+                        window=None):
     """shard_map-wrapped ring attention over ``mesh``.
 
     Returns attn(q, k, v) for GLOBAL (B, h, T, d) arrays with T sharded on
     ``axis`` (and optionally B on ``batch_axis``). T must divide by the
-    axis size. ``slopes`` (h,) enables the ALiBi per-head distance bias.
+    axis size. ``slopes`` (h,) enables the ALiBi per-head distance bias;
+    ``window`` the sliding-window band.
     """
     spec = P(batch_axis, None, axis, None)
     if slopes is not None:
         slopes = tuple(float(s) for s in slopes)
     body = partial(ring_attention_local, axis=axis, causal=causal,
-                   slopes=slopes)
+                   slopes=slopes, window=window)
     return jax.shard_map(
         lambda q, k, v: body(q, k, v),
         mesh=mesh,

@@ -223,10 +223,15 @@ def _sp_ring(mesh: Mesh, pallas: bool, cfg: GPTConfig | None = None):
     compile-time constants selected by head grid index).
     """
     slopes = None
+    window = None if cfg is None else cfg.window
     if cfg is not None and cfg.pos == "alibi":
         from ..nn.positional import alibi_slopes
 
         slopes = tuple(float(s) for s in alibi_slopes(cfg.n_heads))
+    if pallas and window is not None:
+        # the in-kernel DMA ring bakes a pure causal mask; windowed sp
+        # training runs on the XLA ring (whose mask carries the band)
+        pallas = False
     if pallas:
         from .ring_pallas import make_ring_attention_pallas
 
@@ -236,7 +241,8 @@ def _sp_ring(mesh: Mesh, pallas: bool, cfg: GPTConfig | None = None):
         from .ring import make_ring_attention
 
         ring = make_ring_attention(mesh, axis="sp", causal=True,
-                                   batch_axis="dp", slopes=slopes)
+                                   batch_axis="dp", slopes=slopes,
+                                   window=window)
     return lambda q, k, v, mask: ring(q, k, v)
 
 

@@ -252,7 +252,23 @@ class TestTrainer:
         assert cfg.window == 8
         assert (tmp_path / "chars_gpt_best.npz").exists()
 
-    def test_sp_rejects_window(self, tmp_path):
+    def test_sp_window_trains_on_xla_ring(self, tmp_path):
+        """--window composes with --sp via the XLA ring (the Pallas DMA
+        ring bakes pure causal and is rejected explicitly)."""
+        from linalg_tpu.apps.gpt import build_parser
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "10", "--eval_every", "10",
+            "--batch_size", "8", "--ctx_len", "32", "--d_model", "32",
+            "--heads", "4", "--layers", "1", "--ckpt_dir", str(tmp_path),
+            "--dp", "2", "--sp", "4", "--window", "8",
+        ])
+        _, cfg, _, _ = train(args)
+        assert cfg.window == 8
+        assert (tmp_path / "chars_gpt_best.npz").exists()
+
+    def test_sp_window_rejects_pallas_ring(self, tmp_path):
         from linalg_tpu.apps.gpt import build_parser
         from linalg_tpu.train.trainer import train
 
@@ -260,9 +276,23 @@ class TestTrainer:
             "--train", "--steps", "1", "--ctx_len", "32", "--d_model", "32",
             "--heads", "4", "--layers", "1", "--ckpt_dir",
             str(tmp_path / "x"), "--sp", "2", "--window", "8",
+            "--ring", "pallas",
         ])
-        with pytest.raises(AssertionError, match="--window"):
+        with pytest.raises(AssertionError, match="XLA ring"):
             train(args)
+
+    def test_sp_ring_loss_matches_unsharded_window(self):
+        from linalg_tpu.parallel.mesh import make_mesh
+        from linalg_tpu.parallel.sharding import make_sp_train_step
+        from linalg_tpu.train.optim import adamw_init
+
+        mesh = make_mesh((1, 8), ("dp", "sp"), jax.devices()[:8])
+        params = init_gpt_params(CFG, seed=0)
+        x, y = _data(B=2)
+        ref = float(gpt_loss(params, x, y, CFG))
+        step = make_sp_train_step(CFG, mesh)
+        _, _, loss = step(params, adamw_init(params), x, y)
+        assert abs(float(loss) - ref) < 1e-4
 
     def test_moe_window_trains(self):
         from linalg_tpu.models.moe import (MoEGPTConfig, init_moe_params,
