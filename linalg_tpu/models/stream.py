@@ -159,6 +159,89 @@ def _make_stream_step(cfg: GPTConfig, ops):
     return decode_step
 
 
+def _make_stream_step_slots(cfg: GPTConfig, ops):
+    """Per-slot ring decode step: positions, ring rows, and row-position
+    maps are all PER SLOT — the continuous-batching twin of
+    ``_make_stream_step`` (``serve.engine`` ring mode). ``pos`` is (B,),
+    ``rpos`` (B, R)."""
+    from ..nn.cache import fkv_write_slots
+
+    dt = cfg.compute_dtype
+    D = cfg.d_model
+    KD = cfg.kv_heads * cfg.d_head
+    R = cfg.window
+    slopes = alibi_slopes(cfg.n_heads) if cfg.pos == "alibi" else None
+
+    def decode_step(kbuf, vbuf, rpos, pos, token):
+        B = pos.shape[0]
+        h = ops["embed"](token)
+        rope = None
+        if cfg.pos == "rope":
+            c, s_ = rope_tables(cfg.d_head, pos[:, None])  # (B, 1, d/2)
+            rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+        h = h.astype(dt)
+        slot = pos % R  # (B,)
+        rpos2 = rpos.at[jnp.arange(B), slot].set(pos)
+        live = (rpos2 >= 0) & (rpos2 > pos[:, None] - R)
+        mask = jnp.where(live, 0.0, -1e9).astype(dt)[:, None, None, :]
+        if slopes is not None:
+            bias = (slopes[None, :, None, None]
+                    * (rpos2 - pos[:, None])[:, None, None, :]
+                    .astype(jnp.float32))
+            mask = mask + bias.astype(dt)
+
+        def body(carry, xs):
+            h_in = carry
+            lw, k_l, v_l = xs
+            xn = ops["ln1"](lw, h_in)
+            qkv = ops["qkv"](lw, xn)
+            q = _heads(qkv[..., :D], cfg.n_heads)
+            k = _heads(qkv[..., D:D + KD], cfg.kv_heads)
+            v = _heads(qkv[..., D + KD:], cfg.kv_heads)
+            if rope is not None:
+                q = rope_rotate(q, rope[0], rope[1])
+                k = rope_rotate(k, rope[0], rope[1])
+            k_l, v_l = fkv_write_slots(k_l, v_l, slot, k, v)
+            a = ops["out"](lw, _unheads(_gqa_decode_attn(q, k_l, v_l, mask)))
+            h1 = h_in + a
+            f = ops["ffn"](lw, ops["ln2"](lw, h1))
+            return h1 + f, (k_l, v_l)
+
+        h2, (K, V) = lax.scan(body, h, (ops["lws"], kbuf, vbuf))
+        return K, V, rpos2, ops["head"](h2[:, -1])
+
+    return decode_step
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def stream_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
+                       cfg: GPTConfig, n_tokens: int):
+    """Per-slot ring decode chunk: the ring-mode twin of
+    ``serve.engine.decode_chunk_slots``. ``cache`` is {k, v:
+    (L, B, hk, window, d), rpos: (B, window), pos: (B,)}; sampling
+    params are per-slot (B,) vectors. Positions are unbounded — slots
+    generate past ctx_len with O(window) rows each."""
+    _check_stream_cfg(cfg)
+    ops = _dt_decode_ops(params, cfg)
+    decode_step = _make_stream_step_slots(cfg, ops)
+    temp = jnp.asarray(temp, jnp.float32)[:, None]
+    top_p = jnp.asarray(top_p, jnp.float32)[:, None]
+    top_k = jnp.asarray(top_k, jnp.int32)
+
+    def outer(carry, k):
+        lg, kb, vb, rpos, pos = carry
+        tok = jax.random.categorical(
+            k, filter_logits(lg, temp, top_k, top_p), axis=-1)
+        kb, vb, rpos, new_logits = decode_step(kb, vb, rpos, pos, tok)
+        return (new_logits, kb, vb, rpos, pos + 1), tok
+
+    keys = jax.random.split(key, n_tokens)
+    (logits, K, V, rpos, pos), toks = lax.scan(
+        outer, (logits, cache["k"], cache["v"], cache["rpos"],
+                cache["pos"]), keys)
+    return toks.T, logits, dict(cache, k=K, v=V, rpos=rpos, pos=pos)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tokens", "top_k"))
 def gpt_stream_chunk(params, ring, logits, key, cfg: GPTConfig,
                      n_tokens: int, temperature=1.0, top_k: int = 0,

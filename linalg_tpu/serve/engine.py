@@ -178,6 +178,29 @@ def _extend_prefix(params, pk, pv, plen, suffix_ids, slen, cfg: GPTConfig,
     return (last[:, 0], cache["k"][..., :ctx, :], cache["v"][..., :ctx, :])
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _admit_slot_ring(cache, logits, slot_k, slot_v, plen, slot_logits, b,
+                     cfg: GPTConfig):
+    """Ring-mode admission: compress a ctx-sized prefill (or prefix-
+    extended) KV down to its last ``window`` rows (``models.stream``'s
+    fill) and scatter them into ring slot ``b`` with per-row absolute
+    positions."""
+    from ..models.stream import init_stream_cache, stream_fill
+
+    ring1 = stream_fill(init_stream_cache(cfg, batch=1),
+                        {"k": slot_k, "v": slot_v}, plen, cfg)
+    z = jnp.zeros((), jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    k = lax.dynamic_update_slice(cache["k"], ring1["k"], (z, b, z, z, z))
+    v = lax.dynamic_update_slice(cache["v"], ring1["v"], (z, b, z, z, z))
+    rpos = lax.dynamic_update_slice(cache["rpos"], ring1["rpos"][None],
+                                    (b, z))
+    pos = lax.dynamic_update_slice(
+        cache["pos"], jnp.asarray(plen, jnp.int32)[None], (b,))
+    logits = lax.dynamic_update_slice(logits, slot_logits, (b, z))
+    return dict(cache, k=k, v=v, rpos=rpos, pos=pos), logits
+
+
 @partial(jax.jit, static_argnames=())
 def _admit_slot(cache, logits, slot_k, slot_v, plen, slot_logits, b):
     """Scatter one prefilled sequence into slot ``b`` of the engine cache.
@@ -276,12 +299,26 @@ class ServeEngine:
                 f"{self.prefill_window} (ctx_len={cfg.ctx_len}, "
                 f"chunk={chunk})")
         dt = cfg.compute_dtype
-        shape = (cfg.n_layers, n_slots, cfg.kv_heads, cfg.ctx_len, cfg.d_head)
+        # ring mode: a windowed model with a relative positional encoding
+        # keeps each slot's KV as an O(window) ring with UNBOUNDED
+        # positions — slot memory drops ctx/window-fold and a request's
+        # generation budget is no longer capped by ctx_len
+        from ..models.moe import MoEGPTConfig as _MoE
+
+        self._ring = (cfg.window is not None
+                      and cfg.pos in ("rope", "alibi")
+                      and not isinstance(cfg, _MoE)
+                      and quant in ("", "none") and mesh is None)
+        rows = cfg.window if self._ring else cfg.ctx_len
+        shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
         self._cache: Dict[str, Any] = {
             "k": jnp.zeros(shape, dt),
             "v": jnp.zeros(shape, dt),
             "pos": jnp.zeros((n_slots,), jnp.int32),
         }
+        if self._ring:
+            self._cache["rpos"] = jnp.full((n_slots, cfg.window), -1,
+                                           jnp.int32)
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
         if mesh is not None:
             self._cache = jax.device_put(
@@ -370,13 +407,22 @@ class ServeEngine:
             if req.prefix_id not in self._prefixes:
                 raise ValueError(f"unknown prefix_id {req.prefix_id}")
             pref_len = self._prefixes[req.prefix_id][3]
-        reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
-        if pref_len + plen + reserved > self.cfg.ctx_len:
-            raise ValueError(
-                f"prefix ({pref_len}) + prompt ({plen}) + reserved decode "
-                f"budget ({reserved} = max_new_tokens rounded up to the "
-                f"{self.chunk}-token chunk) exceeds ctx_len "
-                f"{self.cfg.ctx_len}")
+        if self._ring:
+            # ring slots have unbounded positions: only the PROMPT must
+            # fit the bounded prefill; the decode budget is unlimited
+            if pref_len + plen > self.cfg.ctx_len:
+                raise ValueError(
+                    f"prefix ({pref_len}) + prompt ({plen}) exceeds "
+                    f"ctx_len {self.cfg.ctx_len} (the prefill is bounded "
+                    f"even in ring mode)")
+        else:
+            reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
+            if pref_len + plen + reserved > self.cfg.ctx_len:
+                raise ValueError(
+                    f"prefix ({pref_len}) + prompt ({plen}) + reserved "
+                    f"decode budget ({reserved} = max_new_tokens rounded "
+                    f"up to the {self.chunk}-token chunk) exceeds ctx_len "
+                    f"{self.cfg.ctx_len}")
         req = dataclasses.replace(req, request_id=next(self._ids))
         self._submit_ts[req.request_id] = time.perf_counter()
         self._queue.append(req)
@@ -403,15 +449,19 @@ class ServeEngine:
             pk, pv, _, pref_len = self._prefixes[req.prefix_id]
             logits, ek, ev = _extend_prefix(self.params, pk, pv, pref_len,
                                             jnp.asarray(ids), plen, cfg, W)
-            self._cache, self._logits = _admit_slot(
-                self._cache, self._logits, ek, ev, pref_len + plen,
-                logits, slot)
+            kv, total = (ek, ev), pref_len + plen
         else:
             logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
                                           length=plen)
+            kv, total = (cache["k"], cache["v"]), plen
+        if self._ring:
+            self._cache, self._logits = _admit_slot_ring(
+                self._cache, self._logits, kv[0], kv[1], total, logits,
+                slot, cfg)
+        else:
             self._cache, self._logits = _admit_slot(
-                self._cache, self._logits, cache["k"], cache["v"],
-                plen, logits, slot)
+                self._cache, self._logits, kv[0], kv[1], total, logits,
+                slot)
         req_k = self.top_k if req.top_k is None else req.top_k
         if (self._temp[slot] != req.temperature
                 or self._top_p[slot] != req.top_p
@@ -524,7 +574,11 @@ class ServeEngine:
             self._samp_dev = (jnp.asarray(self._temp),
                               jnp.asarray(self._top_p),
                               jnp.asarray(self._top_k))
-        toks, self._logits, self._cache = decode_chunk_slots(
+        if self._ring:
+            from ..models.stream import stream_chunk_slots as _chunk
+        else:
+            _chunk = decode_chunk_slots
+        toks, self._logits, self._cache = _chunk(
             self._decode_params, self._cache, self._logits, k,
             *self._samp_dev, self.cfg, self.chunk)
         try:

@@ -413,3 +413,98 @@ class TestBeam:
                          temperature=1e-6))[0]
         beam, _ = gpt_generate_beam(params, CFG, prompt, 8, beam=1)
         np.testing.assert_array_equal(np.asarray(beam), greedy)
+
+
+class TestRingEngine:
+    """Ring-mode serve engine: windowed rope/alibi models get O(window)
+    slot KV with unbounded positions — a request's generation budget is
+    no longer capped by ctx_len."""
+
+    RCFG = GPTConfig(vocab_size=37, d_model=32, n_heads=4, n_layers=2,
+                     ctx_len=24, window=6, pos="rope")
+
+    def _stream_oracle(self, params, cfg, prompt, n):
+        from linalg_tpu.models.stream import (gpt_stream_chunk,
+                                              gpt_stream_prefill)
+
+        ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+        logits, ring = gpt_stream_prefill(params, ids, cfg)
+        toks, _, _ = gpt_stream_chunk(params, ring, logits,
+                                      jax.random.PRNGKey(0), cfg, n,
+                                      1.0, 1, 0.0)
+        return np.asarray(toks)[0].tolist()
+
+    def test_ring_mode_auto_and_shapes(self):
+        from linalg_tpu.serve import ServeEngine
+
+        params = init_gpt_params(self.RCFG, seed=0)
+        eng = ServeEngine(params, self.RCFG, n_slots=3, chunk=4)
+        assert eng._ring
+        assert eng._cache["k"].shape[-2] == 6  # window rows, not ctx 24
+        # sinusoidal windowed cfg stays on the bounded path
+        eng2 = ServeEngine(init_gpt_params(CFG, seed=0), CFG, n_slots=2,
+                           chunk=4)
+        assert not eng2._ring
+
+    def test_matches_stream_oracle(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        params = init_gpt_params(self.RCFG, seed=0)
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(0, 37, size=(int(n),)).tolist()
+                   for n in (4, 7, 5)]
+        eng = ServeEngine(params, self.RCFG, n_slots=2, chunk=4, top_k=1)
+        ids = [eng.submit(Request(p, 8)) for p in prompts]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        for rid, p in zip(ids, prompts):
+            assert done[rid] == self._stream_oracle(params, self.RCFG, p, 8)
+
+    def test_unbounded_generation_past_ctx(self):
+        """max_new_tokens + prompt far beyond ctx_len: rejected by the
+        bounded engine, served exactly by the ring engine."""
+        from linalg_tpu.serve import Request, ServeEngine
+
+        params = init_gpt_params(self.RCFG, seed=1)
+        rng = np.random.default_rng(1)
+        prompt = rng.integers(0, 37, size=(6,)).tolist()
+        n = 64  # 6 + 64 = 70 >> ctx 24
+        bounded_cfg = GPTConfig(vocab_size=37, d_model=32, n_heads=4,
+                                n_layers=2, ctx_len=24, window=6)
+        beng = ServeEngine(init_gpt_params(bounded_cfg, seed=1),
+                           bounded_cfg, n_slots=2, chunk=4, top_k=1)
+        with pytest.raises(ValueError, match="reserved"):
+            beng.submit(Request(prompt, n))
+        eng = ServeEngine(params, self.RCFG, n_slots=2, chunk=4, top_k=1)
+        eng.submit(Request(prompt, n))
+        out = eng.run()[0]
+        assert len(out.tokens) == n
+        assert out.tokens == self._stream_oracle(params, self.RCFG,
+                                                 prompt, n)
+
+    def test_prefix_cache_in_ring_mode(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        params = init_gpt_params(self.RCFG, seed=2)
+        rng = np.random.default_rng(2)
+        prefix = rng.integers(0, 37, size=(9,)).tolist()
+        suffix = rng.integers(0, 37, size=(4,)).tolist()
+        eng = ServeEngine(params, self.RCFG, n_slots=2, chunk=4, top_k=1)
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(suffix, 30, prefix_id=pid))  # past ctx
+        out = eng.run()[0]
+        assert out.tokens == self._stream_oracle(params, self.RCFG,
+                                                 prefix + suffix, 30)
+
+    def test_slot_reuse_and_mixed_lengths(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        params = init_gpt_params(self.RCFG, seed=3)
+        rng = np.random.default_rng(3)
+        reqs = [rng.integers(0, 37, size=(int(l),)).tolist()
+                for l in (3, 8, 5, 6, 4)]
+        budgets = [5, 40, 9, 17, 30]
+        eng = ServeEngine(params, self.RCFG, n_slots=2, chunk=4, top_k=1)
+        ids = [eng.submit(Request(p, n)) for p, n in zip(reqs, budgets)]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        for rid, p, n in zip(ids, reqs, budgets):
+            assert done[rid] == self._stream_oracle(params, self.RCFG, p, n)
