@@ -68,10 +68,29 @@ def _slope_for_program(slopes, n_heads: int):
     return sl
 
 
+def _chunk_live(src, my_sp, Tl: int, causal: bool, window):
+    """Whether the K/V chunk from device ``src`` intersects my band.
+
+    Causal: chunks in the future contribute nothing. Sliding window
+    (cols in (row-window, row]): a past chunk is also dead once its
+    newest column is more than window-1 behind my oldest row —
+    min(row-col) over the chunk pair is (my_sp-src-1)*Tl + 1, so the
+    chunk is live iff (my_sp-src-1)*Tl < window - 1 (int compare).
+    """
+    if not causal:
+        return jnp.bool_(True)
+    live = src <= my_sp
+    if window is not None:
+        live &= (my_sp - src - jnp.int32(1)) * jnp.int32(Tl) \
+            < jnp.int32(window - 1)
+    return live
+
+
 def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
                  acc_s, csrc, cdst, kv_send, kv_recv, c_send, c_recv,
                  *, axis_names, sp_axis: str, n: int, causal: bool,
-                 scale: float, slopes=None, n_heads: int = 1):
+                 scale: float, slopes=None, n_heads: int = 1,
+                 window=None):
     Tl, d = q_ref.shape[1], q_ref.shape[2]
 
     # Logical device ids of the up/downstream ring neighbors: same mesh
@@ -138,7 +157,7 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
         src = lax.rem(my_sp.astype(jnp.int32) - s + jnp.int32(n),
                       jnp.int32(n))  # origin chunk of this K/V block
 
-        live = (src <= my_sp) if causal else jnp.bool_(True)
+        live = _chunk_live(src, my_sp, Tl, causal, window)
 
         @pl.when(live)
         def _():
@@ -153,6 +172,8 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
                 sc = sc + sl * (cols - rows).astype(jnp.float32)
             if causal:
                 sc = jnp.where(cols <= rows, sc, _NEG)
+            if window is not None:
+                sc = jnp.where(cols > rows - window, sc, _NEG)
             m_new = jnp.maximum(m_s[:], jnp.max(sc, axis=-1, keepdims=True))
             p = jnp.exp(sc - m_new)
             alpha = jnp.exp(m_s[:] - m_new)
@@ -184,12 +205,15 @@ def _ring_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, kv, m_s, l_s,
 
 def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
                                 causal: bool = True, with_lse: bool = False,
-                                slopes=None):
+                                slopes=None, window=None):
     """Per-device body (inside shard_map): q/k/v are local (B, h, Tl, d).
 
     ``with_lse=True`` also returns the per-row logsumexp (B, h, Tl) for
     the backward kernel. ``slopes`` (len h, static) adds the ALiBi
-    per-head distance bias inside the kernel.
+    per-head distance bias inside the kernel. ``window`` (static int)
+    bakes the sliding-window band cols in (row-window, row] into the
+    mask AND the chunk-liveness gate (far-past chunks skip their
+    matmuls; the K/V rotation still completes).
     """
     if _interpret() and len(mesh.axis_names) > 1:
         # interpret-mode DMA discharge only supports single-named-axis
@@ -198,12 +222,12 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
         from .ring import ring_attention_local
 
         out = ring_attention_local(q, k, v, axis=axis, causal=causal,
-                                   slopes=slopes)
+                                   slopes=slopes, window=window)
         if not with_lse:
             return out
         # lse via one extra local pass of the same online softmax shape
         lse = _xla_local_lse(q, k, v, axis=axis, causal=causal,
-                             slopes=slopes)
+                             slopes=slopes, window=window)
         return out, lse
     B, h, Tl, d = q.shape
     n = mesh.shape[axis]
@@ -213,6 +237,7 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
     kern = functools.partial(
         _ring_kernel, axis_names=axis_names, sp_axis=axis, n=n,
         causal=causal, scale=scale, slopes=slopes, n_heads=h,
+        window=window,
     )
     spec = pl.BlockSpec((1, Tl, d), lambda g: (g, 0, 0))
     lspec = pl.BlockSpec((1, 8, Tl), lambda g: (g, 0, 0))
@@ -246,7 +271,8 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
     return out, L8.reshape(B, h, 8, Tl)[:, :, 0]
 
 
-def _xla_local_lse(q, k, v, *, axis: str, causal: bool, slopes=None):
+def _xla_local_lse(q, k, v, *, axis: str, causal: bool, slopes=None,
+                   window=None):
     """Per-row logsumexp of the ring attention scores (ppermute pass) —
     the interpret-mode fallback companion to the Pallas forward."""
     sp = lax.axis_size(axis)
@@ -268,6 +294,8 @@ def _xla_local_lse(q, k, v, *, axis: str, causal: bool, slopes=None):
             sc = sc + sl * (cols - rows).astype(jnp.float32)[None, None]
         if causal:
             sc = jnp.where(cols <= rows, sc, _NEG)
+        if window is not None:
+            sc = jnp.where(cols > rows - window, sc, _NEG)
         m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(sc - m_new), axis=-1,
                                              keepdims=True)
@@ -282,7 +310,8 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
                      bundle, dq_s, csrc, cdst, b_send, b_recv,
                      c_send, c_recv,
                      *, axis_names, sp_axis: str, n: int, causal: bool,
-                     scale: float, slopes=None, n_heads: int = 1):
+                     scale: float, slopes=None, n_heads: int = 1,
+                     window=None):
     """Backward ring: a (k, v, dk, dv) bundle makes one full lap.
 
     Each device holds its q/do/L/delta; as the bundle for chunk c visits,
@@ -340,7 +369,7 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
 
         src = lax.rem(my_sp.astype(jnp.int32) - s + jnp.int32(n),
                       jnp.int32(n))
-        live = (src <= my_sp) if causal else jnp.bool_(True)
+        live = _chunk_live(src, my_sp, Tl, causal, window)
 
         @pl.when(live)
         def _():
@@ -355,6 +384,8 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
                 sc = sc + sl * (cols - rows).astype(jnp.float32)
             if causal:
                 sc = jnp.where(cols <= rows, sc, _NEG)
+            if window is not None:
+                sc = jnp.where(cols > rows - window, sc, _NEG)
             p = jnp.exp(sc - L)  # recomputed probabilities
             dp = lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
@@ -402,7 +433,7 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
 
 def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
                                     axis: str, causal: bool = True,
-                                    slopes=None):
+                                    slopes=None, window=None):
     """Per-device backward body: returns local (dq, dk, dv)."""
     B, h, Tl, d = q.shape
     n = mesh.shape[axis]
@@ -414,6 +445,7 @@ def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
     kern = functools.partial(
         _ring_bwd_kernel, axis_names=axis_names, sp_axis=axis, n=n,
         causal=causal, scale=scale, slopes=slopes, n_heads=h,
+        window=window,
     )
     spec = pl.BlockSpec((1, Tl, d), lambda g: (g, 0, 0))
     lspec = pl.BlockSpec((1, 8, Tl), lambda g: (g, 0, 0))
@@ -444,7 +476,8 @@ def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
 
 def make_ring_attention_pallas(mesh, *, axis: str = "sp",
                                causal: bool = True,
-                               batch_axis: str | None = None, slopes=None):
+                               batch_axis: str | None = None, slopes=None,
+                               window=None):
     """shard_map-wrapped Pallas ring attention over ``mesh``.
 
     Same contract as ``make_ring_attention``: attn(q, k, v) on GLOBAL
@@ -453,9 +486,19 @@ def make_ring_attention_pallas(mesh, *, axis: str = "sp",
     bundle around the ring, recomputing P strips from the forward's
     logsumexp).  Off-TPU multi-axis meshes fall back to the XLA ring.
     ``slopes`` (len h) bakes the ALiBi per-head distance bias into both
-    kernels as compile-time constants.
+    kernels as compile-time constants; ``window`` (static int, causal
+    only) bakes in the sliding-window band — far-past chunks skip their
+    matmuls entirely, so compute per device drops to
+    O(Tl * min(T, Tl + window)).
     """
     from .ring import make_ring_attention
+
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
 
     spec = P(batch_axis, None, axis, None)
     lse_spec = P(batch_axis, None, axis)
@@ -464,13 +507,15 @@ def make_ring_attention_pallas(mesh, *, axis: str = "sp",
         slopes = tuple(float(s) for s in slopes)
 
     local_fwd = functools.partial(ring_attention_pallas_local, mesh=mesh,
-                                  axis=axis, causal=causal, slopes=slopes)
+                                  axis=axis, causal=causal, slopes=slopes,
+                                  window=window)
     fwd_plain = jax.shard_map(
         lambda q, k, v: local_fwd(q, k, v), mesh=mesh,
         in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
     )
     xla_ring = make_ring_attention(mesh, axis=axis, causal=causal,
-                                   batch_axis=batch_axis, slopes=slopes)
+                                   batch_axis=batch_axis, slopes=slopes,
+                                   window=window)
 
     if fallback:
         bwd_impl = None
@@ -482,7 +527,7 @@ def make_ring_attention_pallas(mesh, *, axis: str = "sp",
         )
         local_bwd = functools.partial(ring_attention_pallas_bwd_local,
                                       mesh=mesh, axis=axis, causal=causal,
-                                      slopes=slopes)
+                                      slopes=slopes, window=window)
         bwd_impl = jax.shard_map(
             lambda q, k, v, do, lse, delta: local_bwd(q, k, v, do, lse,
                                                       delta),

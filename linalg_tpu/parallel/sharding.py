@@ -228,15 +228,12 @@ def _sp_ring(mesh: Mesh, pallas: bool, cfg: GPTConfig | None = None):
         from ..nn.positional import alibi_slopes
 
         slopes = tuple(float(s) for s in alibi_slopes(cfg.n_heads))
-    if pallas and window is not None:
-        # the in-kernel DMA ring bakes a pure causal mask; windowed sp
-        # training runs on the XLA ring (whose mask carries the band)
-        pallas = False
     if pallas:
         from .ring_pallas import make_ring_attention_pallas
 
         ring = make_ring_attention_pallas(mesh, axis="sp", causal=True,
-                                          batch_axis="dp", slopes=slopes)
+                                          batch_axis="dp", slopes=slopes,
+                                          window=window)
     else:
         from .ring import make_ring_attention
 
@@ -488,6 +485,28 @@ def dryrun_multichip(n_devices: int) -> None:
         argnums=(0, 1, 2),
     )(*qkv)
     for gp, gr in zip(g_pallas, g_ref):
+        ring_ok = ring_ok and bool(jnp.max(jnp.abs(gp - gr)) < 1e-3)
+
+    # sliding-window band through BOTH rings (fwd + Pallas bwd): banded
+    # sdpa is the oracle
+    win = 12
+    Tg = ref.shape[2]
+    ii = jnp.arange(Tg)
+    band = jnp.where((ii[:, None] - ii[None, :]) >= win,
+                     jnp.float32(-1e9), causal_mask(Tg))
+    ref_w = sdpa(*qkv, band)
+    ring_w = make_ring_attention(sp_mesh, window=win)(*qkv)
+    ring_ok = ring_ok and bool(jnp.max(jnp.abs(ring_w - ref_w)) < 1e-4)
+    pring_w_fn = make_ring_attention_pallas(sp_mesh, window=win)
+    ring_ok = ring_ok and bool(
+        jnp.max(jnp.abs(pring_w_fn(*qkv) - ref_w)) < 1e-4)
+    g_pw = jax.grad(
+        lambda q, k, v: jnp.sum(pring_w_fn(q, k, v) * w), argnums=(0, 1, 2)
+    )(*qkv)
+    g_rw = jax.grad(
+        lambda q, k, v: jnp.sum(sdpa(q, k, v, band) * w), argnums=(0, 1, 2)
+    )(*qkv)
+    for gp, gr in zip(g_pw, g_rw):
         ring_ok = ring_ok and bool(jnp.max(jnp.abs(gp - gr)) < 1e-3)
 
     # pipeline-parallel path: GPipe microbatch schedule over a 'pp' ring

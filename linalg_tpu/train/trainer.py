@@ -392,10 +392,6 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     elif is_sp:
         assert tp == 1, "--sp composes with --dp only (not --tp)"
         assert not is_moe, "--sp with --experts is not supported"
-        assert cfg.window is None or getattr(args, "ring", "auto") != \
-            "pallas", (
-                "--window with --sp runs on the XLA ring (the Pallas DMA "
-                "ring bakes a pure causal mask); drop --ring pallas")
         assert cfg.ctx_len % sp == 0, "ctx_len must divide by sp"
         mesh = make_mesh((dp, sp), ("dp", "sp"))
         pspecs = jax.tree.map(lambda s: P(), gpt_param_specs(None, cfg),
