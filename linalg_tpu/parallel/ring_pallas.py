@@ -24,12 +24,15 @@ Protocol (per grid program, ring of n devices over mesh axis ``sp``):
   scratch) absorbs one chunk per step; causal masking uses global
   positions, so chunks entirely in the future contribute nothing.
 
-Forward-only Pallas: the backward routes to ``jax.vjp`` of the XLA-level
-ring (same math, autodiff-transposed ppermute schedule) via custom_vjp.
+Forward AND backward are Pallas kernels on this schedule: the backward
+laps a (k, v, dk, dv) bundle around the ring, recomputing P strips from
+the forward's logsumexp. A chunk-liveness gate (``_chunk_live``) skips
+the matmuls of chunks that cannot intersect the mask band — entirely-
+future chunks under causal masking, and far-past chunks under a sliding
+``window`` — while the K/V rotation still completes, so per-device
+compute is O(Tl * min(T, Tl + window)).
 
-Reference has no parallelism (SURVEY §2.5); further headroom beyond this
-kernel: skip fully-masked future chunks' compute (comm must still rotate),
-and a Pallas backward on the same schedule.
+Reference has no parallelism (SURVEY §2.5).
 """
 
 from __future__ import annotations
@@ -215,6 +218,8 @@ def ring_attention_pallas_local(q, k, v, *, mesh, axis: str,
     mask AND the chunk-liveness gate (far-past chunks skip their
     matmuls; the K/V rotation still completes).
     """
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     if _interpret() and len(mesh.axis_names) > 1:
         # interpret-mode DMA discharge only supports single-named-axis
         # LOGICAL addressing; multi-axis meshes fall back to the XLA ring
@@ -435,6 +440,8 @@ def ring_attention_pallas_bwd_local(q, k, v, do, lse, delta, *, mesh,
                                     axis: str, causal: bool = True,
                                     slopes=None, window=None):
     """Per-device backward body: returns local (dq, dk, dv)."""
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     B, h, Tl, d = q.shape
     n = mesh.shape[axis]
     axis_names = tuple((name, mesh.shape[name]) for name in mesh.axis_names)

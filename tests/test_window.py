@@ -408,6 +408,23 @@ class TestPallasRingWindow:
         with pytest.raises(ValueError, match="causal"):
             make_ring_attention_pallas(self._mesh(), causal=False, window=8)
 
+    def test_local_bodies_reject_non_causal_window(self):
+        # the exported per-device bodies validate too, not only the
+        # make_* wrapper (ADVICE r3): otherwise a one-sided band would be
+        # silently produced
+        from linalg_tpu.parallel.ring_pallas import (
+            ring_attention_pallas_bwd_local, ring_attention_pallas_local)
+
+        q, k, v = self._qkv(B=1, H=1, T=8, d=8)
+        mesh = self._mesh()
+        with pytest.raises(ValueError, match="causal"):
+            ring_attention_pallas_local(q, k, v, mesh=mesh, axis="sp",
+                                        causal=False, window=4)
+        with pytest.raises(ValueError, match="causal"):
+            ring_attention_pallas_bwd_local(
+                q, k, v, q, jnp.zeros(q.shape[:3]), jnp.zeros(q.shape[:3]),
+                mesh=mesh, axis="sp", causal=False, window=4)
+
 
 class TestStream:
     """Ring-buffer streaming decode (models/stream.py): O(window) KV
