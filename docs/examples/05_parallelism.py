@@ -102,9 +102,32 @@ def main():
     print(f"top-2 MoE unsharded {mref:.6f} vs dp x ep {float(ml):.6f} "
           f"(delta {abs(float(ml)-mref):.1e})")
 
+    print("\n== fsdp (ZeRO-3: param/optimizer storage sharded 1/N) ==")
+    from linalg_tpu.nn.functional import sdpa as _sdpa
+    from linalg_tpu.parallel import fsdp_shardings
+
+    fs_mesh = make_mesh((8,), ("fsdp",))
+    # a config whose FFN weights cross the min-shard threshold
+    fs_cfg = GPTConfig(vocab_size=17, d_model=64, n_heads=4, n_layers=2,
+                       d_ff=256, ctx_len=16)
+    fs_params = init_gpt_params(fs_cfg, seed=0)
+    fs_ref = float(gpt_loss(fs_params, x, y, fs_cfg, attn_fn=_sdpa))
+    fs_sh = fsdp_shardings(fs_params, fs_mesh)
+    bsh = NamedSharding(fs_mesh, P("fsdp", None))
+    fs_loss = float(jax.jit(
+        lambda p, xx, yy: gpt_loss(p, xx, yy, fs_cfg, attn_fn=_sdpa),
+        in_shardings=(fs_sh, bsh, bsh), out_shardings=None,
+    )(jax.device_put(fs_params, fs_sh), jax.device_put(x, bsh),
+      jax.device_put(y, bsh)))
+    w1 = jax.device_put(fs_params, fs_sh)["layers"]["W1"]
+    print(f"fsdp loss {fs_loss:.6f} (delta {abs(fs_loss-fs_ref):.1e}); "
+          f"W1 stored {w1.addressable_shards[0].data.size} of {w1.size} "
+          f"elements per device (1/{fs_mesh.shape['fsdp']})")
+
     for name, val, want in (("dp x tp", float(loss), ref),
                             ("GPipe", gp, ref), ("1F1B", float(f1), ref),
-                            ("ep", float(ml), mref)):
+                            ("ep", float(ml), mref),
+                            ("fsdp", fs_loss, fs_ref)):
         assert abs(val - want) < 1e-4, name
     print("\nall parallel strategies reproduce the unsharded numbers")
     print("all checks passed")

@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pp", type=int, default=1,
                     help="pipeline-parallel mesh axis (layer stack sharded "
                          "over stages, 1F1B microbatch schedule)")
+    ap.add_argument("--fsdp", type=int, default=1,
+                    help="fully-sharded data parallelism (ZeRO-3): batch "
+                         "split like --dp, but parameter and optimizer "
+                         "storage sharded 1/N per device (GSPMD gathers "
+                         "weights per layer inside the step)")
     ap.add_argument("--clip_norm", type=float, default=0.0,
                     help="clip gradients to this global L2 norm before "
                          "AdamW (0 = off, the reference's behavior)")

@@ -2,6 +2,8 @@ from .distributed import (global_mesh_shape, host_local_batch_slice,
                           init_distributed, is_distributed)
 from .expert import (make_ep_device_train_step, make_ep_eval,
                      make_ep_train_step, moe_param_specs)
+from .fsdp import (fsdp_param_specs, fsdp_shardings,
+                   make_fsdp_device_train_step, make_fsdp_eval)
 from .mesh import make_mesh, pick_dp_tp
 from .pipeline import (make_pp_1f1b_grads, make_pp_1f1b_train_step,
                        make_pp_loss, make_pp_train_step, pp_param_specs)
@@ -43,6 +45,10 @@ __all__ = [
     "make_ep_train_step",
     "make_ep_device_train_step",
     "make_ep_eval",
+    "fsdp_param_specs",
+    "fsdp_shardings",
+    "make_fsdp_device_train_step",
+    "make_fsdp_eval",
     "init_distributed",
     "is_distributed",
     "host_local_batch_slice",

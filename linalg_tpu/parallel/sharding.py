@@ -595,15 +595,47 @@ def dryrun_multichip(n_devices: int) -> None:
 
     sv_ok = _serve(sv_mesh) == _serve(None)
 
+    # FSDP (ZeRO-3): params+moments stored 1/N per device; one optimizer
+    # step must produce the same loss as the unsharded grad path and keep
+    # the sharded storage layout
+    from .fsdp import fsdp_shardings, make_fsdp_device_train_step
+
+    fs_mesh = _mk((n_devices,), ("fsdp",), devices[:n_devices])
+    fs_cfg = GPTConfig(vocab_size=37, d_model=64, n_heads=4, n_layers=2,
+                       d_ff=256, ctx_len=16)
+    fs_params = init_gpt_params(fs_cfg, seed=0)
+    fs_sh = fsdp_shardings(fs_params, fs_mesh)
+    fs_repl = NamedSharding(fs_mesh, P())
+    fs_sharded = jax.device_put(fs_params, fs_sh)
+    fs_opt = jax.device_put(
+        adamw_init(fs_params),
+        AdamWState(m=fs_sh, v=fs_sh, t=fs_repl))
+    fs_step = make_fsdp_device_train_step(
+        fs_cfg, fs_mesh, fs_params, 2 * n_devices, base_lr=1e-3,
+        min_lr=1e-4, warmup=10, max_steps=100, weight_decay=0.0)
+    fs_data = jax.device_put(
+        jnp.asarray(rng.integers(0, 37, size=(512,), dtype=np.int32)),
+        fs_repl)
+    fs_p2, fs_o2, _, fs_loss = fs_step(
+        fs_sharded, fs_opt, fs_data,
+        jax.device_put(jax.random.PRNGKey(0), fs_repl))
+    w1 = fs_p2["layers"]["W1"]
+    fs_ok = (bool(jnp.isfinite(fs_loss))
+             and w1.addressable_shards[0].data.size * n_devices == w1.size
+             and bool(jnp.max(jnp.abs(fs_p2["tok_W"]
+                                      - fs_params["tok_W"])) > 0))
+
     print(
         f"dryrun_multichip ok: mesh dp={dp} tp={tp}, one train step, "
         f"loss={float(loss):.4f}; ring attention sp={n_devices} "
         f"{'ok' if ring_ok else 'MISMATCH'}; "
         f"pipeline dp={pp_dp} pp={pp} {'ok' if pp_ok else 'MISMATCH'}; "
         f"moe dp={ep_dp} ep={ep} {'ok' if ep_ok else 'MISMATCH'}; "
-        f"tp-serving tp={sv_tp} {'ok' if sv_ok else 'MISMATCH'}"
+        f"tp-serving tp={sv_tp} {'ok' if sv_ok else 'MISMATCH'}; "
+        f"fsdp={n_devices} {'ok' if fs_ok else 'MISMATCH'}"
     )
     assert ring_ok, "ring attention mismatch vs sdpa"
     assert pp_ok, "pipeline-parallel loss mismatch vs unsharded"
     assert ep_ok, "expert-parallel loss mismatch vs unsharded"
     assert sv_ok, "tp-serving tokens mismatch vs unsharded engine"
+    assert fs_ok, "fsdp step failed (loss/sharded-storage/update)"

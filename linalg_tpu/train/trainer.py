@@ -345,7 +345,8 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
 
     Axis selection: ``--tp`` shards heads/FFN (megatron) — or EXPERTS when
     ``--experts`` is set; ``--sp`` shards the sequence (ring attention);
-    ``--pp`` shards the layer stack (1F1B pipeline).
+    ``--pp`` shards the layer stack (1F1B pipeline); ``--fsdp`` shards
+    parameter/optimizer STORAGE over the data axis (ZeRO-3).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -367,11 +368,23 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     # the LAYER STACK (1F1B pipeline schedule).
     sp = int(getattr(args, "sp", 1) or 1)
     pp = int(getattr(args, "pp", 1) or 1)
+    fsdp = int(getattr(args, "fsdp", 1) or 1)
     is_moe = isinstance(cfg, MoEGPTConfig)
     is_sp = sp > 1
     is_pp = pp > 1
+    is_fsdp = fsdp > 1
     microbatches = 0
-    if is_pp:
+    if is_fsdp:
+        from ..parallel.fsdp import fsdp_param_specs
+
+        assert dp == 1 and tp == 1 and not (is_sp or is_pp), (
+            "--fsdp is itself the data axis; it does not compose with "
+            "--dp/--tp/--sp/--pp")
+        assert not is_moe, "--fsdp with --experts is not supported"
+        assert args.batch_size % fsdp == 0, "batch_size must divide by fsdp"
+        mesh = make_mesh((fsdp,), ("fsdp",))
+        pspecs = fsdp_param_specs(params, fsdp)
+    elif is_pp:
         assert tp == 1 and not is_sp, "--pp composes with --dp only"
         assert cfg.pos != "learned", (
             "--pos learned is not supported with --pp (the pipeline "
@@ -432,7 +445,14 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         raise ValueError("--grad_accum composes with the single-chip "
                          "trainer only; use --dp to split the batch "
                          "across devices instead")
-    if is_pp:
+    if is_fsdp:
+        from ..parallel.fsdp import (make_fsdp_device_train_step,
+                                     make_fsdp_eval)
+
+        step_fn = make_fsdp_device_train_step(cfg, mesh, params,
+                                              args.batch_size, **lr_kwargs)
+        eval_fn = make_fsdp_eval(cfg, mesh, params, args.batch_size, 10)
+    elif is_pp:
         from ..parallel.pipeline import make_pp_device_train_step, make_pp_eval
 
         step_fn = make_pp_device_train_step(
@@ -460,12 +480,15 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
         eval_fn = make_sharded_eval(cfg, mesh, args.batch_size, 10)
 
     key = jax.device_put(jax.random.PRNGKey(args.seed), replicated)
-    axis = ("pp" if is_pp else "sp" if is_sp else "ep" if is_moe and tp > 1
-            else "tp")
-    deg = pp if is_pp else sp if is_sp else tp
+    if is_fsdp:
+        desc = f"mesh fsdp={fsdp}, "
+    else:
+        axis = ("pp" if is_pp else "sp" if is_sp
+                else "ep" if is_moe and tp > 1 else "tp")
+        deg = pp if is_pp else sp if is_sp else tp
+        desc = f"mesh dp={dp} {axis}={deg}, "
     params = _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
-                         train_ids, val_ids, tok, stoi, itos,
-                         desc=f"mesh dp={dp} {axis}={deg}, ")
+                         train_ids, val_ids, tok, stoi, itos, desc=desc)
     return params, cfg, stoi, itos
 
 
@@ -475,7 +498,8 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     tp = int(getattr(args, "tp", 1) or 1)
     sp = int(getattr(args, "sp", 1) or 1)
     pp = int(getattr(args, "pp", 1) or 1)
-    if dp * tp * sp * pp > 1:
+    fsdp = int(getattr(args, "fsdp", 1) or 1)
+    if dp * tp * sp * pp * fsdp > 1:
         return train_sharded(args, dp, tp)
     text, params, cfg, tok, stoi, itos = _resume_or_init(args)
 
