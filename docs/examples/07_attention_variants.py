@@ -134,7 +134,7 @@ from linalg_tpu.serve import Request, ServeEngine
 cfg_s = GPTConfig(vocab_size=31, d_model=64, n_heads=4, n_layers=2,
                   ctx_len=64)
 params_s = init_gpt_params(cfg_s, seed=2)
-prefix = rng.integers(0, 31, (14,)).tolist()
+prefix = rng.integers(0, 31, (20,)).tolist()  # > one 16-row page: shareable
 suffixes = [rng.integers(0, 31, (int(n),)).tolist() for n in (3, 5)]
 
 eng = ServeEngine(params_s, cfg_s, n_slots=2, chunk=4, top_k=1)
@@ -152,3 +152,19 @@ for rid, s in zip(ids, suffixes):
 print("4. prefix-cached engine tokens == full-prompt decode  [exact]")
 print("   (the prefix's quadratic prefill FLOPs are paid once, not "
       "once per request)")
+
+# --- 5. paged KV: same tokens from a pool 67% of dense --------------------
+# dense would hold 2 slots x 4 pages = 8; the pool has 5 usable pages:
+# 1 holds the prefix's full page SHARED by both slots, each slot
+# privately owns 2 (partial prefix tail + suffix + decode budget)
+eng_p = ServeEngine(params_s, cfg_s, n_slots=2, chunk=4, top_k=1,
+                    paged=True, page=16, n_pages=6)
+pid_p = eng_p.register_prefix(prefix)
+assert eng_p._shared_held == 1
+ids_p = [eng_p.submit(Request(s, 8, prefix_id=pid_p)) for s in suffixes]
+done_p = {c.request_id: c.tokens for c in eng_p.run()}
+assert [done_p[i] for i in ids_p] == [done[i] for i in ids]
+print("5. paged engine (5-page pool, prefix page shared) tokens == "
+      "slot engine  [exact]")
+
+print("all checks passed")

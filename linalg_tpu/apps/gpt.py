@@ -155,6 +155,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "PREFIX (e.g. a system prompt) prepended to every "
                          "prompt; its KV is prefilled once and reused per "
                          "request (ServeEngine.register_prefix)")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve mode: paged KV cache (vLLM-style page pool "
+                         "+ per-slot tables; admission control by memory, "
+                         "prefix pages shared across slots)")
+    ap.add_argument("--page", type=int, default=64,
+                    help="paged mode: rows per KV page (must divide "
+                         "ctx_len)")
+    ap.add_argument("--n_pages", type=int, default=0,
+                    help="paged mode: pool size in pages (0 = dense-"
+                         "equivalent n_slots*ctx_len/page + trash page)")
     return ap
 
 
@@ -216,9 +226,17 @@ def serve_cli(args) -> None:
                 f"--tp {args.tp} needs {args.tp} devices; have {len(devs)}")
         mesh = Mesh(_np.asarray(devs[:args.tp]).reshape(1, args.tp),
                     ("dp", "tp"))
+    paged = bool(getattr(args, "paged", False))
+    ring = cfg.window is not None and cfg.pos in ("rope", "alibi")
+    if paged and (quant != "none" or mesh is not None or ring
+                  or isinstance(cfg, MoEGPTConfig)):
+        print("(--paged supports the full-precision dense GPT outside "
+              "ring/tp mode; serving with the slot cache)")
+        paged = False
     eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
                       top_k=args.top_k, seed=args.seed, quant=quant,
-                      mesh=mesh)
+                      mesh=mesh, paged=paged, page=args.page,
+                      n_pages=(args.n_pages or None))
     # the engine reserves ceil(gen/chunk)*chunk cache rows per request;
     # cap gen so one prompt token always fits, then truncate each prompt
     # to leave the full reserved budget (the reference truncates context

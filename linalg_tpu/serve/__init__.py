@@ -8,5 +8,7 @@ batching), so one compiled decode step serves an arbitrary request stream.
 """
 
 from .engine import Completion, Request, ServeEngine, serve
+from .paged import PageAllocator, decode_chunk_paged, init_paged_cache
 
-__all__ = ["Request", "Completion", "ServeEngine", "serve"]
+__all__ = ["Request", "Completion", "ServeEngine", "serve",
+           "PageAllocator", "decode_chunk_paged", "init_paged_cache"]

@@ -235,7 +235,8 @@ class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
                  chunk: int = 32, top_k: int = 0,
                  prefill_window: Optional[int] = None, seed: int = 0,
-                 quant: str = "none", mesh=None):
+                 quant: str = "none", mesh=None, paged: bool = False,
+                 page: int = 64, n_pages: Optional[int] = None):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
@@ -309,13 +310,32 @@ class ServeEngine:
                       and cfg.pos in ("rope", "alibi")
                       and not isinstance(cfg, _MoE)
                       and quant in ("", "none") and mesh is None)
-        rows = cfg.window if self._ring else cfg.ctx_len
-        shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
-        self._cache: Dict[str, Any] = {
-            "k": jnp.zeros(shape, dt),
-            "v": jnp.zeros(shape, dt),
-            "pos": jnp.zeros((n_slots,), jnp.int32),
-        }
+        # paged mode: pool-of-pages KV with per-slot page tables
+        # (serve/paged.py) — admission control by actual memory
+        self._paged = bool(paged)
+        self._allocator = None
+        self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
+        if self._paged:
+            if (self._ring or mesh is not None or quant not in ("", "none")
+                    or isinstance(cfg, _MoE)):
+                raise ValueError("paged KV supports the full-precision "
+                                 "dense GPT without --window/mesh")
+            from .paged import PageAllocator, init_paged_cache
+
+            if n_pages is None:  # dense-equivalent capacity + trash page
+                n_pages = 1 + n_slots * (cfg.ctx_len // page)
+            self._cache = init_paged_cache(cfg, n_slots, n_pages, page)
+            self._page = page
+            self._allocator = PageAllocator(n_pages)
+            self._shared_held = 0  # pages pinned by registered prefixes
+        else:
+            rows = cfg.window if self._ring else cfg.ctx_len
+            shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
+            self._cache = {
+                "k": jnp.zeros(shape, dt),
+                "v": jnp.zeros(shape, dt),
+                "pos": jnp.zeros((n_slots,), jnp.int32),
+            }
         if self._ring:
             self._cache["rpos"] = jnp.full((n_slots, cfg.window), -1,
                                            jnp.int32)
@@ -387,8 +407,29 @@ class ServeEngine:
         ids[0, :plen] = np.asarray(tokens, np.int32)
         logits, cache = self._prefill(self.params, jnp.asarray(ids),
                                       self.cfg, length=plen)
+        shared: List[int] = []
+        if self._paged:
+            # page sharing: the prefix's FULL pages are scattered into the
+            # pool once and pinned for the engine's lifetime; admissions
+            # point their tables at them and privately own only the
+            # partial boundary page onward (which the suffix extension
+            # rewrites). plen // page full pages are shareable.
+            nfull = plen // self._page
+            if nfull > self._allocator.n_free:
+                raise ValueError(
+                    f"prefix needs {nfull} pages, "
+                    f"{self._allocator.n_free} free")
+            shared = self._allocator.alloc(nfull)
+            self._shared_held += nfull
+            if nfull:
+                from .paged import _scatter_pages
+
+                full = np.zeros((self.cfg.ctx_len // self._page,), np.int32)
+                full[:nfull] = shared
+                self._cache = _scatter_pages(
+                    self._cache, cache["k"], cache["v"], jnp.asarray(full))
         pid = next(self._prefix_ids)
-        self._prefixes[pid] = (cache["k"], cache["v"], logits, plen)
+        self._prefixes[pid] = (cache["k"], cache["v"], logits, plen, shared)
         return pid
 
     def submit(self, req: Request) -> int:
@@ -423,6 +464,18 @@ class ServeEngine:
                     f"decode budget ({reserved} = max_new_tokens rounded "
                     f"up to the {self.chunk}-token chunk) exceeds ctx_len "
                     f"{self.cfg.ctx_len}")
+            if self._paged:
+                need = -(-(pref_len + plen + reserved) // self._page)
+                if req.prefix_id is not None:
+                    need -= len(self._prefixes[req.prefix_id][4])
+                # pages an idle engine can hand out: everything except the
+                # trash page and prefix-pinned shared pages
+                cap = self._allocator.n_pages - 1 - self._shared_held
+                if need > cap:
+                    raise ValueError(
+                        f"request needs {need} private pages but the pool "
+                        f"can free at most {cap} (raise n_pages or lower "
+                        f"max_new_tokens)")
         req = dataclasses.replace(req, request_id=next(self._ids))
         self._submit_ts[req.request_id] = time.perf_counter()
         self._queue.append(req)
@@ -438,15 +491,37 @@ class ServeEngine:
     def pending(self) -> int:
         return len(self._queue)
 
-    def _admit(self, slot: int, req: Request) -> None:
+    def _admit(self, slot: int, req: Request) -> bool:
         cfg, W = self.cfg, self.prefill_window
-        ids = np.zeros((1, W), np.int32)
         plen = len(req.prompt)
+        scatter_ids = table_ids = None
+        pref_len, shared = 0, []
+        if req.prefix_id is not None:
+            pref_len, shared = self._prefixes[req.prefix_id][3:]
+        if self._paged:
+            # admission control by memory: reserve every page the request
+            # can touch (prompt + chunk-rounded decode budget) MINUS the
+            # prefix's shared full pages, which every admission reads in
+            # place; if the pool can't cover it the request stays queued
+            reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
+            need = -(-(pref_len + plen + reserved) // self._page)
+            npriv = need - len(shared)
+            if npriv > self._allocator.n_free:
+                return False
+            pages = self._allocator.alloc(npriv)
+            self._slot_pages[slot] = pages  # retire frees ONLY these
+            full = np.zeros((cfg.ctx_len // self._page,), np.int32)
+            full[:need] = shared + pages  # tail entries stay 0 (trash)
+            table_ids = jnp.asarray(full)
+            scatter = full.copy()
+            scatter[:len(shared)] = 0  # never rewrite shared pages
+            scatter_ids = jnp.asarray(scatter)
+        ids = np.zeros((1, W), np.int32)
         ids[0, :plen] = np.asarray(req.prompt, np.int32)
         # async: the prefill/extend and the slot scatter are dispatched,
         # never synced — the next decode chunk consumes them on-device
         if req.prefix_id is not None:
-            pk, pv, _, pref_len = self._prefixes[req.prefix_id]
+            pk, pv = self._prefixes[req.prefix_id][:2]
             logits, ek, ev = _extend_prefix(self.params, pk, pv, pref_len,
                                             jnp.asarray(ids), plen, cfg, W)
             kv, total = (ek, ev), pref_len + plen
@@ -454,7 +529,13 @@ class ServeEngine:
             logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
                                           length=plen)
             kv, total = (cache["k"], cache["v"]), plen
-        if self._ring:
+        if self._paged:
+            from .paged import _admit_slot_paged
+
+            self._cache, self._logits = _admit_slot_paged(
+                self._cache, self._logits, kv[0], kv[1], total, logits,
+                slot, scatter_ids, table_ids, cfg)
+        elif self._ring:
             self._cache, self._logits = _admit_slot_ring(
                 self._cache, self._logits, kv[0], kv[1], total, logits,
                 slot, cfg)
@@ -475,6 +556,17 @@ class ServeEngine:
         self._scanned[slot] = 0
         assert not self._slot_chunks[slot]
         self.stats["prefills"] += 1
+        return True
+
+    def _free_pages(self, slot: int) -> None:
+        """Paged retire: return the slot's pages to the pool and point its
+        table row at the trash page so idle decode can't touch them."""
+        if self._paged and self._slot_pages[slot]:
+            from .paged import _reset_table_row
+
+            self._cache = _reset_table_row(self._cache, slot)
+            self._allocator.release(self._slot_pages[slot])
+            self._slot_pages[slot] = []
 
     # -- async token store ----------------------------------------------
 
@@ -531,6 +623,7 @@ class ServeEngine:
         self._slot_req[slot] = None
         self._release_cids(self._slot_chunks[slot])
         self._slot_chunks[slot] = []
+        self._free_pages(slot)
 
     def _retire(self, slot: int) -> None:
         """Lazy finish (length path): free the slot NOW — admission needs
@@ -541,6 +634,7 @@ class ServeEngine:
             (req, self._slot_chunks[slot], slot, time.perf_counter()))
         self._slot_req[slot] = None
         self._slot_chunks[slot] = []
+        self._free_pages(slot)
 
     def _drain_pending(self, block: bool) -> None:
         still = []
@@ -566,7 +660,16 @@ class ServeEngine:
         self._drain_pending(block=False)
         for slot in range(self.n_slots):
             if self._slot_req[slot] is None and self._queue:
-                self._admit(slot, self._queue.popleft())
+                # FIFO admission: a paged admit can fail on page pressure —
+                # the request stays at the head and later slots wait too
+                if not self._admit(slot, self._queue[0]):
+                    break
+                self._queue.popleft()
+        # retire/finish free pages immediately, so with every slot idle the
+        # whole pool is free and submit()'s fits-the-pool check guarantees
+        # the head request admits — an all-idle non-empty queue is a bug
+        assert not (self.n_active == 0 and self._queue), \
+            "queued request cannot be admitted with an idle engine"
         if self.n_active == 0:
             return False
         self._key, k = jax.random.split(self._key)
@@ -574,7 +677,9 @@ class ServeEngine:
             self._samp_dev = (jnp.asarray(self._temp),
                               jnp.asarray(self._top_p),
                               jnp.asarray(self._top_k))
-        if self._ring:
+        if self._paged:
+            from .paged import decode_chunk_paged as _chunk
+        elif self._ring:
             from ..models.stream import stream_chunk_slots as _chunk
         else:
             _chunk = decode_chunk_slots

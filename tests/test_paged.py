@@ -1,0 +1,235 @@
+"""Paged-KV serving tests (linalg_tpu/serve/paged.py).
+
+The correctness claim is layout transparency: paged mode stores the same
+K/V values at table-indirected addresses, so engine outputs are EXACTLY
+the slot-engine outputs (which are themselves pinned to single-stream
+decode by tests/test_serve.py) — under mixed prompts, admission churn,
+stop tokens, prefixes, and page-pressure queueing. Plus allocator
+bookkeeping: reserve on admit, release on finish, queue when full.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+from linalg_tpu.serve import PageAllocator, Request, ServeEngine, serve
+from linalg_tpu.serve.paged import init_paged_cache
+
+CFG = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2, ctx_len=64)
+PARAMS = init_gpt_params(CFG, seed=7)
+
+
+def rng_prompt(rng, cfg, lo=3, hi=12):
+    return rng.integers(0, cfg.vocab_size, size=rng.integers(lo, hi)).tolist()
+
+
+def slot_tokens(requests, **kw):
+    """Reference: the (already single-stream-pinned) slot engine."""
+    done = serve(PARAMS, CFG, requests, **kw)
+    return {c.request_id: (c.tokens, c.finish_reason) for c in done}
+
+
+def paged_tokens(requests, n_pages=None, page=16, **kw):
+    eng = ServeEngine(PARAMS, CFG, paged=True, page=page, n_pages=n_pages,
+                      **kw)
+    ids = [eng.submit(r) for r in requests]
+    done = {c.request_id: (c.tokens, c.finish_reason) for c in eng.run()}
+    assert set(done) == set(ids)
+    return done, eng
+
+
+class TestAllocator:
+    def test_alloc_release_roundtrip(self):
+        a = PageAllocator(8)
+        assert a.n_free == 7  # page 0 is trash
+        got = a.alloc(3)
+        assert len(set(got)) == 3 and all(0 < p < 8 for p in got)
+        assert a.n_free == 4
+        a.release(got)
+        assert a.n_free == 7
+
+    def test_alloc_overflow_raises(self):
+        a = PageAllocator(4)
+        a.alloc(2)
+        with pytest.raises(MemoryError):
+            a.alloc(2)
+
+    def test_init_validation(self):
+        with pytest.raises(ValueError, match="divide"):
+            init_paged_cache(CFG, 2, 8, 24)  # 24 does not divide ctx 64
+        with pytest.raises(ValueError, match="trash"):
+            init_paged_cache(CFG, 2, 1, 16)
+
+
+class TestPagedEquality:
+    def test_mixed_requests_match_slot_engine(self):
+        rng = np.random.default_rng(0)
+        reqs = [Request(rng_prompt(rng, CFG), int(rng.integers(4, 14)))
+                for _ in range(9)]
+        want = slot_tokens([Request(r.prompt, r.max_new_tokens)
+                            for r in reqs], n_slots=3, chunk=4, top_k=1)
+        got, eng = paged_tokens(reqs, n_slots=3, chunk=4, top_k=1)
+        assert [got[i] for i in sorted(got)] == \
+            [want[i] for i in sorted(want)]
+        # every page returned to the pool after the run
+        assert eng._allocator.n_free == eng._allocator.n_pages - 1
+
+    def test_stop_token_matches(self):
+        rng = np.random.default_rng(1)
+        reqs = [Request(rng_prompt(rng, CFG), 20, stop_token=5)
+                for _ in range(4)]
+        want = slot_tokens(
+            [Request(r.prompt, 20, stop_token=5) for r in reqs],
+            n_slots=2, chunk=4, top_k=1)
+        got, _ = paged_tokens(reqs, n_slots=2, chunk=4, top_k=1)
+        assert [got[i] for i in sorted(got)] == \
+            [want[i] for i in sorted(want)]
+
+    def test_sampled_path_matches(self):
+        # same RNG stream + identical logits => identical samples
+        rng = np.random.default_rng(2)
+        reqs = [Request(rng_prompt(rng, CFG), 8, temperature=0.8,
+                        top_p=0.9, top_k=7) for _ in range(3)]
+        want = slot_tokens(
+            [Request(r.prompt, 8, temperature=0.8, top_p=0.9, top_k=7)
+             for r in reqs], n_slots=3, chunk=4, seed=0)
+        got, _ = paged_tokens(reqs, n_slots=3, chunk=4, seed=0)
+        assert [got[i] for i in sorted(got)] == \
+            [want[i] for i in sorted(want)]
+
+    def test_prefix_matches_slot_engine(self):
+        rng = np.random.default_rng(3)
+        prefix = rng.integers(0, CFG.vocab_size, size=20).tolist()
+        prompts = [rng_prompt(rng, CFG) for _ in range(4)]
+
+        def run(paged):
+            eng = (ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                               paged=True, page=16) if paged else
+                   ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1))
+            pid = eng.register_prefix(prefix)
+            ids = [eng.submit(Request(p, 6, prefix_id=pid))
+                   for p in prompts]
+            done = {c.request_id: c.tokens for c in eng.run()}
+            return [done[i] for i in ids]
+
+        assert run(True) == run(False)
+
+
+class TestPrefixSharing:
+    def test_shared_pages_fit_where_copies_cannot(self):
+        # prefix of 32 rows = 2 full pages (page=16), shared: each
+        # admission owns ONE private page (partial tail + suffix +
+        # budget). Pool of 4 usable pages serves 2 concurrent slots
+        # (2 shared + 2x1 private); per-slot COPIES would need 6.
+        rng = np.random.default_rng(6)
+        prefix = rng.integers(0, CFG.vocab_size, size=32).tolist()
+        prompts = [rng.integers(0, CFG.vocab_size, size=5).tolist()
+                   for _ in range(4)]
+
+        def run(paged):
+            eng = (ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                               paged=True, page=16, n_pages=5) if paged
+                   else ServeEngine(PARAMS, CFG, n_slots=2, chunk=4,
+                                    top_k=1))
+            pid = eng.register_prefix(prefix)
+            if paged:
+                assert eng._shared_held == 2
+            ids = [eng.submit(Request(p, 6, prefix_id=pid))
+                   for p in prompts]
+            done = {c.request_id: c.tokens for c in eng.run()}
+            if paged:  # shared pages stay pinned, private ones returned
+                assert eng._allocator.n_free == 2
+            return [done[i] for i in ids]
+
+        assert run(True) == run(False)
+
+    def test_prefix_too_big_for_pool_raises(self):
+        eng = ServeEngine(PARAMS, CFG, paged=True, page=16, n_pages=3,
+                          n_slots=2, chunk=4)
+        with pytest.raises(ValueError, match="free"):
+            eng.register_prefix(list(range(1, 50)))  # 3 full pages, 2 free
+
+
+class TestPagePressure:
+    def test_small_pool_queues_and_completes(self):
+        # pool of 7 pages (page=16, ctx=64): each request reserves 2, so
+        # only 3 of 4 slots can hold requests at once — the 6 requests
+        # must queue on pages, all complete, outputs unchanged
+        rng = np.random.default_rng(4)
+        reqs = [Request(rng_prompt(rng, CFG, 3, 8), 8) for _ in range(6)]
+        want = slot_tokens([Request(r.prompt, 8) for r in reqs],
+                           n_slots=4, chunk=4, top_k=1)
+        got, eng = paged_tokens(reqs, n_pages=8, n_slots=4, chunk=4,
+                                top_k=1)
+        assert [got[i] for i in sorted(got)] == \
+            [want[i] for i in sorted(want)]
+        assert eng._allocator.n_free == 7
+
+    def test_pool_smaller_than_slots_dense_equivalent(self):
+        # the memory claim: 4 slots x ctx 64 would need 16 pages dense;
+        # a 9-page pool (56% of dense) still serves short requests in all
+        # 4 slots concurrently
+        rng = np.random.default_rng(5)
+        reqs = [Request(rng_prompt(rng, CFG, 3, 8), 8) for _ in range(4)]
+        eng = ServeEngine(PARAMS, CFG, paged=True, page=16, n_pages=9,
+                          n_slots=4, chunk=8, top_k=1)
+        for r in reqs:
+            eng.submit(r)
+        eng.step()
+        # all four admitted concurrently within 8 usable pages (each
+        # reserves 2: prompt<=8 + budget 8 rounded to chunk 8 => 16 rows)
+        assert eng.stats["prefills"] == 4 and eng.pending == 0
+        eng.run()
+        assert len(eng.completions) == 4
+
+    def test_oversized_request_raises_at_submit(self):
+        eng = ServeEngine(PARAMS, CFG, paged=True, page=16, n_pages=3,
+                          n_slots=2, chunk=4)
+        with pytest.raises(ValueError, match="pages"):
+            eng.submit(Request([1, 2, 3], 40))  # needs 3 pages, pool has 2
+
+
+class TestPagedCLI:
+    def test_serve_cli_paged_matches_slot(self, tmp_path, capsys):
+        import json
+
+        from linalg_tpu.apps.gpt import build_parser, serve_cli
+        from linalg_tpu.train.checkpoint import save_ckpt
+
+        chars = "abcdefghijklmnopqrstuvwxyz .,!?"
+        stoi = {c: i for i, c in enumerate(chars)}
+        itos = {i: c for i, c in enumerate(chars)}
+        save_ckpt(tmp_path, PARAMS, CFG, stoi, itos)
+        (tmp_path / "prompts.txt").write_text("hello world\nquick fox\n",
+                                              encoding="utf-8")
+
+        def run(extra, out):
+            args = build_parser().parse_args([
+                "--serve", "--ckpt_dir", str(tmp_path),
+                "--prompts", str(tmp_path / "prompts.txt"),
+                "--out", str(tmp_path / out),
+                "--gen_tokens", "6", "--n_slots", "2", "--chunk", "4",
+                "--top_k", "1"] + extra)
+            serve_cli(args)
+            return [json.loads(ln) for ln in
+                    (tmp_path / out).read_text().splitlines()]
+
+        paged = run(["--paged", "--page", "16", "--n_pages", "5"],
+                    "paged.jsonl")
+        slot = run([], "slot.jsonl")
+        capsys.readouterr()
+        assert [r["text"] for r in paged] == [r["text"] for r in slot]
+
+
+class TestPagedValidation:
+    def test_rejects_unsupported_modes(self):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                            n_layers=2, ctx_len=64, n_experts=2)
+        with pytest.raises(ValueError, match="paged"):
+            ServeEngine(init_moe_params(mcfg, seed=0), mcfg, paged=True)
+        with pytest.raises(ValueError, match="paged"):
+            ServeEngine(PARAMS, CFG, paged=True, quant="int8")
