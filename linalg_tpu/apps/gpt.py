@@ -155,6 +155,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "PREFIX (e.g. a system prompt) prepended to every "
                          "prompt; its KV is prefilled once and reused per "
                          "request (ServeEngine.register_prefix)")
+    ap.add_argument("--lora_rank", type=int, default=0,
+                    help="train mode: LoRA-finetune rank-N adapters on a "
+                         "frozen base checkpoint (0 = full training); "
+                         "repl/serve auto-merge adapters from --lora_dir")
+    ap.add_argument("--lora_alpha", type=float, default=16.0,
+                    help="LoRA delta scale = alpha/rank (PEFT convention)")
+    ap.add_argument("--lora_targets", type=str, default="attn",
+                    choices=("attn", "all"),
+                    help="which weights get adapters: attention "
+                         "projections, or + FFN matmuls")
+    ap.add_argument("--lora_dir", type=str, default="",
+                    help="adapter checkpoint dir (default "
+                         "<ckpt_dir>/lora); repl/serve merge adapters "
+                         "from here when present")
     ap.add_argument("--paged", action="store_true",
                     help="serve mode: paged KV cache (vLLM-style page pool "
                          "+ per-slot tables; admission control by memory, "
@@ -177,6 +191,29 @@ def _decode_text(tok, itos, toks) -> str:
     return "".join(itos[int(t)] for t in toks)
 
 
+def _maybe_lora(params, args):
+    """Merge LoRA adapters into the loaded base params when ``--lora_dir``
+    (or its <ckpt_dir>/lora default) holds an adapter checkpoint. Merging
+    at load time means every inference path — REPL, serving, beam,
+    speculative, quantized — runs the adapted model with ZERO runtime
+    overhead."""
+    import pathlib
+
+    from ..models.lora import load_lora, lora_merge
+
+    lora_dir = getattr(args, "lora_dir", "") or str(
+        pathlib.Path(args.ckpt_dir) / "lora")
+    try:
+        adapters, lcfg = load_lora(lora_dir)
+    except Exception:
+        if getattr(args, "lora_dir", ""):
+            print(f"(no LoRA adapters at {lora_dir}; using the base model)")
+        return params
+    print(f"merged LoRA adapters from {lora_dir} "
+          f"(rank {lcfg.rank}, targets {lcfg.targets})")
+    return lora_merge(params, adapters, lcfg)
+
+
 def serve_cli(args) -> None:
     """Serve a batch of prompts through the continuous-batching engine.
 
@@ -195,6 +232,7 @@ def serve_cli(args) -> None:
     from ..train.checkpoint import load_ckpt, load_tokenizer
 
     params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+    params = _maybe_lora(params, args)
     tok = load_tokenizer(args.ckpt_dir)
     quant = getattr(args, "quant", "none")
     if quant != "none" and isinstance(cfg, MoEGPTConfig):
@@ -328,6 +366,7 @@ def repl(args) -> None:
     from ..train.trainer import sample
 
     params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+    params = _maybe_lora(params, args)
     tok = load_tokenizer(args.ckpt_dir)  # char or BPE, from the sidecar
     draft = None
     if getattr(args, "draft_ckpt", ""):

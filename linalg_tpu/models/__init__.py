@@ -11,6 +11,13 @@ from .gpt import (
     sample_token,
 )
 from .gpt_modules import GPT, AdamW, DecoderOnlyLayer
+from .lora import (
+    LoRAConfig,
+    init_lora_params,
+    load_lora,
+    lora_merge,
+    save_lora,
+)
 from .moe import (
     MoEGPTConfig,
     init_moe_params,
@@ -50,6 +57,12 @@ __all__ = [
     "init_decode_cache",
     "sample_token",
     "gpt_generate_beam",
+    # LoRA finetuning
+    "LoRAConfig",
+    "init_lora_params",
+    "lora_merge",
+    "save_lora",
+    "load_lora",
     # mixture-of-experts GPT
     "MoEGPTConfig",
     "init_moe_params",

@@ -17,6 +17,7 @@ device-resident step/eval builder is used.
 
 from __future__ import annotations
 
+import pathlib
 import time
 from functools import partial
 from typing import Iterator, Tuple
@@ -32,7 +33,8 @@ from .data import load_text
 from .optim import (adamw_init, adamw_update, gpt_lr_scales, gpt_wd_mask,
                     warmup_cosine)
 
-__all__ = ["train", "train_sharded", "sample", "make_train_step", "eval_avg"]
+__all__ = ["train", "train_sharded", "train_lora", "sample",
+           "make_train_step", "eval_avg"]
 
 
 def _loss_fn_for(cfg: GPTConfig):
@@ -63,7 +65,7 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
                            min_lr: float, warmup: int, max_steps: int,
                            weight_decay: float, lr_embed_scale: float = 1.0,
                            lr_head_scale: float = 1.0, grad_accum: int = 1,
-                           clip_norm: float = 0.0):
+                           clip_norm: float = 0.0, lora=None):
     """Fully device-resident step: batch windows are SAMPLED ON DEVICE.
 
     The corpus token array is uploaded once; each step draws random windows
@@ -77,6 +79,14 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
     full-batch step (equal microbatch sizes: mean of means == mean), at
     1/grad_accum the activation memory. For effective batches whose
     activations don't fit HBM (long context, wide d_model).
+
+    ``lora`` = (frozen_base_params, LoRAConfig) switches the step to
+    parameter-efficient finetuning: the trainable pytree is the ADAPTER
+    tree, the loss runs on ``lora_merge(frozen, adapters)`` (the merge is
+    traced into the jit, so grads flow only into A/B), and the base is a
+    closed-over constant. The name-keyed wd/lr masks see adapter leaf
+    names ("Wq_A", ...) and correctly give them zero decay and unit lr
+    scale.
     """
     B = batch_size
     T = cfg.ctx_len
@@ -86,6 +96,14 @@ def make_device_train_step(cfg: GPTConfig, batch_size: int, *, base_lr: float,
         )
     micro = B // grad_accum
     loss_fn = _loss_fn_for(cfg)
+    if lora is not None:
+        from ..models.lora import lora_merge
+
+        frozen, lcfg = lora
+        base_loss = loss_fn
+
+        def loss_fn(adapters, x, y, cfg):
+            return base_loss(lora_merge(frozen, adapters, lcfg), x, y, cfg)
 
     # NOT donated: donating params/opt_state here measured +9.5 ms/step
     # (+52%) on this runtime even at the every-20-step sync cadence — the
@@ -262,7 +280,8 @@ class _MetricsLog:
 
 
 def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
-                train_ids, val_ids, tok, stoi, itos, desc: str):
+                train_ids, val_ids, tok, stoi, itos, desc: str,
+                save_fn=None):
     """The one training loop every axis shares.
 
     ``step_fn(params, opt_state, train_ids, key) -> (params, opt_state,
@@ -270,6 +289,9 @@ def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
     only axis-specific pieces. Printing every 20 steps is the only host
     sync; it also caps the async dispatch queue (deep queues degrade
     badly on this runtime — docs/repro_dispatch_queue.py).
+
+    ``save_fn(params) -> path`` overrides best-checkpoint saving (LoRA
+    saves adapter-only checkpoints, not the frozen base).
     """
     from ..utils.profiling import StepTimer, trace
 
@@ -305,8 +327,9 @@ def _train_loop(args, cfg, params, opt_state, key, step_fn, eval_fn,
                 saved = None
                 if val_loss < best:
                     best = val_loss
-                    path = save_ckpt(args.ckpt_dir, params, cfg, stoi, itos,
-                                     tokenizer=tok)
+                    path = (save_fn(params) if save_fn is not None else
+                            save_ckpt(args.ckpt_dir, params, cfg, stoi,
+                                      itos, tokenizer=tok))
                     print(f"  saved best -> {path}  (val {best:.4f})")
                     saved = str(path)
                 mlog.write(event="eval", step=step, val_loss=val_loss,
@@ -492,6 +515,63 @@ def train_sharded(args, dp: int, tp: int) -> Tuple[dict, GPTConfig, dict, dict]:
     return params, cfg, stoi, itos
 
 
+def train_lora(args) -> Tuple[dict, GPTConfig, dict, dict]:
+    """LoRA finetune: freeze a trained base checkpoint, train rank-r
+    adapters on the corpus, save adapter-only checkpoints to
+    ``--lora_dir`` (default <ckpt_dir>/lora). Returns the MERGED params
+    so callers chain straight into sampling. No reference counterpart —
+    the reference's only training mode is full-parameter
+    (/root/reference/gpt.py:255-273)."""
+    from ..models.lora import (LoRAConfig, init_lora_params, load_lora,
+                               lora_merge, save_lora)
+
+    text = load_text(getattr(args, "data", None))
+    try:
+        params, cfg, stoi, itos = load_ckpt(args.ckpt_dir)
+        tok = load_tokenizer(args.ckpt_dir)
+    except Exception as e:
+        raise ValueError(
+            "LoRA finetuning adapts a TRAINED base model: --ckpt_dir must "
+            "hold a loadable checkpoint (train one first, without "
+            "--lora_rank)") from e
+    lora_dir = getattr(args, "lora_dir", "") or str(
+        pathlib.Path(args.ckpt_dir) / "lora")
+    lcfg = LoRAConfig(rank=int(args.lora_rank),
+                      alpha=float(getattr(args, "lora_alpha", 16.0)),
+                      targets=getattr(args, "lora_targets", "attn"))
+    try:
+        adapters, lcfg = load_lora(lora_dir)
+        print(f"resumed LoRA adapters from {lora_dir} "
+              f"(rank {lcfg.rank}, targets {lcfg.targets})")
+    except Exception:
+        adapters = init_lora_params(params, lcfg, seed=args.seed)
+        n_ad = sum(x.size for x in jax.tree.leaves(adapters))
+        n_base = sum(x.size for x in jax.tree.leaves(params))
+        print(f"fresh LoRA adapters: rank {lcfg.rank}, targets "
+              f"{lcfg.targets}, {n_ad:,} trainable params "
+              f"({100 * n_ad / n_base:.1f}% of the base model)")
+
+    ids = tok.encode(text)
+    split = int(0.9 * len(ids))
+    train_ids = jnp.asarray(ids[:split])
+    val_ids = jnp.asarray(ids[split:])
+
+    opt_state = adamw_init(adapters)  # moments over adapters only
+    step_fn = make_device_train_step(
+        cfg, args.batch_size, lora=(params, lcfg),
+        grad_accum=int(getattr(args, "grad_accum", 1) or 1),
+        clip_norm=float(getattr(args, "clip_norm", 0.0) or 0.0),
+        **_lr_kwargs(args))
+    eval_fn = lambda a, v, k: _eval_device(
+        lora_merge(params, a, lcfg), v, k, cfg, args.batch_size, 20)
+    save_fn = lambda a: save_lora(lora_dir, a, lcfg)
+    key = jax.random.PRNGKey(args.seed)
+    adapters = _train_loop(args, cfg, adapters, opt_state, key, step_fn,
+                           eval_fn, train_ids, val_ids, tok, stoi, itos,
+                           desc="lora: ", save_fn=save_fn)
+    return lora_merge(params, adapters, lcfg), cfg, stoi, itos
+
+
 def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     """Run the training loop; returns (params, cfg, stoi, itos)."""
     dp = int(getattr(args, "dp", 1) or 1)
@@ -499,6 +579,11 @@ def train(args) -> Tuple[dict, GPTConfig, dict, dict]:
     sp = int(getattr(args, "sp", 1) or 1)
     pp = int(getattr(args, "pp", 1) or 1)
     fsdp = int(getattr(args, "fsdp", 1) or 1)
+    if int(getattr(args, "lora_rank", 0) or 0) > 0:
+        if dp * tp * sp * pp * fsdp > 1:
+            raise ValueError("LoRA finetuning runs single-device; drop the "
+                             "--dp/--tp/--sp/--pp/--fsdp flags")
+        return train_lora(args)
     if dp * tp * sp * pp * fsdp > 1:
         return train_sharded(args, dp, tp)
     text, params, cfg, tok, stoi, itos = _resume_or_init(args)
