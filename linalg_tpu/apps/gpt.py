@@ -179,6 +179,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n_pages", type=int, default=0,
                     help="paged mode: pool size in pages (0 = dense-"
                          "equivalent n_slots*ctx_len/page + trash page)")
+    ap.add_argument("--paged_attn", type=str, default="auto",
+                    choices=("auto", "kernel", "gather"),
+                    help="paged mode attention read: Pallas in-place page "
+                         "kernel vs XLA table-gather (auto = kernel on "
+                         "TPU)")
     return ap
 
 
@@ -274,7 +279,8 @@ def serve_cli(args) -> None:
     eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
                       top_k=args.top_k, seed=args.seed, quant=quant,
                       mesh=mesh, paged=paged, page=args.page,
-                      n_pages=(args.n_pages or None))
+                      n_pages=(args.n_pages or None),
+                      paged_attn=getattr(args, "paged_attn", "auto"))
     # the engine reserves ceil(gen/chunk)*chunk cache rows per request;
     # cap gen so one prompt token always fits, then truncate each prompt
     # to leave the full reserved budget (the reference truncates context

@@ -921,6 +921,9 @@ def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
     start1 = jnp.atleast_1d(start)
     slopes = alibi_slopes(cfg.n_heads) if cfg.pos == "alibi" else None
     attn = ops.get("attn") or _gqa_decode_attn
+    # position-aware attention backends (the Pallas paged kernels bound
+    # their page walk by the slot position) opt in via this marker
+    wants_pos = getattr(attn, "wants_pos", False)
 
     def decode_step(kbuf, vbuf, pos, token):
         rel = jnp.atleast_1d(pos - start)
@@ -961,7 +964,9 @@ def _make_decode_step(cfg: GPTConfig, ops, start, write_fn):
                 q = rope_rotate(q, rope[0], rope[1])
                 k = rope_rotate(k, rope[0], rope[1])
             k_l, v_l = write_fn(k_l, v_l, pos, k, v)
-            a = ops["out"](lw, _unheads(attn(q, k_l, v_l, mask)))
+            a_raw = (attn(q, k_l, v_l, mask, pos1) if wants_pos
+                     else attn(q, k_l, v_l, mask))
+            a = ops["out"](lw, _unheads(a_raw))
             h1 = h_in + a
             f = ops["ffn"](lw, ops["ln2"](lw, h1))
             return h1 + f, (k_l, v_l)

@@ -236,7 +236,8 @@ class ServeEngine:
                  chunk: int = 32, top_k: int = 0,
                  prefill_window: Optional[int] = None, seed: int = 0,
                  quant: str = "none", mesh=None, paged: bool = False,
-                 page: int = 64, n_pages: Optional[int] = None):
+                 page: int = 64, n_pages: Optional[int] = None,
+                 paged_attn: str = "auto"):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
@@ -328,6 +329,24 @@ class ServeEngine:
             self._page = page
             self._allocator = PageAllocator(n_pages)
             self._shared_held = 0  # pages pinned by registered prefixes
+            # attention read: Pallas in-place page kernel vs XLA
+            # table-gather. The gather materializes the gathered KV per
+            # step (~3x attention HBM traffic — 0.68x chunk throughput
+            # at ctx 4096); the kernel reads pages in place and stops
+            # its walk at each slot's position, but pays ~35 us of
+            # dispatch per layer-step, which LOSES at short contexts
+            # where the gather traffic is trivial (BASELINE.md round 4).
+            # auto = kernel on TPU from ctx 2048 up, gather otherwise.
+            if paged_attn not in ("auto", "kernel", "gather"):
+                raise ValueError("paged_attn must be auto|kernel|gather")
+            if paged_attn == "kernel" and page % 8:
+                raise ValueError("the paged-attention kernel needs "
+                                 "page % 8 == 0")
+            self._paged_kernel = (
+                paged_attn == "kernel"
+                or (paged_attn == "auto" and page % 8 == 0
+                    and cfg.ctx_len >= 2048
+                    and jax.default_backend() == "tpu"))
         else:
             rows = cfg.window if self._ring else cfg.ctx_len
             shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
@@ -678,7 +697,12 @@ class ServeEngine:
                               jnp.asarray(self._top_p),
                               jnp.asarray(self._top_k))
         if self._paged:
-            from .paged import decode_chunk_paged as _chunk
+            import functools
+
+            from .paged import decode_chunk_paged
+
+            _chunk = functools.partial(decode_chunk_paged,
+                                       use_kernel=self._paged_kernel)
         elif self._ring:
             from ..models.stream import stream_chunk_slots as _chunk
         else:

@@ -35,16 +35,20 @@ Reference: extends /root/reference/gpt.py:518-546's sampler semantics
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import List
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..models.gpt import GPTConfig, _decode_chunk_core, _gqa_decode_attn
 
-__all__ = ["init_paged_cache", "decode_chunk_paged", "PageAllocator"]
+__all__ = ["init_paged_cache", "decode_chunk_paged", "PageAllocator",
+           "paged_attn_pallas", "paged_attn_pallas_dma"]
 
 
 def init_paged_cache(cfg: GPTConfig, n_slots: int, n_pages: int, page: int):
@@ -147,13 +151,276 @@ def _reset_table_row(cache, b):
     return dict(cache, table=table)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+# ---------------------------------------------------------------------------
+# Pallas paged attention: read pages IN PLACE via scalar-prefetch block maps
+# ---------------------------------------------------------------------------
+
+_NEG = float(jnp.finfo(jnp.float32).min) / 2
+
+
+def _interpret() -> bool:
+    # PrefetchScalarGridSpec ignores force_tpu_interpret_mode; pick
+    # interpret explicitly off-TPU (the CPU test backend), as the other
+    # Pallas kernels in this repo do (nn/flash_stream.py).
+    return jax.default_backend() != "tpu"
+
+
+def _paged_attn_kernel(tbl_ref, pos_ref, q_ref, k_ref, v_ref, m_ref, o_ref,
+                       m_s, l_s, acc_s, *, scale, page):
+    """Online-softmax decode attention over one slot's logical pages.
+
+    Grid (B, hk, ctx/page): program (b, h, i) sees logical page i of slot
+    b through the k/v BlockSpec index maps, which read the PREFETCHED
+    page table — the pool page streams HBM->VMEM directly, so paged
+    decode does the same attention HBM traffic as the dense slot layout
+    (the XLA table-gather path instead materializes the full gathered KV
+    per step: read + write + re-read, measured 0.61x slot throughput).
+    The additive mask carries validity (-1e9 beyond pos) and any ALiBi
+    bias, so trash-page garbage never contributes.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, _NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    @pl.when(i * page <= pos_ref[b])
+    def _():
+        # pages past the slot's position hold only masked rows — skip
+        # their matmuls (the pipeline still prefetches the block; the
+        # DMA variant below also skips the copy)
+        q = q_ref[0, 0]  # (gp, d) query group (padded to >= 8 sublanes)
+        k = k_ref[0, 0]  # (page, d) pool page, in place
+        v = v_ref[0, 0]
+        s = scale * lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (gp, page)
+        s = s + m_ref[0, 0, 0].astype(jnp.float32)
+        m_prev = m_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        m_s[:] = m_new
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _():
+        denom = jnp.where(l_s[:] == 0, 1.0, l_s[:])
+        o_ref[0, 0] = (acc_s[:] / denom).astype(o_ref.dtype)
+
+
+def paged_attn_pallas(q, pool_k, pool_v, mask, table, pos):
+    """Decode attention against the page pool, pages read in place.
+
+    ``q``: (B, H, 1, d); ``pool_k``/``pool_v``: (n_pages, hk, page, d)
+    with hk | H (GQA); ``mask``: (B, 1|H, 1, ctx) additive; ``table``:
+    (B, ctx/page) int32; ``pos``: (B,) int32 slot positions (pages past
+    a slot's position skip their compute). Returns (B, H, 1, d). The
+    query group of each KV head rides as the block's sublane dim (padded
+    to 8); grouped K/V stream at their hk size — the GQA traffic win is
+    preserved.
+    """
+    B, H, _, d = q.shape
+    n_pages, hk, page, _ = pool_k.shape
+    g = H // hk
+    Pmax = table.shape[1]
+    ctx = Pmax * page
+    gp = max(8, g)  # sublane-pad the query group
+    qg = q.reshape(B, hk, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    m = jnp.broadcast_to(mask, (B, H, 1, ctx)).reshape(B, hk, g, ctx)
+    if gp != g:  # padded rows reuse row 0's mask; their outputs are cut
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, gp - g), (0, 0)), mode="edge")
+    # page-major mask layout: Mosaic requires a block's last two dims to
+    # tile (8, 128)-divisibly OR cover the array, so the page axis must
+    # not sit last when page < 128 — (B, hk, Pmax, gp, page) blocks cover
+    # the trailing (gp, page) exactly for any page size
+    m = m.reshape(B, hk, gp, Pmax, page).transpose(0, 1, 3, 2, 4)
+
+    kspec = pl.BlockSpec((1, 1, page, d),
+                         lambda b, h, i, tbl, ps: (tbl[b, i], h, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, hk, Pmax),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, d),
+                         lambda b, h, i, tbl, ps: (b, h, 0, 0)),
+            kspec,
+            kspec,
+            pl.BlockSpec((1, 1, 1, gp, page),
+                         lambda b, h, i, tbl, ps: (b, h, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gp, d),
+                               lambda b, h, i, tbl, ps: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gp, 1), jnp.float32),
+            pltpu.VMEM((gp, 1), jnp.float32),
+            pltpu.VMEM((gp, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_paged_attn_kernel, scale=1.0 / math.sqrt(d), page=page),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, hk, gp, d), q.dtype),
+        interpret=_interpret(),
+    )(table, jnp.asarray(pos, jnp.int32), qg, pool_k, pool_v, m)
+    return out[:, :, :g].reshape(B, H, 1, d)
+
+
+def _paged_attn_dma_kernel(tbl_ref, pos_ref, q_ref, k_hbm, v_hbm, m_ref,
+                           o_ref, kscr, vscr, sems, *, scale,
+                           n_pages_logical, hk, page, depth):
+    """Manual-DMA variant: one program per slot, deep-pipelined page DMAs.
+
+    Two lessons from the chip drove this shape (BASELINE.md round 4):
+    the auto-pipelined (B, hk, ctx/page) grid runs ~3.5x the HBM floor —
+    its 2-deep lookahead cannot hide the ~1 us DMA latency of 64 KB page
+    blocks whose bandwidth time is ~100 ns — and per-(head) DMAs are
+    needlessly small, since a pool page's hk heads are CONTIGUOUS in the
+    flattened (n_pages, hk*page, d) layout. So: grid (B,), ONE DMA per
+    logical page covering all heads, ``depth`` copies in flight (issue
+    i+depth-1 before computing on i), per-head online softmax inside the
+    page loop (the head loop is static).
+
+    The page walk stops at the slot's POSITION: pages past
+    ceil((pos+1)/page) hold only masked rows, so they are neither copied
+    nor computed. This is the structural advantage over both the XLA
+    table-gather AND the dense slot layout, whose fixed-shape attention
+    always touches all ctx rows — a half-full slot costs half the
+    traffic here, and serving slots are partially full almost always.
+    """
+    b = pl.program_id(0)
+    gp = q_ref.shape[2]
+    d = q_ref.shape[3]
+    # pages that can hold live rows for this slot (mask handles the
+    # partial tail); idle slots' pos grows unbounded — clamp to the table
+    n_live = jnp.minimum(pos_ref[b] // page + 1, n_pages_logical)
+
+    def dma(slot, i, which):
+        src, dst = ((k_hbm, kscr) if which == 0 else (v_hbm, vscr))
+        return pltpu.make_async_copy(
+            src.at[tbl_ref[b, i]], dst.at[slot], sems.at[slot, which])
+
+    # prime the pipeline: depth-1 pages in flight before the loop
+    for j in range(depth - 1):
+        @pl.when(j < n_live)
+        def _():
+            dma(j % depth, j, 0).start()
+            dma(j % depth, j, 1).start()
+
+    def body(i, carry):
+        @pl.when(i + depth - 1 < n_live)
+        def _():
+            dma((i + depth - 1) % depth, i + depth - 1, 0).start()
+            dma((i + depth - 1) % depth, i + depth - 1, 1).start()
+
+        slot = i % depth
+        dma(slot, i, 0).wait()
+        dma(slot, i, 1).wait()
+        kall = kscr[slot]  # (hk*page, d)
+        vall = vscr[slot]
+        out = []
+        for h in range(hk):  # static head loop: static scratch slices
+            m_prev, l_prev, acc = carry[h]
+            k = kall[h * page:(h + 1) * page]
+            v = vall[h * page:(h + 1) * page]
+            s = scale * lax.dot_general(
+                q_ref[0, h], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (gp, page)
+            s = s + m_ref[0, h, i].astype(jnp.float32)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                        preferred_element_type=jnp.float32)
+            out.append((m_new, l_new, acc))
+        return tuple(out)
+
+    init = tuple((jnp.full((gp, 1), _NEG, jnp.float32),
+                  jnp.zeros((gp, 1), jnp.float32),
+                  jnp.zeros((gp, d), jnp.float32)) for _ in range(hk))
+    final = lax.fori_loop(0, n_live, body, init)
+    for h in range(hk):
+        _, l_f, acc = final[h]
+        denom = jnp.where(l_f == 0, 1.0, l_f)
+        o_ref[0, h] = (acc / denom).astype(o_ref.dtype)
+
+
+def paged_attn_pallas_dma(q, pool_k, pool_v, mask, table, pos,
+                          depth: int = 8):
+    """Manual-DMA twin of ``paged_attn_pallas`` (same contract, plus the
+    per-slot positions ``pos`` (B,) that bound each slot's page walk).
+
+    Requires d_head % 128 == 0: Mosaic lane-pads narrower trailing dims
+    in HBM memrefs and then rejects the sliced DMA (the grid kernel
+    handles d_head 64 instead).
+    """
+    B, H, _, d = q.shape
+    n_pages, hk, page, _ = pool_k.shape
+    g = H // hk
+    Pmax = table.shape[1]
+    ctx = Pmax * page
+    gp = max(8, g)
+    depth = max(2, min(depth, Pmax))
+    qg = q.reshape(B, hk, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    m = jnp.broadcast_to(mask, (B, H, 1, ctx)).reshape(B, hk, g, ctx)
+    if gp != g:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, gp - g), (0, 0)), mode="edge")
+    m = m.reshape(B, hk, gp, Pmax, page).transpose(0, 1, 3, 2, 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, hk, gp, d), lambda b, tbl, ps: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hk, Pmax, gp, page),
+                         lambda b, tbl, ps: (b, 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hk, gp, d),
+                               lambda b, tbl, ps: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((depth, hk * page, d), pool_k.dtype),
+            pltpu.VMEM((depth, hk * page, d), pool_v.dtype),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_paged_attn_dma_kernel, scale=1.0 / math.sqrt(d),
+                n_pages_logical=Pmax, hk=hk, page=page, depth=depth),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, hk, gp, d), q.dtype),
+        interpret=_interpret(),
+    )(table, jnp.asarray(pos, jnp.int32), qg,
+      pool_k.reshape(n_pages, hk * page, d),
+      pool_v.reshape(n_pages, hk * page, d), m)
+    return out[:, :, :g].reshape(B, H, 1, d)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens", "use_kernel"))
 def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
-                       cfg: GPTConfig, n_tokens: int):
+                       cfg: GPTConfig, n_tokens: int,
+                       use_kernel: bool = False):
     """Paged twin of ``engine.decode_chunk_slots``: same scan, same
     sampling, but K/V live in the page pool and are addressed through the
     per-slot table (loop-invariant within a chunk — admission allocates
-    every page the chunk can reach up front)."""
+    every page the chunk can reach up front).
+
+    ``use_kernel`` switches the attention read from the XLA table-gather
+    (materializes the gathered KV per step — exact twin of the slot
+    path's values, but ~3x its attention HBM traffic) to the Pallas
+    kernel reading pages in place (``paged_attn_pallas``, slot-level
+    traffic; numerics differ from the einsum at float rounding only)."""
     from ..models.gpt import _dt_decode_ops
 
     ops = _dt_decode_ops(params, cfg)
@@ -171,8 +438,20 @@ def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape(B, x.shape[1], ctx, x.shape[-1])
 
-    def paged_attn(q, pk_l, pv_l, mask):
-        return _gqa_decode_attn(q, gathered(pk_l), gathered(pv_l), mask)
+    if use_kernel:
+        # the deep-pipelined manual-DMA kernel saturates HBM but needs a
+        # 128-multiple head dim (Mosaic lane-pads narrower HBM slices);
+        # the auto-pipelined grid kernel covers the rest
+        kern = (paged_attn_pallas_dma if cfg.d_head % 128 == 0
+                else paged_attn_pallas)
+
+        def paged_attn(q, pk_l, pv_l, mask, pos):
+            return kern(q, pk_l, pv_l, mask, table, pos)
+
+        paged_attn.wants_pos = True  # page walk stops at the position
+    else:
+        def paged_attn(q, pk_l, pv_l, mask):
+            return _gqa_decode_attn(q, gathered(pk_l), gathered(pv_l), mask)
 
     def write_paged(pk_l, pv_l, pos, k, v):
         # k/v: (B, hk, 1, d) new token; the clamp keeps idle slots (whose

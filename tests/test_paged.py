@@ -191,6 +191,124 @@ class TestPagePressure:
             eng.submit(Request([1, 2, 3], 40))  # needs 3 pages, pool has 2
 
 
+class TestPagedKernel:
+    """Pallas in-place page-read attention vs the XLA table-gather."""
+
+    @pytest.mark.parametrize("H,hk", [(2, 2), (4, 2), (4, 1), (8, 1)])
+    def test_kernel_matches_gather_unit(self, H, hk):
+        from linalg_tpu.models.gpt import _gqa_decode_attn
+        from linalg_tpu.serve.paged import paged_attn_pallas
+
+        rng = np.random.default_rng(H * 10 + hk)
+        B, d, page, Pmax, n_pages = 3, 64, 16, 4, 9
+        ctx = page * Pmax
+        q = jnp.asarray(rng.normal(size=(B, H, 1, d)), jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(n_pages, hk, page, d)),
+                         jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(n_pages, hk, page, d)),
+                         jnp.float32)
+        # distinct pages per slot, some rows masked dead (pos-style) and
+        # an alibi-like per-head bias on the live ones
+        table = jnp.asarray(rng.permutation(np.arange(1, 1 + B * Pmax))
+                            .reshape(B, Pmax), jnp.int32)
+        pos = rng.integers(1, ctx, size=(B,))
+        live = np.arange(ctx)[None, :] < pos[:, None]
+        mask = np.where(live[:, None, None, :], 0.0, -1e9).astype(np.float32)
+        mask = mask + rng.normal(scale=0.1, size=(B, H, 1, ctx)) * live[
+            :, None, None, :]
+        mask = jnp.asarray(mask)
+
+        got = paged_attn_pallas(q, pk, pv, mask, table,
+                                jnp.asarray(pos, jnp.int32))
+
+        def gathered(pool):
+            x = pool[table]
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape(B, hk, ctx, d)
+
+        want = _gqa_decode_attn(q, gathered(pk), gathered(pv), mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.parametrize("H,hk", [(2, 2), (4, 2), (8, 1), (4, 4)])
+    def test_dma_kernel_matches_gather_unit(self, H, hk):
+        # the deep-pipelined manual-DMA kernel (d_head % 128 == 0 only)
+        from linalg_tpu.models.gpt import _gqa_decode_attn
+        from linalg_tpu.serve.paged import paged_attn_pallas_dma
+
+        rng = np.random.default_rng(H * 10 + hk)
+        B, d, page, Pmax, n_pages = 3, 128, 16, 4, 13
+        ctx = page * Pmax
+        q = jnp.asarray(rng.normal(size=(B, H, 1, d)), jnp.float32)
+        pk = jnp.asarray(rng.normal(size=(n_pages, hk, page, d)),
+                         jnp.float32)
+        pv = jnp.asarray(rng.normal(size=(n_pages, hk, page, d)),
+                         jnp.float32)
+        table = jnp.asarray(rng.permutation(np.arange(1, 1 + B * Pmax))
+                            .reshape(B, Pmax), jnp.int32)
+        pos = rng.integers(1, ctx, size=(B,))
+        live = np.arange(ctx)[None, :] < pos[:, None]
+        mask = jnp.asarray(
+            np.where(live[:, None, None, :], 0.0, -1e9).astype(np.float32))
+
+        got = paged_attn_pallas_dma(q, pk, pv, mask, table,
+                                    jnp.asarray(pos, jnp.int32), depth=3)
+
+        def gathered(pool):
+            x = pool[table]
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape(B, hk, ctx, d)
+
+        want = _gqa_decode_attn(q, gathered(pk), gathered(pv), mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_kernel_engine_matches_gather_engine_d128(self):
+        # d_model/heads = 128 routes use_kernel through the DMA kernel
+        cfg = GPTConfig(vocab_size=31, d_model=256, n_heads=2, n_kv_heads=1,
+                        n_layers=2, ctx_len=64, pos="rope")
+        params = init_gpt_params(cfg, seed=2)
+        rng = np.random.default_rng(8)
+        reqs = [Request(rng_prompt(rng, cfg), int(rng.integers(4, 10)))
+                for _ in range(4)]
+
+        def run(mode):
+            eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1,
+                              paged=True, page=16, paged_attn=mode)
+            ids = [eng.submit(Request(r.prompt, r.max_new_tokens))
+                   for r in reqs]
+            done = {c.request_id: c.tokens for c in eng.run()}
+            return [done[i] for i in ids]
+
+        assert run("kernel") == run("gather")
+
+    @pytest.mark.parametrize("pos_mode", ["sinusoidal", "alibi"])
+    def test_kernel_engine_matches_gather_engine(self, pos_mode):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_kv_heads=2,
+                        n_layers=2, ctx_len=64, pos=pos_mode)
+        params = init_gpt_params(cfg, seed=1)
+        rng = np.random.default_rng(7)
+        reqs = [Request(rng_prompt(rng, cfg), int(rng.integers(4, 10)))
+                for _ in range(5)]
+
+        def run(mode):
+            eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1,
+                              paged=True, page=16, paged_attn=mode)
+            ids = [eng.submit(Request(r.prompt, r.max_new_tokens))
+                   for r in reqs]
+            done = {c.request_id: c.tokens for c in eng.run()}
+            return [done[i] for i in ids]
+
+        assert run("kernel") == run("gather")
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="paged_attn"):
+            ServeEngine(PARAMS, CFG, paged=True, paged_attn="fused")
+        with pytest.raises(ValueError, match="page % 8"):
+            ServeEngine(PARAMS, CFG, paged=True, page=4, n_pages=40,
+                        paged_attn="kernel")
+
+
 class TestPagedCLI:
     def test_serve_cli_paged_matches_slot(self, tmp_path, capsys):
         import json
