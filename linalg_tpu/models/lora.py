@@ -42,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LoRAConfig", "init_lora_params", "lora_merge", "save_lora",
-           "load_lora", "TARGET_SETS"]
+           "load_lora", "TARGET_SETS", "init_lora_stacks", "stack_lora",
+           "lora_decode_ops"]
 
 # which stacked layer weights get adapters; "attn" is the classic LoRA
 # recipe (attention projections only), "all" adds the FFN matmuls
@@ -114,6 +115,89 @@ def lora_merge(params, lora, lcfg: LoRAConfig):
         delta = scale * jnp.einsum("lir,lro->lio", a, b)
         layers[name] = layers[name] + delta.astype(layers[name].dtype)
     return dict(params, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# Multi-LoRA serving: stacked adapters + a per-slot low-rank decode path
+# ---------------------------------------------------------------------------
+
+
+def init_lora_stacks(params, max_loras: int, rank: int, dtype=None):
+    """Zeroed adapter STACKS for multi-tenant serving: per attention
+    target, A: (L, max_loras+1, d_in, rank) and B: (L, max_loras+1, rank,
+    d_out), plus a per-adapter ``scale`` vector. Index 0 is the base
+    model (all-zero adapter). Fixed shapes — registering an adapter
+    writes a row and never recompiles the engine."""
+    layers = params["layers"]
+    dt = dtype or layers["Wq"].dtype
+    out = {"scale": jnp.zeros((max_loras + 1,), jnp.float32)}
+    for name in TARGET_SETS["attn"]:
+        L, din, dout = layers[name].shape
+        out[f"{name}_A"] = jnp.zeros((L, max_loras + 1, din, rank), dt)
+        out[f"{name}_B"] = jnp.zeros((L, max_loras + 1, rank, dout), dt)
+    return out
+
+
+def stack_lora(stacks, lora, lcfg: LoRAConfig, idx: int):
+    """Write adapter ``lora`` into row ``idx`` of the stacks, zero-padding
+    a smaller rank up to the stack's. Targets must be "attn" (the decode
+    side-path adapts the attention projections)."""
+    if lcfg.targets != "attn":
+        raise ValueError("multi-LoRA serving supports targets='attn'")
+    r_stack = stacks["Wq_A"].shape[-1]
+    if lcfg.rank > r_stack:
+        raise ValueError(
+            f"adapter rank {lcfg.rank} exceeds the engine's lora_rank "
+            f"{r_stack}")
+    out = dict(stacks, scale=stacks["scale"].at[idx].set(lcfg.scale))
+    for name in TARGET_SETS["attn"]:
+        a = lora["layers"][f"{name}_A"]
+        b = lora["layers"][f"{name}_B"]
+        pad = r_stack - lcfg.rank
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+            b = jnp.pad(b, ((0, 0), (0, pad), (0, 0)))
+        dt = stacks[f"{name}_A"].dtype
+        out[f"{name}_A"] = stacks[f"{name}_A"].at[:, idx].set(a.astype(dt))
+        out[f"{name}_B"] = stacks[f"{name}_B"].at[:, idx].set(b.astype(dt))
+    return out
+
+
+def lora_decode_ops(ops, stacks, ids, cfg):
+    """Wrap a decode ``ops`` dict (models.gpt._dt_decode_ops) so each
+    SLOT's token runs through its own adapter: per layer and target,
+    y += scale[id_b] * (x @ A[id_b]) @ B[id_b] — the low-rank side-path
+    form (merged weights cannot batch slots that wear different
+    adapters; the side-path gathers (B, d, r) adapter rows instead,
+    which is tiny next to the shared base matvec). ``ids`` is the (B,)
+    per-slot adapter-id vector; id 0 is the all-zero base row, so
+    un-adapted slots pay two einsums of zeros rather than a branch.
+    """
+    del cfg
+    sc = stacks["scale"][ids]  # (B,)
+    base_qkv, base_out = ops["qkv"], ops["out"]
+
+    def delta(x, a_l, b_l):
+        # x: (B, 1, d_in); a_l: (n, d_in, r); b_l: (n, r, d_out)
+        lo = jnp.einsum("btd,bdr->btr", x, a_l[ids].astype(x.dtype))
+        hi = jnp.einsum("btr,bro->bto", lo, b_l[ids].astype(x.dtype))
+        return hi * sc[:, None, None].astype(x.dtype)
+
+    def qkv(lw, xn):
+        base = base_qkv(lw, xn)
+        return base + jnp.concatenate(
+            [delta(xn, lw["Wq_A"], lw["Wq_B"]),
+             delta(xn, lw["Wk_A"], lw["Wk_B"]),
+             delta(xn, lw["Wv_A"], lw["Wv_B"])], axis=-1)
+
+    def out(lw, y):
+        return base_out(lw, y) + delta(y, lw["Wo_A"], lw["Wo_B"])
+
+    lws = dict(ops["lws"])
+    for name in TARGET_SETS["attn"]:
+        lws[f"{name}_A"] = stacks[f"{name}_A"]
+        lws[f"{name}_B"] = stacks[f"{name}_B"]
+    return dict(ops, lws=lws, qkv=qkv, out=out)
 
 
 def save_lora(path, lora, lcfg: LoRAConfig):

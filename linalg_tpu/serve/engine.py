@@ -80,6 +80,10 @@ class Request:
     # prompt is prefix + prompt, but admission reuses the prefix's cached
     # KV and prefills only ``prompt`` (the suffix)
     prefix_id: Optional[int] = None
+    # id from ``ServeEngine.register_lora``: this request decodes through
+    # that adapter (0 = the base model); slots wearing different adapters
+    # batch together in one decode chunk
+    lora_id: int = 0
     request_id: int = -1  # assigned by the engine at submit()
 
 
@@ -125,6 +129,12 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
         from ..models.quant import _q_decode_ops
 
         ops = _q_decode_ops(params, cfg)
+    elif "_lora" in params:  # multi-LoRA engine: per-slot adapters
+        from ..models.lora import lora_decode_ops
+
+        base = {k: v for k, v in params.items() if k != "_lora"}
+        ops = lora_decode_ops(_dt_decode_ops(base, cfg), params["_lora"],
+                              cache["lora_ids"], cfg)
     else:
         ops = _dt_decode_ops(params, cfg)
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
@@ -201,6 +211,15 @@ def _admit_slot_ring(cache, logits, slot_k, slot_v, plen, slot_logits, b,
     return dict(cache, k=k, v=v, rpos=rpos, pos=pos), logits
 
 
+@jax.jit
+def _set_slot_lora(cache, b, lora_id):
+    """Point slot ``b`` at adapter ``lora_id`` (0 = base model)."""
+    ids = lax.dynamic_update_slice(
+        cache["lora_ids"], jnp.asarray(lora_id, jnp.int32)[None],
+        (jnp.asarray(b, jnp.int32),))
+    return dict(cache, lora_ids=ids)
+
+
 @partial(jax.jit, static_argnames=())
 def _admit_slot(cache, logits, slot_k, slot_v, plen, slot_logits, b):
     """Scatter one prefilled sequence into slot ``b`` of the engine cache.
@@ -237,7 +256,8 @@ class ServeEngine:
                  prefill_window: Optional[int] = None, seed: int = 0,
                  quant: str = "none", mesh=None, paged: bool = False,
                  page: int = 64, n_pages: Optional[int] = None,
-                 paged_attn: str = "auto"):
+                 paged_attn: str = "auto", max_loras: int = 0,
+                 lora_rank: int = 8):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
@@ -358,6 +378,27 @@ class ServeEngine:
         if self._ring:
             self._cache["rpos"] = jnp.full((n_slots, cfg.window), -1,
                                            jnp.int32)
+        # multi-LoRA serving: fixed-shape adapter stacks + a per-slot
+        # adapter-id vector; requests wearing different adapters batch in
+        # ONE decode chunk (models/lora.py::lora_decode_ops side-path)
+        self._max_loras = int(max_loras)
+        self._n_loras = 0  # adapters registered so far
+        if self._max_loras:
+            if (self._ring or self._paged or mesh is not None
+                    or quant not in ("", "none") or isinstance(cfg, _MoE)):
+                raise ValueError("multi-LoRA serving supports the plain "
+                                 "full-precision dense slot engine")
+            from ..models.lora import init_lora_stacks
+
+            self._lora_stacks = init_lora_stacks(
+                params, self._max_loras, lora_rank, dtype=dt)
+            self._cache["lora_ids"] = jnp.zeros((n_slots,), jnp.int32)
+            self._decode_params = dict(self._decode_params,
+                                       _lora=self._lora_stacks)
+            # id -> fully-merged params: admission prefills ONE request at
+            # a time, so the merged form (zero overhead) is usable there;
+            # decode must use the batched side-path instead
+            self._lora_merged: Dict[int, Any] = {}
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
         if mesh is not None:
             self._cache = jax.device_put(
@@ -451,6 +492,34 @@ class ServeEngine:
         self._prefixes[pid] = (cache["k"], cache["v"], logits, plen, shared)
         return pid
 
+    def register_lora(self, adapters, lcfg) -> int:
+        """Register a LoRA adapter for per-request serving.
+
+        Requests submitted with ``lora_id=<returned id>`` decode through
+        this adapter; slots wearing DIFFERENT adapters still batch into
+        one fixed-shape decode chunk (the per-slot low-rank side-path,
+        ``models/lora.py::lora_decode_ops``). The stacks are allocated at
+        construction (``max_loras``), so registration writes rows and
+        never recompiles. Admission prefills through the fully-MERGED
+        weights (one request at a time — merging is free there).
+        """
+        from ..models.lora import lora_merge, stack_lora
+
+        if not self._max_loras:
+            raise ValueError(
+                "construct the engine with max_loras=N to serve adapters")
+        if self._n_loras >= self._max_loras:
+            raise ValueError(
+                f"all {self._max_loras} adapter slots are registered")
+        idx = self._n_loras + 1
+        self._lora_stacks = stack_lora(self._lora_stacks, adapters, lcfg,
+                                       idx)
+        self._decode_params = dict(self._decode_params,
+                                   _lora=self._lora_stacks)
+        self._lora_merged[idx] = lora_merge(self.params, adapters, lcfg)
+        self._n_loras = idx
+        return idx
+
     def submit(self, req: Request) -> int:
         """Queue a request; returns its assigned request_id."""
         plen = len(req.prompt)
@@ -467,6 +536,15 @@ class ServeEngine:
             if req.prefix_id not in self._prefixes:
                 raise ValueError(f"unknown prefix_id {req.prefix_id}")
             pref_len = self._prefixes[req.prefix_id][3]
+        if req.lora_id:
+            if not self._max_loras or req.lora_id > self._n_loras:
+                raise ValueError(f"unknown lora_id {req.lora_id} "
+                                 f"({self._n_loras} registered)")
+            if req.prefix_id is not None:
+                raise ValueError(
+                    "prefix caching composes with the BASE model only: "
+                    "the cached prefix KV was prefilled without the "
+                    "adapter (register a per-adapter prefix instead)")
         if self._ring:
             # ring slots have unbounded positions: only the PROMPT must
             # fit the bounded prefill; the decode budget is unlimited
@@ -545,7 +623,12 @@ class ServeEngine:
                                             jnp.asarray(ids), plen, cfg, W)
             kv, total = (ek, ev), pref_len + plen
         else:
-            logits, cache = self._prefill(self.params, jnp.asarray(ids), cfg,
+            # adapter requests prefill through the fully-merged weights
+            # (single-request prefill batches nothing, so merging is the
+            # zero-overhead form); decode uses the batched side-path
+            prm = (self._lora_merged[req.lora_id] if req.lora_id
+                   else self.params)
+            logits, cache = self._prefill(prm, jnp.asarray(ids), cfg,
                                           length=plen)
             kv, total = (cache["k"], cache["v"]), plen
         if self._paged:
@@ -572,6 +655,9 @@ class ServeEngine:
             self._samp_dev = None
         self._slot_req[slot] = req
         self._count[slot] = 0
+        if self._max_loras:
+            # a reused slot must DROP its previous occupant's adapter
+            self._cache = _set_slot_lora(self._cache, slot, req.lora_id)
         self._scanned[slot] = 0
         assert not self._slot_chunks[slot]
         self.stats["prefills"] += 1

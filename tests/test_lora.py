@@ -130,6 +130,89 @@ class TestCheckpoint:
         assert tree_equal(got, lora)
 
 
+class TestMultiLoRAServing:
+    """Per-request adapters in the slot engine (engine.register_lora)."""
+
+    def _adapter(self, seed, rank=4, alpha=8.0):
+        lcfg = LoRAConfig(rank=rank, alpha=alpha)
+        lora = init_lora_params(PARAMS, lcfg, seed=seed)
+        rng = np.random.default_rng(seed + 100)
+        layers = {
+            k: (jnp.asarray(rng.normal(0, 0.05, v.shape), jnp.float32)
+                if k.endswith("_B") else v)
+            for k, v in lora["layers"].items()
+        }
+        return {"layers": layers}, lcfg
+
+    def test_mixed_adapters_match_merged_engines(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        a1, c1 = self._adapter(1)
+        a2, c2 = self._adapter(2, rank=3, alpha=6.0)  # rank-padded
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          max_loras=2, lora_rank=4)
+        i1 = eng.register_lora(a1, c1)
+        i2 = eng.register_lora(a2, c2)
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(0, 31, size=int(n)).tolist()
+                   for n in rng.integers(3, 10, size=6)]
+        lids = [0, i1, i2, i2, 0, i1]
+        ids = [eng.submit(Request(p, 6, lora_id=l))
+               for p, l in zip(prompts, lids)]
+        done = {c.request_id: c.tokens for c in eng.run()}
+
+        # oracle: one plain engine per adapter, fully merged weights
+        for lid, merged in ((0, PARAMS),
+                            (i1, lora_merge(PARAMS, a1, c1)),
+                            (i2, lora_merge(PARAMS, a2, c2))):
+            ref = ServeEngine(merged, CFG, n_slots=2, chunk=4, top_k=1)
+            keep = [(p, r) for p, l, r in zip(prompts, lids, ids)
+                    if l == lid]
+            rids = [ref.submit(Request(p, 6)) for p, _ in keep]
+            ref_done = {c.request_id: c.tokens for c in ref.run()}
+            for (_, rid_mixed), rid_ref in zip(keep, rids):
+                assert done[rid_mixed] == ref_done[rid_ref], \
+                    f"adapter {lid} tokens diverge"
+
+    def test_adapters_actually_differ(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        a1, c1 = self._adapter(3)
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          max_loras=1)
+        lid = eng.register_lora(a1, c1)
+        prompt = list(range(1, 9))
+        r0 = eng.submit(Request(prompt, 12))
+        r1 = eng.submit(Request(prompt, 12, lora_id=lid))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        assert done[r0] != done[r1]  # the adapter changed the stream
+
+    def test_validation(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        a1, c1 = self._adapter(4)
+        with pytest.raises(ValueError, match="max_loras"):
+            ServeEngine(PARAMS, CFG, chunk=4).register_lora(a1, c1)
+        eng = ServeEngine(PARAMS, CFG, chunk=4, max_loras=1,
+                          lora_rank=4)
+        with pytest.raises(ValueError, match="unknown lora_id"):
+            eng.submit(Request([1, 2], 4, lora_id=1))
+        lid = eng.register_lora(a1, c1)
+        with pytest.raises(ValueError, match="registered"):
+            eng.register_lora(a1, c1)  # slots exhausted
+        pid = eng.register_prefix([1, 2, 3])
+        with pytest.raises(ValueError, match="BASE model"):
+            eng.submit(Request([1, 2], 4, lora_id=lid, prefix_id=pid))
+        big, bigc = self._adapter(5, rank=8)
+        with pytest.raises(ValueError, match="rank"):
+            eng2 = ServeEngine(PARAMS, CFG, chunk=4, max_loras=1,
+                               lora_rank=4)
+            eng2.register_lora(big, bigc)
+        with pytest.raises(ValueError, match="dense slot engine"):
+            ServeEngine(PARAMS, CFG, chunk=4, max_loras=1, paged=True,
+                        page=16)
+
+
 class TestCLI:
     def test_train_lora_then_sample(self, tmp_path, capsys):
         from linalg_tpu.apps.gpt import build_parser
