@@ -365,6 +365,15 @@ def serve_cli(args) -> None:
           f"= {n_tok / max(wall, 1e-9):.0f} tok/s useful; "
           f"slots={args.n_slots} chunk={args.chunk} "
           f"prefills={eng.stats['prefills']}]")
+    if done:
+        import numpy as _np2
+
+        lat = _np2.array([c.latency_s for c in done.values()])
+        qws = _np2.array([c.queue_s for c in done.values()])
+        print(f"[latency p50/p95: {_np2.percentile(lat, 50):.3f}/"
+              f"{_np2.percentile(lat, 95):.3f}s  queue-wait p50/p95: "
+              f"{_np2.percentile(qws, 50):.3f}/"
+              f"{_np2.percentile(qws, 95):.3f}s]")
 
 
 def repl(args) -> None:

@@ -94,7 +94,23 @@ class Completion:
     prompt_len: int
     finish_reason: str  # "length" | "stop"
     submitted_at: float = 0.0
+    admitted_at: float = 0.0  # when the request left the queue for a slot
     finished_at: float = 0.0
+
+    @property
+    def queue_s(self) -> float:
+        """Seconds spent waiting for a slot (and, in paged mode, pages)."""
+        return self.admitted_at - self.submitted_at
+
+    @property
+    def latency_s(self) -> float:
+        return self.finished_at - self.submitted_at
+
+    @property
+    def decode_tok_s(self) -> float:
+        """Generated tokens per second of post-admission time."""
+        return len(self.tokens) / max(self.finished_at - self.admitted_at,
+                                      1e-9)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
@@ -433,6 +449,7 @@ class ServeEngine:
         self._key = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
         self._submit_ts: Dict[int, float] = {}
+        self._admit_ts: Dict[int, float] = {}
         self.completions: List[Completion] = []
         self.stats = {"chunks": 0, "decode_tokens": 0, "emitted_tokens": 0,
                       "prefills": 0, "syncs": 0}
@@ -654,6 +671,7 @@ class ServeEngine:
             self._top_k[slot] = req_k
             self._samp_dev = None
         self._slot_req[slot] = req
+        self._admit_ts[req.request_id] = time.perf_counter()
         self._count[slot] = 0
         if self._max_loras:
             # a reused slot must DROP its previous occupant's adapter
@@ -716,6 +734,7 @@ class ServeEngine:
             prompt_len=len(req.prompt),
             finish_reason=reason,
             submitted_at=self._submit_ts.pop(req.request_id),
+            admitted_at=self._admit_ts.pop(req.request_id, 0.0),
             finished_at=finished_ts,
         ))
         self.stats["emitted_tokens"] += len(tokens)

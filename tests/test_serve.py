@@ -147,6 +147,21 @@ class TestEngineSemantics:
         assert c.finish_reason == "stop"
         assert c.tokens == full[:full.index(stop) + 1]
 
+    def test_latency_fields(self):
+        # host-observable request timing: submit <= admit <= finish, and
+        # a QUEUED request (more requests than slots) waits measurably
+        rng = np.random.default_rng(55)
+        reqs = [Request(rng_prompt(rng, CFG), 8) for _ in range(3)]
+        out = serve(PARAMS, CFG, reqs, n_slots=1, chunk=4, top_k=1)
+        assert len(out) == 3
+        for c in out:
+            assert c.submitted_at <= c.admitted_at <= c.finished_at
+            assert c.queue_s >= 0 and c.latency_s > 0
+            assert c.decode_tok_s > 0
+        # with one slot the later requests queue behind the first
+        by_finish = sorted(out, key=lambda c: c.finished_at)
+        assert by_finish[-1].queue_s > by_finish[0].queue_s
+
     def test_chunk_boundary_exact_budget(self):
         """max_new_tokens equal to and off by one from the chunk size."""
         rng = np.random.default_rng(6)
