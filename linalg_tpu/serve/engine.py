@@ -442,8 +442,9 @@ class ServeEngine:
         self._since_sync = 0
         self.sync_every = 16  # safety valve on dispatch-queue depth
         self._queue: Deque[Request] = deque()
-        # prefix_id -> (k, v, logits, plen): KV of a shared prompt prefix,
-        # prefilled ONCE and scattered+extended per admission
+        # prefix_id -> (k, v, logits, plen, shared_pages, lora_id): KV of a
+        # shared prompt prefix, prefilled ONCE and scattered+extended per
+        # admission (through the prefix's adapter when it wears one)
         self._prefixes: Dict[int, tuple] = {}
         self._prefix_ids = itertools.count()
         self._key = jax.random.PRNGKey(seed)
@@ -456,7 +457,8 @@ class ServeEngine:
 
     # -- submission ---------------------------------------------------------
 
-    def register_prefix(self, tokens: Sequence[int]) -> int:
+    def register_prefix(self, tokens: Sequence[int],
+                        lora_id: int = 0) -> int:
         """Prefill a shared prompt prefix ONCE and cache its KV.
 
         Requests submitted with ``prefix_id=<returned id>`` behave as if
@@ -467,12 +469,20 @@ class ServeEngine:
         effective prompt-length cap: prefix length is bounded by
         ``ctx_len``, not ``prefill_window``.
 
+        ``lora_id`` (multi-LoRA engines) prefills the prefix through that
+        adapter's merged weights; the prefix is then usable ONLY by
+        requests wearing the same adapter (the cached KV bakes the
+        adapter's projections in).
+
         Dense GPT only (the block-extend forward has no MoE routing).
         """
         from ..models.moe import MoEGPTConfig
 
         if isinstance(self.cfg, MoEGPTConfig):
             raise ValueError("prefix caching supports the dense GPT only")
+        if lora_id and (not self._max_loras or lora_id > self._n_loras):
+            raise ValueError(f"unknown lora_id {lora_id} "
+                             f"({self._n_loras} registered)")
         plen = len(tokens)
         limit = self.cfg.ctx_len - self.chunk - 1
         if not (0 < plen <= limit):
@@ -482,7 +492,8 @@ class ServeEngine:
         # ONE compile for any prefix length: right-pad to the cap
         ids = np.zeros((1, limit), np.int32)
         ids[0, :plen] = np.asarray(tokens, np.int32)
-        logits, cache = self._prefill(self.params, jnp.asarray(ids),
+        prm = self._lora_merged[lora_id] if lora_id else self.params
+        logits, cache = self._prefill(prm, jnp.asarray(ids),
                                       self.cfg, length=plen)
         shared: List[int] = []
         if self._paged:
@@ -506,7 +517,8 @@ class ServeEngine:
                 self._cache = _scatter_pages(
                     self._cache, cache["k"], cache["v"], jnp.asarray(full))
         pid = next(self._prefix_ids)
-        self._prefixes[pid] = (cache["k"], cache["v"], logits, plen, shared)
+        self._prefixes[pid] = (cache["k"], cache["v"], logits, plen, shared,
+                               lora_id)
         return pid
 
     def register_lora(self, adapters, lcfg) -> int:
@@ -553,15 +565,20 @@ class ServeEngine:
             if req.prefix_id not in self._prefixes:
                 raise ValueError(f"unknown prefix_id {req.prefix_id}")
             pref_len = self._prefixes[req.prefix_id][3]
-        if req.lora_id:
-            if not self._max_loras or req.lora_id > self._n_loras:
-                raise ValueError(f"unknown lora_id {req.lora_id} "
-                                 f"({self._n_loras} registered)")
-            if req.prefix_id is not None:
+        if req.lora_id and (not self._max_loras
+                            or req.lora_id > self._n_loras):
+            raise ValueError(f"unknown lora_id {req.lora_id} "
+                             f"({self._n_loras} registered)")
+        if req.prefix_id is not None:
+            # a cached prefix KV bakes in the projections of the params
+            # it was prefilled with — usable only by the SAME adapter
+            pref_lora = self._prefixes[req.prefix_id][5]
+            if pref_lora != req.lora_id:
                 raise ValueError(
-                    "prefix caching composes with the BASE model only: "
-                    "the cached prefix KV was prefilled without the "
-                    "adapter (register a per-adapter prefix instead)")
+                    f"prefix {req.prefix_id} was prefilled with adapter "
+                    f"{pref_lora}; request wears {req.lora_id} — register "
+                    f"a per-adapter prefix (register_prefix(..., "
+                    f"lora_id={req.lora_id}))")
         if self._ring:
             # ring slots have unbounded positions: only the PROMPT must
             # fit the bounded prefill; the decode budget is unlimited
@@ -611,7 +628,7 @@ class ServeEngine:
         scatter_ids = table_ids = None
         pref_len, shared = 0, []
         if req.prefix_id is not None:
-            pref_len, shared = self._prefixes[req.prefix_id][3:]
+            pref_len, shared = self._prefixes[req.prefix_id][3:5]
         if self._paged:
             # admission control by memory: reserve every page the request
             # can touch (prompt + chunk-rounded decode budget) MINUS the
@@ -636,7 +653,11 @@ class ServeEngine:
         # never synced — the next decode chunk consumes them on-device
         if req.prefix_id is not None:
             pk, pv = self._prefixes[req.prefix_id][:2]
-            logits, ek, ev = _extend_prefix(self.params, pk, pv, pref_len,
+            # the suffix rows' K/V must come from the SAME projections as
+            # the prefix's (adapter-merged when the prefix wears one)
+            prm = (self._lora_merged[req.lora_id] if req.lora_id
+                   else self.params)
+            logits, ek, ev = _extend_prefix(prm, pk, pv, pref_len,
                                             jnp.asarray(ids), plen, cfg, W)
             kv, total = (ek, ev), pref_len + plen
         else:

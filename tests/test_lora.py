@@ -187,6 +187,30 @@ class TestMultiLoRAServing:
         done = {c.request_id: c.tokens for c in eng.run()}
         assert done[r0] != done[r1]  # the adapter changed the stream
 
+    def test_per_adapter_prefix(self):
+        # a prefix prefilled THROUGH an adapter serves that adapter's
+        # requests, matching the merged-model engine with the same prefix
+        from linalg_tpu.serve import Request, ServeEngine
+
+        a1, c1 = self._adapter(6)
+        prefix = list(range(1, 13))
+        sufs = [[3, 5, 7], [9, 2], [4, 4, 4, 4]]
+
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          max_loras=1)
+        lid = eng.register_lora(a1, c1)
+        pid = eng.register_prefix(prefix, lora_id=lid)
+        ids = [eng.submit(Request(s, 5, lora_id=lid, prefix_id=pid))
+               for s in sufs]
+        done = {c.request_id: c.tokens for c in eng.run()}
+
+        ref = ServeEngine(lora_merge(PARAMS, a1, c1), CFG, n_slots=2,
+                          chunk=4, top_k=1)
+        rpid = ref.register_prefix(prefix)
+        rids = [ref.submit(Request(s, 5, prefix_id=rpid)) for s in sufs]
+        rdone = {c.request_id: c.tokens for c in ref.run()}
+        assert [done[i] for i in ids] == [rdone[i] for i in rids]
+
     def test_validation(self):
         from linalg_tpu.serve import Request, ServeEngine
 
@@ -200,9 +224,14 @@ class TestMultiLoRAServing:
         lid = eng.register_lora(a1, c1)
         with pytest.raises(ValueError, match="registered"):
             eng.register_lora(a1, c1)  # slots exhausted
-        pid = eng.register_prefix([1, 2, 3])
-        with pytest.raises(ValueError, match="BASE model"):
+        pid = eng.register_prefix([1, 2, 3])  # base-model prefix
+        with pytest.raises(ValueError, match="per-adapter prefix"):
             eng.submit(Request([1, 2], 4, lora_id=lid, prefix_id=pid))
+        pid_a = eng.register_prefix([1, 2, 3], lora_id=lid)
+        with pytest.raises(ValueError, match="per-adapter prefix"):
+            eng.submit(Request([1, 2], 4, prefix_id=pid_a))  # base req
+        with pytest.raises(ValueError, match="unknown lora_id"):
+            eng.register_prefix([1, 2, 3], lora_id=9)
         big, bigc = self._adapter(5, rank=8)
         with pytest.raises(ValueError, match="rank"):
             eng2 = ServeEngine(PARAMS, CFG, chunk=4, max_loras=1,
