@@ -551,6 +551,77 @@ def bench_paged():
           rates["tight"], "tok/s", rates["tight"] / rates["slot"])
 
 
+def bench_lora():
+    """Multi-LoRA serving: the cost of per-slot adapters in the decode.
+
+    Mixed-adapter requests batch into one decode chunk through the
+    low-rank side-path (y += scale*(x@A[id])@B[id] per attention
+    projection) — this row measures that side-path's toll vs the plain
+    engine on the same workload. The adapters here are rank-8 on a
+    d512/4L model: the extra per-token FLOPs are ~1.5% of the base
+    matvecs, so the expected cost is launch/gather overhead, not math.
+    """
+    from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+    from linalg_tpu.models.lora import LoRAConfig, init_lora_params
+    from linalg_tpu.serve import Request, ServeEngine
+
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=4, n_layers=4,
+                    ctx_len=256)
+    params = init_gpt_params(cfg, seed=0)
+    rng = np.random.default_rng(3)
+    R, SLOTS, CHUNK = 48, 8, 32
+    reqs = [(rng.integers(0, 65, size=(int(L),)).astype(np.int32), int(n))
+            for L, n in zip(rng.integers(3, 120, size=(R,)),
+                            rng.integers(8, 129, size=(R,)))]
+
+    import jax.numpy as jnp
+
+    def adapter(seed):
+        lcfg = LoRAConfig(rank=8, alpha=16.0)
+        lora = init_lora_params(params, lcfg, seed=seed)
+        lora = {"layers": {
+            k: (jnp.asarray(rng.normal(0, 0.02, v.shape), jnp.float32)
+                if k.endswith("_B") else v)
+            for k, v in lora["layers"].items()}}
+        return lora, lcfg
+
+    # Engines are built and adapters registered ONCE (setup: stack writes
+    # + per-adapter merged-weight prefill params); each timed pass is
+    # submit-all + run on the warm engine, so the row isolates the decode
+    # side-path toll rather than registration/merge setup.
+    N_LORAS = 4
+    eng_lora = ServeEngine(params, cfg, n_slots=SLOTS, chunk=CHUNK,
+                           prefill_window=128, max_loras=N_LORAS)
+    lids = [0] + [eng_lora.register_lora(*adapter(s))
+                  for s in range(N_LORAS)]
+    eng_plain = ServeEngine(params, cfg, n_slots=SLOTS, chunk=CHUNK,
+                            prefill_window=128)
+
+    def run_lora():
+        for i, (p, n) in enumerate(reqs):
+            eng_lora.submit(Request(p, n, lora_id=lids[i % len(lids)]))
+        return sum(len(c.tokens) for c in eng_lora.run())
+
+    def run_plain():
+        for p, n in reqs:
+            eng_plain.submit(Request(p, n))
+        return sum(len(c.tokens) for c in eng_plain.run())
+
+    rates = {}
+    for name, fn in (("plain", run_plain), ("lora4", run_lora)):
+        fn()  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            useful = fn()
+            samples.append(useful / (time.perf_counter() - t0))
+        rates[name] = float(np.median(samples))
+    _emit(f"multi-LoRA serving: {R} ragged requests over 4 rank-8 "
+          f"adapters + base, {SLOTS} slots — useful tok/s vs the plain "
+          f"engine ({rates['plain']:.0f} tok/s)",
+          rates["lora4"], "tok/s", rates["lora4"] / rates["plain"])
+
+
 def bench_quant():
     """Int8 weight-only decode (deq + int8 arithmetic) vs the bf16 decode.
 
@@ -793,6 +864,7 @@ SECTIONS = {
     "sampler": bench_sampler,
     "serve": bench_serve,
     "paged": bench_paged,
+    "lora": bench_lora,
     "speculative": bench_speculative,
     "quant": bench_quant,
     "gqa": bench_gqa,
@@ -816,8 +888,8 @@ def main():
     elif args.all:
         # headline (qr) LAST: the driver parses the final line
         for name in ("attention", "train", "moe", "sampler", "serve",
-                     "paged", "speculative", "quant", "gqa", "prefix",
-                     "stream", "qr"):
+                     "paged", "lora", "speculative", "quant", "gqa",
+                     "prefix", "stream", "qr"):
             SECTIONS[name]()
     else:
         bench_qr()

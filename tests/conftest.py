@@ -16,10 +16,29 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The axon sitecustomize force-registers the TPU backend and overwrites
 # jax_platforms at interpreter start, so the env var alone is not enough —
 # the config update below is what actually pins tests to CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles thousands of XLA:CPU executables; letting them
+    accumulate has produced a deterministic SIGSEGV inside
+    ``backend_compile_and_load`` ~70% through the run (the dying test
+    passes standalone). Modules rarely share jitted functions, so clearing
+    per module costs little recompilation and keeps the process footprint
+    bounded.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
