@@ -18,6 +18,7 @@ Two forms:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -152,10 +153,35 @@ def fkv_write_slots(k_buf, v_buf, pos, k_new, v_new):
     This is the continuous-batching primitive: slots in a serving batch sit
     at independent sequence positions (requests join and leave the in-flight
     batch at different times), so the shared-scalar ``fkv_write`` cannot
-    serve them. Implemented as a batch-vmapped ``dynamic_update_slice`` —
-    one fixed-shape scatter, no host sync.
+    serve them.
+
+    Two lowerings, same semantics (positions clamped to ``max_T - t`` as a
+    vmapped ``dynamic_update_slice`` would clamp them):
+
+    - t == 1 (the decode hot loop, executed once per layer per token): the
+      buffer is viewed as (B*h*max_T, d) and the write is a SINGLE-
+      leading-index row scatter — the vmapped-DUS form lowers to a
+      (batch, time) double-index scatter around a full head axis, which
+      TPU handles far worse.
+    - t > 1 (prefill block-extends): batch-vmapped ``dynamic_update_slice``
+      — a contiguous (h, t, d) block copy per slot beats a t-row scatter.
     """
     pos = jnp.asarray(pos, jnp.int32)
+    B, h, max_T, d = k_buf.shape
+    t = k_new.shape[2]
+    if t == 1 and os.environ.get("LINALG_TPU_KV_WRITE") != "dus":
+        p = jnp.minimum(pos, max_T - 1)
+        ridx = ((jnp.arange(B)[:, None] * h + jnp.arange(h)[None, :]) * max_T
+                + p[:, None]).reshape(-1)  # (B*h,)
+
+        def put(buf, new):
+            # (b, h) pairs are distinct and b-major => rows unique + sorted
+            flat = buf.reshape(B * h * max_T, d)
+            return flat.at[ridx].set(
+                new[:, :, 0, :].reshape(-1, d), unique_indices=True,
+                indices_are_sorted=True).reshape(buf.shape)
+
+        return put(k_buf, k_new), put(v_buf, v_new)
 
     def one(buf, new, p):
         zero = jnp.zeros((), jnp.int32)

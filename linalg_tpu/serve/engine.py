@@ -367,9 +367,10 @@ class ServeEngine:
             self._shared_held = 0  # pages pinned by registered prefixes
             # attention read: Pallas in-place page kernel vs XLA
             # table-gather. The gather materializes the gathered KV per
-            # step (~3x attention HBM traffic — 0.68x chunk throughput
-            # at ctx 4096); the kernel reads pages in place and stops
-            # its walk at each slot's position, but pays ~35 us of
+            # step (~3x attention HBM traffic — 0.95x of slot chunk
+            # throughput at ctx 4096); the kernel reads pages in place
+            # and stops its walk at each slot's position (0.99x of slot
+            # HALF-full, ahead as caches fill), but pays ~35 us of
             # dispatch per layer-step, which LOSES at short contexts
             # where the gather traffic is trivial (BASELINE.md round 4).
             # auto = kernel on TPU from ctx 2048 up, gather otherwise.

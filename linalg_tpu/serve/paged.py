@@ -36,6 +36,7 @@ Reference: extends /root/reference/gpt.py:518-546's sampler semantics
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import List
 
@@ -455,12 +456,29 @@ def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
 
     def write_paged(pk_l, pv_l, pos, k, v):
         # k/v: (B, hk, 1, d) new token; the clamp keeps idle slots (whose
-        # table rows are all trash) writing in range, as in slot mode
+        # table rows are all trash) writing in range, as in slot mode.
+        # The pool is flattened to (n_pages*hk*page, d) so the write is a
+        # SINGLE-leading-index row scatter — the natural (page, row)
+        # double-index scatter (index dims 0 and 2 around a full hk axis)
+        # lowers far worse on TPU. Duplicate targets only occur between
+        # idle slots colliding on the trash page, where either garbage
+        # value is fine (same as the double-index form).
         p = jnp.minimum(pos, ctx - 1)
         pidx = table[bidx, p // page]
         row = p % page
-        return (pk_l.at[pidx, :, row, :].set(k[:, :, 0, :]),
-                pv_l.at[pidx, :, row, :].set(v[:, :, 0, :]))
+        if os.environ.get("LINALG_TPU_KV_WRITE") == "dus":
+            return (pk_l.at[pidx, :, row, :].set(k[:, :, 0, :]),
+                    pv_l.at[pidx, :, row, :].set(v[:, :, 0, :]))
+        n_pg, hk, pg, d = pk_l.shape
+        ridx = ((pidx[:, None] * hk + jnp.arange(hk)[None, :]) * pg
+                + row[:, None]).reshape(-1)  # (B*hk,)
+
+        def put(buf, new):
+            flat = buf.reshape(n_pg * hk * pg, d)
+            return flat.at[ridx].set(
+                new[:, :, 0, :].reshape(-1, d)).reshape(buf.shape)
+
+        return put(pk_l, k), put(pv_l, v)
 
     ops = dict(ops, attn=paged_attn)
     toks, logits, pk, pv, pos = _decode_chunk_core(
