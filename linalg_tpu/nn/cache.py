@@ -169,8 +169,15 @@ def fkv_write_slots(k_buf, v_buf, pos, k_new, v_new):
     pos = jnp.asarray(pos, jnp.int32)
     B, h, max_T, d = k_buf.shape
     t = k_new.shape[2]
+    # NOTE: LINALG_TPU_KV_WRITE is read at TRACE time — flipping it
+    # mid-process needs jax.clear_caches() to take effect (the A/B tool
+    # tools/ab_kv_write.py does exactly that between variants).
     if t == 1 and os.environ.get("LINALG_TPU_KV_WRITE") != "dus":
-        p = jnp.minimum(pos, max_T - 1)
+        # normalize exactly as the vmapped DUS below does (a raw negative
+        # pos would scatter into the previous (b,h) row block and break
+        # the unique/sorted index promises): one Python-style wrap for
+        # negatives, then clamp to [0, max_T - 1]
+        p = jnp.clip(jnp.where(pos < 0, pos + max_T, pos), 0, max_T - 1)
         ridx = ((jnp.arange(B)[:, None] * h + jnp.arange(h)[None, :]) * max_T
                 + p[:, None]).reshape(-1)  # (B*h,)
 

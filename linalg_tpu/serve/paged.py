@@ -466,6 +466,9 @@ def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
         p = jnp.minimum(pos, ctx - 1)
         pidx = table[bidx, p // page]
         row = p % page
+        # trace-time gate: flipping LINALG_TPU_KV_WRITE mid-process needs
+        # jax.clear_caches() (see tools/ab_kv_write.py); equivalence of the
+        # two lowerings is pinned by tests/test_paged.py.
         if os.environ.get("LINALG_TPU_KV_WRITE") == "dus":
             return (pk_l.at[pidx, :, row, :].set(k[:, :, 0, :]),
                     pv_l.at[pidx, :, row, :].set(v[:, :, 0, :]))

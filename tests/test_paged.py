@@ -351,3 +351,67 @@ class TestPagedValidation:
             ServeEngine(init_moe_params(mcfg, seed=0), mcfg, paged=True)
         with pytest.raises(ValueError, match="paged"):
             ServeEngine(PARAMS, CFG, paged=True, quant="int8")
+
+
+class TestWriteLowerings:
+    """The legacy 'dus' KV-write lowering (LINALG_TPU_KV_WRITE=dus) must
+    stay equal to the flat row-scatter default — it is the A/B baseline
+    tools/ab_kv_write.py measures against (advisor round 4)."""
+
+    def _both(self, monkeypatch, fn):
+        monkeypatch.delenv("LINALG_TPU_KV_WRITE", raising=False)
+        jax.clear_caches()  # the gate is read at trace time
+        flat = fn()
+        monkeypatch.setenv("LINALG_TPU_KV_WRITE", "dus")
+        jax.clear_caches()
+        dus = fn()
+        monkeypatch.delenv("LINALG_TPU_KV_WRITE", raising=False)
+        jax.clear_caches()
+        return flat, dus
+
+    def test_fkv_write_slots_flat_equals_dus(self, monkeypatch):
+        from linalg_tpu.nn.cache import fkv_write_slots
+
+        rng = np.random.default_rng(0)
+        B, h, T, d = 3, 2, 16, 4
+        kb = jnp.asarray(rng.normal(size=(B, h, T, d)), jnp.float32)
+        vb = jnp.asarray(rng.normal(size=(B, h, T, d)), jnp.float32)
+        kn = jnp.asarray(rng.normal(size=(B, h, 1, d)), jnp.float32)
+        vn = jnp.asarray(rng.normal(size=(B, h, 1, d)), jnp.float32)
+        # in-range, upper-clamp, and NEGATIVE positions (the round-4
+        # advisor bug: flat clamped only the upper bound)
+        pos = jnp.asarray([5, T + 9, -3], jnp.int32)
+        (kf, vf), (kd, vd) = self._both(
+            monkeypatch, lambda: fkv_write_slots(kb, vb, pos, kn, vn))
+        np.testing.assert_array_equal(np.asarray(kf), np.asarray(kd))
+        np.testing.assert_array_equal(np.asarray(vf), np.asarray(vd))
+
+    def test_paged_chunk_flat_equals_dus(self, monkeypatch):
+        from linalg_tpu.serve.paged import decode_chunk_paged
+
+        page, B = 16, 2
+        n_pages = 1 + B * (CFG.ctx_len // page)
+        cache = init_paged_cache(CFG, B, n_pages, page)
+        # give each slot a private page table and a mid-sequence position
+        table = np.zeros((B, CFG.ctx_len // page), np.int32)
+        ids = iter(range(1, n_pages))
+        for b in range(B):
+            table[b] = [next(ids) for _ in range(CFG.ctx_len // page)]
+        cache = dict(cache, table=jnp.asarray(table),
+                     pos=jnp.asarray([3, 20], jnp.int32))
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(B, CFG.vocab_size)),
+                             jnp.float32)
+        key = jax.random.PRNGKey(0)
+        ones = jnp.ones((B,), jnp.float32)
+
+        def run():
+            t, lg, c = decode_chunk_paged(
+                PARAMS, cache, logits, key, ones, 0 * ones,
+                jnp.zeros((B,), jnp.int32), CFG, 4)
+            return (np.asarray(t), np.asarray(lg),
+                    np.asarray(c["pool_k"]), np.asarray(c["pool_v"]))
+
+        flat, dus = self._both(monkeypatch, run)
+        for a, b in zip(flat, dus):
+            np.testing.assert_array_equal(a, b)
