@@ -37,12 +37,15 @@ from ..nn.cache import fkv_advance, fkv_write
 from ..nn.positional import alibi_slopes
 from ..nn.functional import (
     causal_mask,
+    geglu,
+    gelu,
     layer_norm,
     relu,
     rope_rotate,
     rope_tables,
     sdpa,
     sinusoidal_encoding,
+    swiglu,
 )
 
 __all__ = [
@@ -85,6 +88,13 @@ class GPTConfig:
     # with rope/alibi it enables UNBOUNDED streaming decode through a
     # ring-buffer cache (``gpt_stream_decode``) — no context rollover.
     window: Optional[int] = None
+    # FFN nonlinearity: "relu" (reference transformer.py:148-154), "gelu",
+    # or the GATED units "swiglu"/"geglu" (reference README.md:61,71
+    # roadmap items, never built there). Gated configs carry an extra
+    # (L, D, F) gate projection Wg/bg — at the default d_ff = 4*d_model
+    # that is +1/3 FFN params (LLaMA-style 2/3 scaling is available via
+    # d_ff if parameter parity matters).
+    ffn: str = "relu"
 
     def __post_init__(self):
         if self.pos not in ("sinusoidal", "rope", "learned", "alibi"):
@@ -102,6 +112,9 @@ class GPTConfig:
         if self.window is not None and self.window < 1:
             raise ValueError("window must be >= 1 (tokens always see "
                              "at least themselves)")
+        if self.ffn not in ("relu", "gelu", "swiglu", "geglu"):
+            raise ValueError(f"Unknown ffn: {self.ffn!r} (expected relu, "
+                             "gelu, swiglu or geglu)")
 
     @property
     def dff(self) -> int:
@@ -115,6 +128,11 @@ class GPTConfig:
     def kv_heads(self) -> int:
         """Number of K/V heads (== n_heads unless GQA/MQA is on)."""
         return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def gated_ffn(self) -> bool:
+        """True for the two-branch FFN variants (extra Wg/bg per layer)."""
+        return self.ffn in ("swiglu", "geglu")
 
     @property
     def compute_dtype(self):
@@ -150,6 +168,9 @@ def init_gpt_params(cfg: GPTConfig, seed: int = 123) -> Params:
         "W2": he(F, (L, F, D)),
         "b2": jnp.zeros((L, D), jnp.float32),
     }
+    if cfg.gated_ffn:  # linear gate branch of swiglu/geglu
+        layers["Wg"] = he(D, (L, D, F))
+        layers["bg"] = jnp.zeros((L, F), jnp.float32)
     out = {
         "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
         "head_b": jnp.zeros((V,), jnp.float32),
@@ -210,9 +231,27 @@ def _gqa_decode_attn(q, k, v, mask):
     return out.reshape(B, H, Tq, d)
 
 
+def _ffn_dense(lp, x, ffn: str = "relu"):
+    """Position-wise FFN over one layer's weights, all variants.
+
+    relu/gelu: the reference's 2-matmul MLP (transformer.py:148-154 with
+    the activation swapped). swiglu/geglu: the gated two-branch form
+    ``f(x @ W1 + b1, x @ Wg + bg) @ W2 + b2`` (Shazeer 2020) using the
+    custom_vjp gated units of ``nn.functional`` — the hand-derived
+    product-rule backward IS the gradient jax.grad returns.
+    """
+    u = x @ lp["W1"] + lp["b1"]
+    if ffn in ("swiglu", "geglu"):
+        gate_fn = swiglu if ffn == "swiglu" else geglu
+        h = gate_fn(u, x @ lp["Wg"] + lp["bg"])
+    else:
+        h = gelu(u) if ffn == "gelu" else relu(u)
+    return h @ lp["W2"] + lp["b2"]
+
+
 def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
            fused: bool = False, attn_btd: Optional[Callable] = None,
-           n_kv: Optional[int] = None):
+           n_kv: Optional[int] = None, ffn: str = "relu"):
     """One pre-LN decoder block (reference gpt.py:161-169).
 
     ``rope`` is an optional (cos, sin) pair of (T, d_head/2) tables; when
@@ -237,7 +276,7 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
         a = attn_btd(xn @ lp["Wq"], xn @ lp["Wk"], xn @ lp["Wv"]) @ lp["Wo"]
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        f = _ffn_dense(lp, x2, ffn)
         return h1 + f, (None, None)
     if fused:
         from ..nn.fused_layer import ln_ffn, ln_qkv
@@ -262,12 +301,12 @@ def _layer(h_in, lp, mask, n_heads: int, attn_fn: Callable, rope=None,
         a = _unheads(attn_fn(q, _gqa_expand(k, n_heads),
                              _gqa_expand(v, n_heads), mask)) @ lp["Wo"]
     h1 = h_in + a
-    if fused:
+    if fused:  # _pick_fused gates this path to ffn="relu"
         f = ln_ffn(h1, lp["ln2_g"], lp["ln2_b"],
                    lp["W1"], lp["b1"], lp["W2"], lp["b2"])
     else:
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        f = _ffn_dense(lp, x2, ffn)
     return h1 + f, (k, v)
 
 
@@ -287,6 +326,8 @@ def _pick_fused(B: int, T: int, cfg: "GPTConfig") -> bool:
         return False  # the fused QKV kernel assumes equal-width projections
     if cfg.window is not None:
         return False  # downstream attention must see the window mask
+    if cfg.ffn != "relu":
+        return False  # ln_ffn bakes in the relu MLP (no gate branch)
     if os.environ.get("LINALG_TPU_FUSED_LN", "") != "1":
         return False
     try:
@@ -535,7 +576,7 @@ def _gpt_trunk(params: Params, x_ids, cfg: GPTConfig,
 
     def body(carry, lp):
         out, _ = _layer(carry, lp, mask, cfg.n_heads, attn_fn, rope, fused,
-                        attn_btd, n_kv=cfg.kv_heads)
+                        attn_btd, n_kv=cfg.kv_heads, ffn=cfg.ffn)
         return out, None
 
     # NOTE: jax.checkpoint(body) here saves ~5% step time (the step is
@@ -628,7 +669,7 @@ def gpt_prefill(params: Params, x_ids, cfg: GPTConfig, length=None):
 
     def body(carry, lp):
         out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope,
-                             n_kv=cfg.kv_heads)
+                             n_kv=cfg.kv_heads, ffn=cfg.ffn)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -695,7 +736,7 @@ def gpt_prefill_batched(params: Params, x_ids, start, cfg: GPTConfig):
 
     def body(carry, lp):
         out, (k, v) = _layer(carry, lp, mask, cfg.n_heads, sdpa, rope,
-                             n_kv=cfg.kv_heads)
+                             n_kv=cfg.kv_heads, ffn=cfg.ffn)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -805,8 +846,8 @@ def gpt_decode_step(params: Params, cache, token, cfg: GPTConfig):
         k_l, v_l = fkv_write(k_l, v_l, pos, k, v)
         a = _unheads(_gqa_decode_attn(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
-        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        f = _ffn_dense(lp, layer_norm(h1, lp["ln2_g"], lp["ln2_b"]),
+                       cfg.ffn)
         return h1 + f, (k_l, v_l)
 
     h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
@@ -885,9 +926,28 @@ def _dt_decode_ops(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
     if cfg.pos not in ("rope", "alibi"):
         pe = (params["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
+    lws = {"lp": layers, "W3": W3}
+    if cfg.gated_ffn:
+        # fuse the up + gate branches into ONE (D, 2F) matvec per token
+        # (same hoisting story as the QKV concat above)
+        lws["W1g"] = jnp.concatenate([layers["W1"], layers["Wg"]], axis=-1)
+        lws["b1g"] = jnp.concatenate([layers["b1"], layers["bg"]], axis=-1)
+        F = cfg.dff
+        gate_fn = swiglu if cfg.ffn == "swiglu" else geglu
+
+        def ffn(lw, x2):
+            ug = x2 @ lw["W1g"] + lw["b1g"]  # (B, 1, 2F)
+            h = gate_fn(ug[..., :F], ug[..., F:])
+            return h @ lw["lp"]["W2"] + lw["lp"]["b2"]
+    else:
+        act = gelu if cfg.ffn == "gelu" else relu
+
+        def ffn(lw, x2):
+            return (act(x2 @ lw["lp"]["W1"] + lw["lp"]["b1"])
+                    @ lw["lp"]["W2"] + lw["lp"]["b2"])
     return {
         # per-layer pytree scanned over L; lw below is one layer's slice
-        "lws": {"lp": layers, "W3": W3},
+        "lws": lws,
         "embed": lambda token: tokW[token][:, None, :],
         # clamp: a serving slot's position may grow past the table while it
         # idles (output discarded); the clamp just keeps the gather in range
@@ -899,8 +959,7 @@ def _dt_decode_ops(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
         "out": lambda lw, y: y @ lw["lp"]["Wo"],
         "ln2": lambda lw, x: layer_norm(x, lw["lp"]["ln2_g"],
                                         lw["lp"]["ln2_b"]),
-        "ffn": lambda lw, x2: (relu(x2 @ lw["lp"]["W1"] + lw["lp"]["b1"])
-                               @ lw["lp"]["W2"] + lw["lp"]["b2"]),
+        "ffn": ffn,
         "head": lambda h: (h @ tokW.T + head_b).astype(jnp.float32),
     }
 

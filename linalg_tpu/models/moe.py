@@ -90,6 +90,9 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
         "W2": he(F, (L, E, F, D)),
         "b2": jnp.zeros((L, E, D), jnp.float32),
     }
+    if cfg.gated_ffn:  # per-expert gate branch (swiglu/geglu experts)
+        layers["Wg"] = he(D, (L, E, D, F))
+        layers["bg"] = jnp.zeros((L, E, F), jnp.float32)
     out = {
         "tok_W": jnp.asarray(rng.normal(0.0, 0.02, size=(V, D)), jnp.float32),
         "head_b": jnp.zeros((V,), jnp.float32),
@@ -101,8 +104,25 @@ def init_moe_params(cfg: MoEGPTConfig, seed: int = 123) -> Params:
     return out
 
 
+def _expert_mlp(xin, W1, b1, W2, b2, Wg, bg, ffn: str):
+    """The per-expert position-wise MLP over dispatched slots
+    ``xin`` (B, E, C, D) — relu/gelu or the gated swiglu/geglu variants
+    (``Wg``/``bg`` are the per-expert gate branch, None for ungated)."""
+    from ..nn.functional import geglu, gelu, swiglu
+
+    u = jnp.einsum("becd,edf->becf", xin, W1) + b1[None, :, None, :]
+    if ffn in ("swiglu", "geglu"):
+        gate_fn = swiglu if ffn == "swiglu" else geglu
+        h = gate_fn(u, jnp.einsum("becd,edf->becf", xin, Wg)
+                    + bg[None, :, None, :])
+    else:
+        h = gelu(u) if ffn == "gelu" else relu(u)
+    return jnp.einsum("becf,efd->becd", h, W2) + b2[None, :, None, :]
+
+
 def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
             top_k: int = 1, mode: str = "einsum", valid=None,
+            Wg=None, bg=None, ffn: str = "relu",
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k routed expert FFN (k=1 Switch, k=2 GShard), per-row GROUPS.
 
@@ -188,9 +208,7 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
         # dispatch: gather token rows into expert slots (empty -> 0 row)
         x_pad = jnp.concatenate([x, jnp.zeros((B, 1, D), x.dtype)], axis=1)
         xin = x_pad[b_ix[..., None], tok_slot[:, :, :C]]   # (B, E, C, D)
-        h = relu(jnp.einsum("becd,edf->becf", xin, W1)
-                 + b1[None, :, None, :])
-        out_e = jnp.einsum("becf,efd->becd", h, W2) + b2[None, :, None, :]
+        out_e = _expert_mlp(xin, W1, b1, W2, b2, Wg, bg, ffn)
         # combine: each token reads its slot back (overflow slot C = 0 row)
         out_e_pad = jnp.concatenate(
             [out_e, jnp.zeros((B, E, 1, D), out_e.dtype)], axis=2)
@@ -224,9 +242,7 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
 
         # dense dispatch/combine (GShard): everything stays einsum-shaped
         xin = jnp.einsum("btec,btd->becd", dispatch, x)    # (B, E, C, D)
-        h = relu(jnp.einsum("becd,edf->becf", xin, W1)
-                 + b1[None, :, None, :])
-        out_e = jnp.einsum("becf,efd->becd", h, W2) + b2[None, :, None, :]
+        out_e = _expert_mlp(xin, W1, b1, W2, b2, Wg, bg, ffn)
         out = jnp.einsum("btec,becd->btd", combine, out_e)
 
     # Switch load-balance loss over ALL tokens: E * sum_e f_e * P_e, with f
@@ -247,7 +263,8 @@ def moe_ffn(x, Wr, W1, b1, W2, b2, capacity: int,
 
 def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
                rope, capacity: int, top_k: int = 1, fused: bool = False,
-               mode: str = "gather", valid=None, n_kv: Optional[int] = None):
+               mode: str = "gather", valid=None, n_kv: Optional[int] = None,
+               ffn: str = "relu"):
     """Pre-LN decoder block with the dense FFN swapped for the routed MoE.
 
     Returns (out, (k, v), aux) — the K/V pair feeds the decode cache (at
@@ -279,7 +296,8 @@ def _moe_layer(h_in, lp, mask, n_heads: int, attn_fn: Callable,
     h1 = h_in + a
     x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
     f, aux = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"], lp["b2"],
-                     capacity, top_k, mode, valid)
+                     capacity, top_k, mode, valid,
+                     Wg=lp.get("Wg"), bg=lp.get("bg"), ffn=ffn)
     return h1 + f, (k, v), aux
 
 
@@ -314,7 +332,7 @@ def moe_gpt_apply(params: Params, x_ids, cfg: MoEGPTConfig,
     def body(carry, lp):
         out, _, aux = _moe_layer(carry, lp, mask, cfg.n_heads, attn_fn, rope,
                                  cap, cfg.router_top_k, fused, cfg.dispatch,
-                                 n_kv=cfg.kv_heads)
+                                 n_kv=cfg.kv_heads, ffn=cfg.ffn)
         return out, aux
 
     h, auxes = lax.scan(body, h, layers)
@@ -372,7 +390,8 @@ def moe_prefill(params: Params, x_ids, cfg: MoEGPTConfig, length=None):
     def body(carry, lp):
         out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
                                     rope, cap, cfg.router_top_k,
-                                    mode=cfg.dispatch, n_kv=cfg.kv_heads)
+                                    mode=cfg.dispatch, n_kv=cfg.kv_heads,
+                                    ffn=cfg.ffn)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -434,7 +453,7 @@ def moe_prefill_batched(params: Params, x_ids, start, cfg: MoEGPTConfig):
         out, (k, v), _ = _moe_layer(carry, lp, mask, cfg.n_heads, sdpa,
                                     rope, cap, cfg.router_top_k,
                                     mode=cfg.dispatch, valid=valid,
-                                    n_kv=cfg.kv_heads)
+                                    n_kv=cfg.kv_heads, ffn=cfg.ffn)
         return out, (k, v)
 
     h, (K, V) = lax.scan(body, h, layers)
@@ -495,7 +514,8 @@ def moe_decode_step(params: Params, cache, token, cfg: MoEGPTConfig):
         h1 = h_in + a
         x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
         f, _ = moe_ffn(x2, lp["Wr"], lp["W1"], lp["b1"], lp["W2"],
-                       lp["b2"], cap, cfg.router_top_k, cfg.dispatch)
+                       lp["b2"], cap, cfg.router_top_k, cfg.dispatch,
+                       Wg=lp.get("Wg"), bg=lp.get("bg"), ffn=cfg.ffn)
         return h1 + f, (k_l, v_l)
 
     h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))
@@ -540,7 +560,8 @@ def _moe_decode_ops(params: Params, cfg: MoEGPTConfig):
         "ffn": lambda lw, x2: moe_ffn(
             x2, lw["lp"]["Wr"], lw["lp"]["W1"], lw["lp"]["b1"],
             lw["lp"]["W2"], lw["lp"]["b2"], cap, cfg.router_top_k,
-            cfg.dispatch)[0],
+            cfg.dispatch, Wg=lw["lp"].get("Wg"), bg=lw["lp"].get("bg"),
+            ffn=cfg.ffn)[0],
         "head": lambda h: (h @ tokW.T + head_b).astype(jnp.float32),
     }
 

@@ -124,16 +124,25 @@ def quantize_gpt_params(params: Params, cfg: GPTConfig) -> Dict[str, Any]:
     W3 = jnp.concatenate([L["Wq"], L["Wk"], L["Wv"]], axis=-1)  # (Ly, D, 3D)
     W3_q, W3_s = quantize_weight(W3)
     Wo_q, Wo_s = quantize_weight(L["Wo"])
-    W1_q, W1_s = quantize_weight(L["W1"])
+    # gated FFN (swiglu/geglu): fuse the up + gate branches into one
+    # (D, 2F) matvec before quantizing (per-column scales — concatenation
+    # does not mix channels), mirroring _dt_decode_ops' W1g hoisting
+    if "Wg" in L:
+        W1_q, W1_s = quantize_weight(
+            jnp.concatenate([L["W1"], L["Wg"]], axis=-1))
+    else:
+        W1_q, W1_s = quantize_weight(L["W1"])
     W2_q, W2_s = quantize_weight(L["W2"])
     # tok_W (V, D) serves the embedding gather (reduction-free: per-row
     # dequant) and the tied head matvec (reduction over D): per-row scales
     tok_q, tok_s = quantize_weight(params["tok_W"], axis=-1)
+    b1 = (jnp.concatenate([L["b1"], L["bg"]], axis=-1) if "Wg" in L
+          else L["b1"])
     out = {
         "layers": {
             "ln1_g": L["ln1_g"], "ln1_b": L["ln1_b"],
             "ln2_g": L["ln2_g"], "ln2_b": L["ln2_b"],
-            "b1": L["b1"], "b2": L["b2"],
+            "b1": b1, "b2": L["b2"],
             "W3_q": W3_q, "W3_s": W3_s,
             "Wo_q": Wo_q, "Wo_s": Wo_s,
             "W1_q": W1_q, "W1_s": W1_s,
@@ -180,7 +189,25 @@ def _q_decode_ops(qparams: Dict[str, Any], cfg: GPTConfig,
         pe = (qparams["pos_W"] if cfg.pos == "learned"
               else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
 
-    from ..nn.functional import layer_norm, relu
+    from ..nn.functional import geglu, gelu, layer_norm, relu, swiglu
+
+    if cfg.gated_ffn:
+        F = cfg.dff
+        gate_fn = swiglu if cfg.ffn == "swiglu" else geglu
+
+        def ffn(lw, x2):
+            # W1_q holds the fused (D, 2F) up+gate matvec (see
+            # quantize_gpt_params); split, gate, down-project
+            ug = qdot(x2, lw["W1_q"], lw["W1_s"]).astype(dt) + lw["b1"]
+            h = gate_fn(ug[..., :F], ug[..., F:])
+            return qdot(h, lw["W2_q"], lw["W2_s"]).astype(dt) + lw["b2"]
+    else:
+        act = gelu if cfg.ffn == "gelu" else relu
+
+        def ffn(lw, x2):
+            return (qdot(
+                act(qdot(x2, lw["W1_q"], lw["W1_s"]).astype(dt) + lw["b1"]),
+                lw["W2_q"], lw["W2_s"]).astype(dt) + lw["b2"])
 
     def embed(token):
         # one-row dequant: reads D int8 + 1 scale per token
@@ -208,9 +235,7 @@ def _q_decode_ops(qparams: Dict[str, Any], cfg: GPTConfig,
         "qkv": lambda lw, xn: qdot(xn, lw["W3_q"], lw["W3_s"]).astype(dt),
         "out": lambda lw, y: qdot(y, lw["Wo_q"], lw["Wo_s"]).astype(dt),
         "ln2": lambda lw, x: layer_norm(x, lw["ln2_g"], lw["ln2_b"]),
-        "ffn": lambda lw, x2: (qdot(
-            relu(qdot(x2, lw["W1_q"], lw["W1_s"]).astype(dt) + lw["b1"]),
-            lw["W2_q"], lw["W2_s"]).astype(dt) + lw["b2"]),
+        "ffn": ffn,
         "head": head,
     }
 

@@ -51,6 +51,7 @@ from jax import lax
 from .gpt import (
     GPTConfig,
     _alibi_decode_bias,
+    _ffn_dense,
     _heads,
     _unheads,
     filter_logits,
@@ -58,7 +59,6 @@ from .gpt import (
 )
 from ..nn.functional import (
     layer_norm,
-    relu,
     rope_rotate,
     rope_tables,
     sinusoidal_encoding,
@@ -160,8 +160,8 @@ def gpt_decode_block(params, cache, tokens, cfg: GPTConfig, S: int):
             v_l, v.astype(v_l.dtype), (z32, z32, pos, z32))
         a = _unheads(_gqa_decode_attn(q, k_l, v_l, attn_mask)) @ lp["Wo"]
         h1 = h_in + a
-        x2 = layer_norm(h1, lp["ln2_g"], lp["ln2_b"])
-        f = relu(x2 @ lp["W1"] + lp["b1"]) @ lp["W2"] + lp["b2"]
+        f = _ffn_dense(lp, layer_norm(h1, lp["ln2_g"], lp["ln2_b"]),
+                       cfg.ffn)
         return h1 + f, (k_l, v_l)
 
     h, (K, V) = lax.scan(body, h, (layers, cache["k"], cache["v"]))

@@ -9,11 +9,18 @@ and KV caching — all with hand-derived backward passes expressed as
 
 from .activations import (
     ACTIVATIONS,
+    GATED_ACTIVATIONS,
+    geglu,
+    geglu_backward,
     gelu,
     gelu_backward,
     get_activation,
     relu,
     relu_backward,
+    silu,
+    silu_backward,
+    swiglu,
+    swiglu_backward,
 )
 from .attention import (
     MHA,
@@ -52,8 +59,15 @@ __all__ = [
     "relu_backward",
     "gelu",
     "gelu_backward",
+    "silu",
+    "silu_backward",
+    "swiglu",
+    "swiglu_backward",
+    "geglu",
+    "geglu_backward",
     "get_activation",
     "ACTIVATIONS",
+    "GATED_ACTIVATIONS",
     # normalization
     "LayerNorm",
     "RMSNorm",

@@ -24,6 +24,12 @@ __all__ = [
     "relu_backward",
     "gelu",
     "gelu_backward",
+    "silu",
+    "silu_backward",
+    "swiglu",
+    "swiglu_backward",
+    "geglu",
+    "geglu_backward",
     "softmax_last",
     "causal_mask",
     "layer_norm",
@@ -93,6 +99,100 @@ def _gelu_bwd(x, g):
 
 
 gelu.defvjp(_gelu_fwd, _gelu_bwd)
+
+
+def silu_backward(x):
+    """d/dx SiLU = sigma(x) * (1 + x * (1 - sigma(x))) — product rule on
+    x * sigma(x) with sigma' = sigma(1-sigma), written out by hand."""
+    x = jnp.asarray(x)
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+@jax.custom_vjp
+def silu(x):
+    """SiLU/Swish ``x * sigmoid(x)`` (Ramachandran et al. 2017) with the
+    hand-derived derivative as its custom gradient — the gate activation
+    of SwiGLU (reference README.md:61,71 roadmap item, never built
+    there)."""
+    return x * jax.nn.sigmoid(x)
+
+
+def _silu_fwd(x):
+    return x * jax.nn.sigmoid(x), x
+
+
+def _silu_bwd(x, g):
+    return (g * silu_backward(x),)
+
+
+silu.defvjp(_silu_fwd, _silu_bwd)
+
+
+def swiglu_backward(a, g):
+    """Hand-derived gradients of ``swiglu(a, g) = silu(a) * g`` w.r.t. the
+    upstream cotangent: returns the pair of elementwise factors
+    ``(d/da, d/dg) = (g * silu'(a), silu(a))`` (product rule; multiply
+    each by the incoming gradient)."""
+    a = jnp.asarray(a)
+    s = jax.nn.sigmoid(a)
+    return g * (s * (1.0 + a * (1.0 - s))), a * s
+
+
+@jax.custom_vjp
+def swiglu(a, g):
+    """Gated SiLU unit ``silu(a) * g`` (Shazeer 2020, "GLU Variants
+    Improve Transformer"): ``a`` is the activation branch (x @ W1 + b1),
+    ``g`` the linear gate branch (x @ Wg + bg). The custom backward is the
+    hand-written product rule (``swiglu_backward``), gradient-checked
+    against jax.grad and a torch oracle."""
+    return (a * jax.nn.sigmoid(a)) * g
+
+
+def _swiglu_fwd(a, g):
+    return (a * jax.nn.sigmoid(a)) * g, (a, g)
+
+
+def _swiglu_bwd(res, dy):
+    a, g = res
+    da_f, dg_f = swiglu_backward(a, g)
+    return dy * da_f, dy * dg_f
+
+
+swiglu.defvjp(_swiglu_fwd, _swiglu_bwd)
+
+
+def geglu_backward(a, g):
+    """Hand-derived gradients of ``geglu(a, g) = gelu(a) * g``: the pair
+    ``(d/da, d/dg) = (g * gelu'(a), gelu(a))`` with the tanh-approximation
+    gelu derivative (``gelu_backward``)."""
+    a = jnp.asarray(a)
+    ge = 0.5 * a * (1.0 + jnp.tanh(_SQRT_2_OVER_PI * (a + _GELU_C * a**3)))
+    return g * gelu_backward(a), ge
+
+
+@jax.custom_vjp
+def geglu(a, g):
+    """Gated GELU unit ``gelu(a) * g`` (Shazeer 2020) with the hand-written
+    product-rule backward, using the same tanh-approximation GELU as
+    ``gelu``."""
+    return 0.5 * a * (1.0 + jnp.tanh(
+        _SQRT_2_OVER_PI * (a + _GELU_C * a**3))) * g
+
+
+def _geglu_fwd(a, g):
+    y = 0.5 * a * (1.0 + jnp.tanh(
+        _SQRT_2_OVER_PI * (a + _GELU_C * a**3))) * g
+    return y, (a, g)
+
+
+def _geglu_bwd(res, dy):
+    a, g = res
+    da_f, dg_f = geglu_backward(a, g)
+    return dy * da_f, dy * dg_f
+
+
+geglu.defvjp(_geglu_fwd, _geglu_bwd)
 
 
 # ---------------------------------------------------------------------------

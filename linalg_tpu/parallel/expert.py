@@ -42,6 +42,10 @@ def moe_param_specs(cfg=None) -> dict:
         "W2": P(None, "ep", None, None),
         "b2": P(None, "ep", None),
     }
+    if cfg is not None and getattr(cfg, "gated_ffn", False):
+        # gated experts: the gate branch shards on the expert axis like W1
+        layer_specs["Wg"] = P(None, "ep", None, None)
+        layer_specs["bg"] = P(None, "ep", None)
     specs = {"tok_W": P(), "head_b": P(), "layers": layer_specs}
     if cfg is not None and getattr(cfg, "pos", None) == "learned":
         specs["pos_W"] = P()  # replicated learned-position table

@@ -102,7 +102,7 @@ def _pp_local_loss(cfg: GPTConfig, n_microbatches: int, attn_fn,
         def run_stage(h):
             def body(c, lp):
                 out, _ = _layer(c, lp, mask, cfg.n_heads, attn_fn, rope,
-                                n_kv=cfg.kv_heads)
+                                n_kv=cfg.kv_heads, ffn=cfg.ffn)
                 return out, None
             out, _ = lax.scan(body, h, layers)
             return out
@@ -236,7 +236,7 @@ def _pp_1f1b_local(cfg: GPTConfig, n_microbatches: int, attn_fn,
 
             def body(c, lp):
                 out, _ = _layer(c, lp, mask_dt, cfg.n_heads, attn_fn,
-                                rope_dt, n_kv=cfg.kv_heads)
+                                rope_dt, n_kv=cfg.kv_heads, ffn=cfg.ffn)
                 return out, None
 
             h_out, _ = lax.scan(body, h_in.astype(dt), layers)

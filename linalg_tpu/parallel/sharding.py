@@ -58,6 +58,13 @@ def gpt_param_specs(params, cfg=None) -> Dict[str, Any]:
         "W2": P(None, "tp", None),
         "b2": P(),
     }
+    if (params is not None and "Wg" in params.get("layers", {})) or (
+            cfg is not None and getattr(cfg, "gated_ffn", False)):
+        # gated FFN (swiglu/geglu): the gate branch shards like W1 —
+        # column-parallel on F, so the elementwise gate product stays
+        # tp-local and only the W2 row-parallel psum remains
+        layer_specs["Wg"] = P(None, None, "tp")
+        layer_specs["bg"] = P(None, "tp")
     specs = {"tok_W": P(), "head_b": P(), "layers": layer_specs}
     if (params is not None and "pos_W" in params) or (
             cfg is not None and getattr(cfg, "pos", None) == "learned"):

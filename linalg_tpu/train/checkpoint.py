@@ -75,6 +75,8 @@ def _build_meta(cfg: GPTConfig, stoi, itos, tokenizer=None) -> dict:
         meta["kv_heads"] = cfg.n_kv_heads
     if cfg.window is not None:  # sliding-window attention
         meta["window"] = cfg.window
+    if cfg.ffn != "relu":  # FFN variant (gated configs carry l{i}_Wg/bg)
+        meta["ffn"] = cfg.ffn
     # a non-char tokenizer rides the sidecar (type + merge table); char
     # checkpoints keep the reference's stoi/itos-only format for interop
     from ..nn.tokenizers import BPETokenizer
@@ -142,6 +144,7 @@ def _cfg_from_meta(meta: dict) -> GPTConfig:
         dtype=meta.get("dtype", "float32"),
         n_kv_heads=meta.get("kv_heads"),  # absent = standard MHA
         window=meta.get("window"),  # absent = full causal attention
+        ffn=meta.get("ffn", "relu"),  # absent = the reference's relu MLP
     )
     if meta.get("experts", 0):
         from ..models.moe import MoEGPTConfig

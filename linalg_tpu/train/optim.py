@@ -106,7 +106,7 @@ def gpt_wd_mask(params, wd: float):
     """Weight-decay tree for the GPT param pytree: decay on attention/FFN
     matmul weights only; zero on embeddings, head bias, LayerNorm params and
     FFN biases (reference rules, gpt.py:296-335)."""
-    decay_keys = {"Wq", "Wk", "Wv", "Wo", "W1", "W2"}
+    decay_keys = {"Wq", "Wk", "Wv", "Wo", "W1", "W2", "Wg"}
 
     def build(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])

@@ -237,6 +237,7 @@ def _resume_or_init(args):
         dtype=getattr(args, "dtype", "float32") or "float32",
         n_kv_heads=getattr(args, "kv_heads", None),  # GQA/MQA
         window=getattr(args, "window", None),  # sliding-window attention
+        ffn=getattr(args, "ffn", "relu") or "relu",  # FFN variant
     )
     n_experts = int(getattr(args, "experts", 0) or 0)
     if n_experts > 0:

@@ -649,3 +649,135 @@ class TestDecodeChunkEquivalence:
         assert int(cache_c["length"]) == int(cache["length"])
         np.testing.assert_allclose(np.asarray(cache_c["k"]),
                                    np.asarray(cache["k"]), atol=1e-5)
+
+
+class TestFFNVariants:
+    """SwiGLU/GeGLU/GELU FFN configs (reference README.md:61,71 roadmap
+    items): decode == forward, training decreases loss, checkpoint meta
+    round-trips, and gated gradients flow into the gate branch."""
+
+    @pytest.mark.parametrize("ffn", ["gelu", "swiglu", "geglu"])
+    def test_decode_matches_full_forward(self, ffn):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, ffn=ffn)
+        params = init_gpt_params(cfg, seed=0)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 31, (1, 9)).astype(np.int32)
+        logits_p, cache = gpt_prefill(params, jnp.asarray(ids[:, :5]), cfg)
+        full = np.asarray(gpt_apply(params, jnp.asarray(ids[:, :5]), cfg))
+        np.testing.assert_allclose(np.asarray(logits_p), full[:, -1],
+                                   atol=2e-4)
+        for t in range(5, 9):
+            tok = jnp.asarray(ids[:, t])
+            logits_d, cache = gpt_decode_step(params, cache, tok, cfg)
+            full = np.asarray(
+                gpt_apply(params, jnp.asarray(ids[:, : t + 1]), cfg))
+            np.testing.assert_allclose(np.asarray(logits_d), full[:, -1],
+                                       atol=2e-4)
+
+    def test_variants_change_the_function(self):
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 31, (2, 8)))
+        outs = []
+        for ffn in ("relu", "gelu", "swiglu", "geglu"):
+            cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4,
+                            n_layers=2, ctx_len=16, ffn=ffn)
+            outs.append(np.asarray(gpt_apply(init_gpt_params(cfg, seed=0),
+                                             x, cfg)))
+        for i in range(len(outs)):
+            for j in range(i + 1, len(outs)):
+                assert np.abs(outs[i] - outs[j]).max() > 1e-3
+
+    def test_gate_branch_gets_gradients(self):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, ffn="swiglu")
+        params = init_gpt_params(cfg, seed=0)
+        assert params["layers"]["Wg"].shape == (2, 32, cfg.dff)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.integers(0, 31, (4, 16)))
+        y = jnp.asarray(rng.integers(0, 31, (4, 16)))
+        g = jax.grad(gpt_loss)(params, x, y, cfg)
+        assert float(jnp.abs(g["layers"]["Wg"]).sum()) > 0
+        assert float(jnp.abs(g["layers"]["bg"]).sum()) > 0
+
+    @pytest.mark.parametrize("ffn", ["swiglu", "geglu"])
+    def test_loss_decreases_under_training(self, ffn):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, ffn=ffn)
+        params = init_gpt_params(cfg, seed=0)
+        opt = adamw_init(params)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        y = jnp.asarray(rng.integers(0, 31, (8, 16)))
+        wd = gpt_wd_mask(params, 0.01)
+        assert jax.tree.leaves(wd["layers"])  # Wg included in decay
+
+
+        @jax.jit
+        def step(params, opt):
+            loss, g = jax.value_and_grad(gpt_loss)(params, x, y, cfg)
+            params, opt = adamw_update(params, g, opt, 1e-2, wd)
+            return params, opt, loss
+
+        params, opt, l0 = step(params, opt)
+        for _ in range(20):
+            params, opt, l = step(params, opt)
+        assert float(l) < float(l0)
+
+    def test_ckpt_roundtrip_preserves_ffn(self, tmp_path):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, ffn="swiglu")
+        params = init_gpt_params(cfg, seed=0)
+        stoi = {chr(97 + i): i for i in range(31)}
+        itos = {i: c for c, i in stoi.items()}
+        save_ckpt(tmp_path, params, cfg, stoi, itos)
+        p2, cfg2, _, _ = load_ckpt(tmp_path)
+        assert cfg2.ffn == "swiglu"
+        x = jnp.asarray(np.random.default_rng(0).integers(0, 31, (2, 8)))
+        np.testing.assert_allclose(np.asarray(gpt_apply(params, x, cfg)),
+                                   np.asarray(gpt_apply(p2, x, cfg2)),
+                                   atol=1e-6)
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="ffn"):
+            GPTConfig(vocab_size=31, ffn="mish")
+
+    def test_moe_gated_experts(self):
+        from linalg_tpu.models.moe import (MoEGPTConfig, init_moe_params,
+                                           moe_gpt_loss)
+
+        cfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                           n_layers=2, ctx_len=16, n_experts=2,
+                           ffn="swiglu")
+        params = init_moe_params(cfg, seed=0)
+        assert params["layers"]["Wg"].shape == (2, 2, 32, cfg.dff)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.integers(0, 31, (4, 16)))
+        y = jnp.asarray(rng.integers(0, 31, (4, 16)))
+        loss, g = jax.value_and_grad(moe_gpt_loss)(params, x, y, cfg)
+        assert np.isfinite(float(loss))
+        assert float(jnp.abs(g["layers"]["Wg"]).sum()) > 0
+
+    def test_quant_decode_close_to_fp(self):
+        from linalg_tpu.models.quant import (gpt_decode_chunk_q,
+                                             quantize_gpt_params)
+
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=4, n_layers=2,
+                        ctx_len=16, ffn="swiglu")
+        params = init_gpt_params(cfg, seed=0)
+        qp = quantize_gpt_params(params, cfg)
+        # fused up+gate quant storage: (L, D, 2F) int8
+        assert qp["layers"]["W1_q"].shape == (2, 32, 2 * cfg.dff)
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 31, (1, 5)).astype(np.int32)
+        logits, cache = gpt_prefill(params, jnp.asarray(ids), cfg)
+        from linalg_tpu.models.gpt import gpt_decode_chunk
+
+        t_fp, _, _ = gpt_decode_chunk(params, cache, logits,
+                                      jax.random.PRNGKey(0), cfg, 8,
+                                      temperature=0.0, top_k=1)
+        t_q, _, _ = gpt_decode_chunk_q(qp, cache, logits,
+                                       jax.random.PRNGKey(0), cfg, 8,
+                                       temperature=0.0, top_k=1)
+        # greedy tokens should nearly always agree at int8 fidelity
+        agree = np.mean(np.asarray(t_fp) == np.asarray(t_q))
+        assert agree >= 0.75

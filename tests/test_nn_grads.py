@@ -67,6 +67,60 @@ class TestActivationGrads:
         )
 
 
+class TestGatedActivationGrads:
+    """SwiGLU/GeGLU custom_vjp backwards (reference README.md:61,71 roadmap
+    items) vs jax.grad of plain-jnp forwards."""
+
+    def test_silu_grad(self):
+        x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 7)))
+        _check_grads(F.silu, lambda x: x * jax.nn.sigmoid(x), (x,), 0)
+
+    def test_silu_backward_matches_grad(self):
+        x = jnp.asarray(np.random.default_rng(4).standard_normal(64))
+        g_auto = jax.vmap(jax.grad(lambda x: x * jax.nn.sigmoid(x)))(x)
+        np.testing.assert_allclose(
+            np.asarray(F.silu_backward(x)), np.asarray(g_auto), atol=1e-10)
+
+    @pytest.mark.parametrize("name", ["swiglu", "geglu"])
+    def test_gated_grads(self, name):
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.standard_normal((3, 8)))
+        g = jnp.asarray(rng.standard_normal((3, 8)))
+        fn = getattr(F, name)
+        if name == "swiglu":
+            plain = lambda a, g: (a * jax.nn.sigmoid(a)) * g
+        else:
+            plain = lambda a, g: _plain_gelu(a) * g
+        _check_grads(fn, plain, (a, g), (0, 1))
+
+    @pytest.mark.parametrize("name", ["swiglu", "geglu"])
+    def test_backward_fns_are_the_product_rule(self, name):
+        rng = np.random.default_rng(6)
+        a = jnp.asarray(rng.standard_normal(32))
+        g = jnp.asarray(rng.standard_normal(32))
+        bwd = getattr(F, f"{name}_backward")
+        da_f, dg_f = bwd(a, g)
+        if name == "swiglu":
+            plain = lambda a, g: (a * jax.nn.sigmoid(a)) * g
+        else:
+            plain = lambda a, g: _plain_gelu(a) * g
+        da_auto = jax.vmap(jax.grad(plain, argnums=0))(a, g)
+        dg_auto = jax.vmap(jax.grad(plain, argnums=1))(a, g)
+        np.testing.assert_allclose(np.asarray(da_f), np.asarray(da_auto),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dg_f), np.asarray(dg_auto),
+                                   atol=1e-10)
+
+    def test_registry(self):
+        from linalg_tpu.nn.activations import get_activation
+
+        for name in ("relu", "gelu", "silu", "swiglu", "geglu"):
+            fwd, bwd = get_activation(name)
+            assert callable(fwd) and callable(bwd)
+        with pytest.raises(KeyError):
+            get_activation("mish")
+
+
 class TestNormGrads:
     def test_layer_norm_grads(self):
         rng = np.random.default_rng(3)

@@ -95,6 +95,61 @@ class TestGELUOracle:
         )
 
 
+class TestSiLUOracle:
+    def test_matches_torch_silu(self):
+        x = np.linspace(-4, 4, 101)
+        ours = np.asarray(lnn.silu(jnp.asarray(x)))
+        theirs = torch.nn.functional.silu(_t(x)).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+        xt = _t(x).requires_grad_(True)
+        torch.nn.functional.silu(xt).sum().backward()
+        np.testing.assert_allclose(
+            np.asarray(lnn.silu_backward(jnp.asarray(x))),
+            xt.grad.numpy(), atol=1e-9,
+        )
+
+
+class TestGatedFFNOracle:
+    """swiglu/geglu forward AND backward vs a torch autograd gated unit."""
+
+    def test_swiglu_matches_torch(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((5, 9))
+        g = rng.standard_normal((5, 9))
+        ours = np.asarray(lnn.swiglu(jnp.asarray(a), jnp.asarray(g)))
+        at = _t(a).requires_grad_(True)
+        gt = _t(g).requires_grad_(True)
+        out = torch.nn.functional.silu(at) * gt
+        np.testing.assert_allclose(ours, out.detach().numpy(), atol=1e-9)
+        out.sum().backward()
+        da, dg = jax.grad(
+            lambda a, g: jnp.sum(lnn.swiglu(a, g)), argnums=(0, 1)
+        )(jnp.asarray(a), jnp.asarray(g))
+        np.testing.assert_allclose(np.asarray(da), at.grad.numpy(),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dg), gt.grad.numpy(),
+                                   atol=1e-9)
+
+    def test_geglu_matches_torch(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((5, 9))
+        g = rng.standard_normal((5, 9))
+        ours = np.asarray(lnn.geglu(jnp.asarray(a), jnp.asarray(g)))
+        at = _t(a).requires_grad_(True)
+        gt = _t(g).requires_grad_(True)
+        out = torch.nn.functional.gelu(at, approximate="tanh") * gt
+        np.testing.assert_allclose(ours, out.detach().numpy(), atol=1e-9)
+        out.sum().backward()
+        da, dg = jax.grad(
+            lambda a, g: jnp.sum(lnn.geglu(a, g)), argnums=(0, 1)
+        )(jnp.asarray(a), jnp.asarray(g))
+        np.testing.assert_allclose(np.asarray(da), at.grad.numpy(),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dg), gt.grad.numpy(),
+                                   atol=1e-9)
+
+
 class TestTwinModel:
     def test_twin_builds_and_steps(self):
         from linalg_tpu.apps.torch_twin import TrainConfig, train_reverse_twin

@@ -206,3 +206,27 @@ class TestMetricsLog:
         assert len(rows2) > len(rows)
         assert [r["event"] for r in rows2[:len(rows)]] == \
             [r["event"] for r in rows]
+
+
+class TestFFNFlag:
+    def test_swiglu_cli_train_resume_decode(self, tmp_path, capsys):
+        """--ffn swiglu end to end: train saves Wg/bg + ffn meta, resume
+        rebuilds the gated config, the sampler decodes through it."""
+        import json
+
+        from linalg_tpu.train.trainer import sample
+
+        params, cfg, stoi, itos = train(_args(tmp_path, ffn="swiglu"))
+        assert cfg.ffn == "swiglu"
+        assert "Wg" in params["layers"]
+        meta = json.loads((tmp_path / "chars_gpt_meta.json").read_text())
+        assert meta["ffn"] == "swiglu"
+        with np.load(tmp_path / "chars_gpt_best.npz") as z:
+            assert "l0_Wg" in z.files and "l0_bg" in z.files
+        params2, cfg2, _, _ = train(_args(tmp_path, steps=5))
+        out = capsys.readouterr().out
+        assert "resumed from" in out
+        assert cfg2.ffn == "swiglu"
+        ctx = np.asarray([next(iter(stoi.values()))], dtype=np.int32)
+        text = "".join(sample(params2, cfg2, ctx, itos, steps=10, seed=0))
+        assert len(text) == 10
