@@ -43,6 +43,7 @@ import numpy as np
 from linalg_tpu.models.gpt import (
     GPTConfig,
     gpt_apply,
+    gpt_decode_chunk,
     gpt_decode_step,
     gpt_generate,
     gpt_prefill,
@@ -169,5 +170,51 @@ tune_done = {c.request_id: c.tokens for c in ref_tune.run()}
 assert done6[ids6[0]] == base_done[rb]
 assert [done6[i] for i in ids6[1:]] == [tune_done[i] for i in rt]
 print("mixed-adapter batch == per-adapter merged engines, token-exact ✓")
+
+# --- 7. round-5 engine compositions ------------------------------------------
+# (a) speculative decoding INSIDE the engine: per-slot prompt-lookup
+# drafts verified in one block forward per round, composed with
+# continuous batching — greedy tokens bit-equal to the plain engine
+plain_eng = ServeEngine(params, cfg, n_slots=2, chunk=8, top_k=1)
+spec_eng = ServeEngine(params, cfg, n_slots=2, chunk=8, top_k=1,
+                       speculative=3)
+reqs7 = [rng.integers(0, 31, (int(n),)).tolist() for n in (5, 9)]
+ids_p = [plain_eng.submit(Request(p, 10)) for p in reqs7]
+ids_s = [spec_eng.submit(Request(p, 10)) for p in reqs7]
+done_p = {c.request_id: c.tokens for c in plain_eng.run()}
+done_s = {c.request_id: c.tokens for c in spec_eng.run()}
+assert [done_s[i] for i in ids_s] == [done_p[i] for i in ids_p]
+print("speculative engine == plain engine (greedy, K=3), "
+      f"{spec_eng.stats['spec_rounds']} verify rounds for "
+      f"{spec_eng.stats['emitted_tokens']} tokens ✓")
+
+# (b) chunked prefill: prompts longer than the prefill window admit by
+# looping the fixed-shape block-extend — the window is a chunking
+# detail, not a cap
+long_eng = ServeEngine(params, cfg, n_slots=2, chunk=4, prefill_window=8,
+                       top_k=1)
+long_prompt = rng.integers(0, 31, (20,)).tolist()  # 3 windows
+rid = long_eng.submit(Request(long_prompt, 6))
+got7 = long_eng.run()[0].tokens
+lg7, c7 = gpt_prefill(params, jnp.asarray([long_prompt]), cfg)
+want7, _, _ = gpt_decode_chunk(params, c7, lg7, jax.random.PRNGKey(0),
+                               cfg, 6, 1.0, 1, 0.0)
+assert got7 == np.asarray(want7)[0].tolist()
+print("chunked prefill (20-token prompt through an 8-token window) == "
+      "one-shot prefill ✓")
+
+# (c) paged + int8 KV pages: the pool stores int8 rows with per-row
+# scales — same HBM holds ~2x the pages; composes with multi-LoRA too
+kv8_eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1,
+                      paged=True, page=16, kv8=True)
+rid8 = kv8_eng.submit(Request(reqs7[0], 8))
+toks8 = kv8_eng.run()[0].tokens
+assert len(toks8) == 8
+import jax as _jax
+nb = lambda t: sum(a.nbytes for a in _jax.tree.leaves(t))
+plain_pool = ServeEngine(params, cfg, n_slots=2, chunk=4, paged=True,
+                         page=16)._cache["pool_k"]
+ratio = nb(kv8_eng._cache["pool_k"]) / nb(plain_pool)
+print(f"paged kv8 pool bytes = {ratio:.2f}x of the f32 pool ✓")
 
 print("all checks passed")

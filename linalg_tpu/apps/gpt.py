@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pos", type=str, default="sinusoidal",
                     choices=("sinusoidal", "rope", "learned", "alibi"),
                     help="positional encoding for a fresh model")
+    ap.add_argument("--ffn", type=str, default="relu",
+                    choices=("relu", "gelu", "swiglu", "geglu"),
+                    help="FFN nonlinearity for a fresh model: the "
+                         "reference's relu MLP, gelu, or the gated "
+                         "swiglu/geglu variants (reference README "
+                         "roadmap items; extra Wg/bg gate projection)")
     ap.add_argument("--experts", type=int, default=0,
                     help="mixture-of-experts FFN: number of experts for a "
                          "fresh model (0 = dense FFN)")
@@ -60,10 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt_dir", type=str, default="checkpoints_np")
     ap.add_argument("--gen_tokens", type=int, default=200)
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
-                    help="REPL: draft K tokens/round via prompt-lookup "
+                    help="draft K tokens/round via prompt-lookup "
                     "speculative decoding (exact sampling distribution; "
-                    "needs prompt+gen_tokens+K+1 <= ctx_len, falls back "
-                    "to plain decode otherwise; dense GPT only)")
+                    "dense GPT only). REPL: single-stream, falls back to "
+                    "plain decode when the block does not fit ctx_len. "
+                    "--serve: per-slot draft+verify composed with "
+                    "continuous batching (serve/spec.py)")
     ap.add_argument("--draft_ckpt", type=str, default="",
                     help="REPL: checkpoint dir of a (smaller) DRAFT model "
                          "for draft-model speculative decoding; used with "
@@ -179,6 +187,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--n_pages", type=int, default=0,
                     help="paged mode: pool size in pages (0 = dense-"
                          "equivalent n_slots*ctx_len/page + trash page)")
+    ap.add_argument("--schedule", type=str, default="fifo",
+                    choices=("fifo", "best-fit"),
+                    help="serve admission under page pressure: strict "
+                         "arrival order (no starvation) or first-fit "
+                         "past a blocked large request (utilization)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="serve: store the paged KV pool int8 with "
+                         "per-row scales (requires --paged; pool bytes "
+                         "~halve vs bf16, so the same HBM holds ~2x the "
+                         "pages; attention reads via the gather path)")
     ap.add_argument("--paged_attn", type=str, default="auto",
                     choices=("auto", "kernel", "gather"),
                     help="paged mode attention read: Pallas in-place page "
@@ -226,8 +244,9 @@ def serve_cli(args) -> None:
     one-stream REPL, /root/reference/gpt.py:549-575): prompts stream through
     ``serve.ServeEngine``'s fixed-shape slot decode concurrently, each with
     the CLI's sampling params, and completions come back in request order.
-    Prompts longer than the engine's prefill window keep their LAST window
-    tokens — the reference's context-truncation rule (gpt.py:525-527).
+    Prompts longer than the ctx budget keep their LAST admissible tokens —
+    the reference's context-truncation rule (gpt.py:525-527); within the
+    budget, any length admits (chunked prefill; MoE keeps the window cap).
     """
     import sys
     import time as _time
@@ -271,27 +290,42 @@ def serve_cli(args) -> None:
                     ("dp", "tp"))
     paged = bool(getattr(args, "paged", False))
     ring = cfg.window is not None and cfg.pos in ("rope", "alibi")
-    if paged and (quant != "none" or mesh is not None or ring
+    if paged and (mesh is not None or ring
                   or isinstance(cfg, MoEGPTConfig)):
-        print("(--paged supports the full-precision dense GPT outside "
-              "ring/tp mode; serving with the slot cache)")
+        print("(--paged supports the dense GPT outside ring/tp mode; "
+              "serving with the slot cache)")
         paged = False
+    kv8 = paged and bool(getattr(args, "kv8", False))
+    spec = int(getattr(args, "speculative", 0) or 0)
+    if spec and (paged or quant != "none" or mesh is not None or ring
+                 or isinstance(cfg, MoEGPTConfig)
+                 or getattr(args, "lora_dir", "")):
+        print("(--speculative serving supports the plain full-precision "
+              "dense slot engine; serving without speculation)")
+        spec = 0
     eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
                       top_k=args.top_k, seed=args.seed, quant=quant,
                       mesh=mesh, paged=paged, page=args.page,
                       n_pages=(args.n_pages or None),
-                      paged_attn=getattr(args, "paged_attn", "auto"))
-    # the engine reserves ceil(gen/chunk)*chunk cache rows per request;
-    # cap gen so one prompt token always fits, then truncate each prompt
-    # to leave the full reserved budget (the reference truncates context
-    # to make room for generation the same way, gpt.py:525-527)
-    gen_max = (cfg.ctx_len - 1) // args.chunk * args.chunk
-    gen = min(args.gen_tokens, max(gen_max, 1))
+                      paged_attn=getattr(args, "paged_attn", "auto"),
+                      speculative=spec, kv8=kv8,
+                      schedule=getattr(args, "schedule", "fifo"))
+    # the engine reserves ceil(gen/chunk)*chunk cache rows per request
+    # (speculative: gen + 2*(draft block) rows); cap gen so one prompt
+    # token always fits, then truncate each prompt to leave the full
+    # reserved budget (the reference truncates context to make room for
+    # generation the same way, gpt.py:525-527)
+    if spec:
+        gen_max = cfg.ctx_len - 1 - 2 * (spec + 1)
+        gen = min(args.gen_tokens, max(gen_max, 1))
+        reserved = gen + 2 * (spec + 1)
+    else:
+        gen_max = (cfg.ctx_len - 1) // args.chunk * args.chunk
+        gen = min(args.gen_tokens, max(gen_max, 1))
+        reserved = -(-gen // args.chunk) * args.chunk
     if gen < args.gen_tokens:
-        print(f"(gen_tokens capped to {gen}: decode budget is rounded up "
-              f"to {args.chunk}-token chunks and must fit ctx_len "
-              f"{cfg.ctx_len})")
-    reserved = -(-gen // args.chunk) * args.chunk
+        print(f"(gen_tokens capped to {gen}: the decode budget "
+              f"reservation must fit ctx_len {cfg.ctx_len})")
     pid, pref_len = None, 0
     if getattr(args, "prefix_file", ""):
         with open(args.prefix_file, encoding="utf-8") as f:
@@ -314,7 +348,11 @@ def serve_cli(args) -> None:
             pref_raw = None
     else:
         pref_raw = None
-    plen_max = min(eng.prefill_window, cfg.ctx_len - reserved - pref_len)
+    # chunked prefill admits prompts past the window for the dense GPT;
+    # MoE keeps the window cap (no block-extend routing)
+    plen_max = cfg.ctx_len - reserved - pref_len
+    if isinstance(cfg, MoEGPTConfig):
+        plen_max = min(eng.prefill_window, plen_max)
     prompts = []
     for ln in lines:
         ids = tok.encode(ln)

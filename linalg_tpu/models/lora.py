@@ -43,13 +43,16 @@ import numpy as np
 
 __all__ = ["LoRAConfig", "init_lora_params", "lora_merge", "save_lora",
            "load_lora", "TARGET_SETS", "init_lora_stacks", "stack_lora",
-           "lora_decode_ops"]
+           "lora_decode_ops", "lora_merge_stacks"]
 
 # which stacked layer weights get adapters; "attn" is the classic LoRA
 # recipe (attention projections only), "all" adds the FFN matmuls
 TARGET_SETS: Dict[str, Tuple[str, ...]] = {
     "attn": ("Wq", "Wk", "Wv", "Wo"),
-    "all": ("Wq", "Wk", "Wv", "Wo", "W1", "W2"),
+    # "all" adds the FFN matmuls; Wg (the swiglu/geglu gate branch) is
+    # skipped automatically on ungated configs (init_lora_params filters
+    # to the keys present in the pytree)
+    "all": ("Wq", "Wk", "Wv", "Wo", "W1", "W2", "Wg"),
 }
 
 
@@ -161,6 +164,26 @@ def stack_lora(stacks, lora, lcfg: LoRAConfig, idx: int):
         out[f"{name}_A"] = stacks[f"{name}_A"].at[:, idx].set(a.astype(dt))
         out[f"{name}_B"] = stacks[f"{name}_B"].at[:, idx].set(b.astype(dt))
     return out
+
+
+def lora_merge_stacks(params, stacks, idx):
+    """Effective dense params for stack row ``idx`` (0 = the all-zero base
+    row): base + scale[idx] * A[:, idx] @ B[:, idx] per attention target.
+
+    Pure and jit-safe with a TRACED ``idx``: the multi-LoRA engine calls
+    this INSIDE its jitted admission prefill, so the merged weights exist
+    only as transients of one XLA invocation — steady-state engine HBM is
+    base + stacks, never O(adapters x model) (the round-4 design kept a
+    persistent merged copy per registered adapter)."""
+    idx = jnp.asarray(idx, jnp.int32)
+    sc = stacks["scale"][idx]
+    layers = dict(params["layers"])
+    for name in TARGET_SETS["attn"]:
+        a = stacks[f"{name}_A"][:, idx].astype(jnp.float32)  # (L, d_in, r)
+        b = stacks[f"{name}_B"][:, idx].astype(jnp.float32)  # (L, r, d_out)
+        delta = sc * jnp.einsum("lir,lro->lio", a, b)
+        layers[name] = layers[name] + delta.astype(layers[name].dtype)
+    return dict(params, layers=layers)
 
 
 def lora_decode_ops(ops, stacks, ids, cfg):

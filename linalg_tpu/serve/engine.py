@@ -23,6 +23,15 @@ Design (TPU-first):
   blocking sync per completion was the entire gap.
 - Admission = one single-prompt prefill (right-padded to a fixed window)
   scattered into the freed slot's cache rows via ``dynamic_update_slice``.
+  Prompts LONGER than the window admit via CHUNKED PREFILL: the first
+  window prefills, the rest block-extends window-at-a-time through the
+  prefix-extension forward — same two compiled shapes, any prompt length
+  up to the ctx budget.
+- ``speculative=K`` composes speculative decoding WITH continuous
+  batching: chunks become per-slot draft+verify rounds (serve/spec.py),
+  greedy tokens stay bit-equal to the plain engine.
+- ``paged=True`` composes with multi-LoRA, int8 weight-only decode, and
+  int8 KV pages (``kv8=True``) — see the PARITY.md feature matrix.
 - Sampling parameters ride as traced per-slot vectors (temperature, top_p,
   top_k) — admission NEVER recompiles. Per-slot top-k uses
   ``filter_logits``'s vector path (k-th-largest read off a full sort whose
@@ -113,6 +122,32 @@ class Completion:
                                       1e-9)
 
 
+def select_decode_ops(params, cfg: GPTConfig, cache):
+    """Weight-representation dispatch shared by the slot AND paged decode
+    chunks: MoE routing, int8 weight-only, per-slot LoRA side-path, or the
+    plain hoisted dense ops — all behind ``models.gpt._decode_chunk_core``'s
+    ``ops`` seam, which is what makes the engine features compose (the ops
+    never touch the KV layout; the layout never touches the weights)."""
+    from ..models.gpt import _dt_decode_ops
+    from ..models.moe import MoEGPTConfig, _moe_decode_ops
+
+    if isinstance(cfg, MoEGPTConfig):
+        return _moe_decode_ops(params, cfg)
+    lora = params.get("_lora")
+    base = {k: v for k, v in params.items() if k != "_lora"}
+    if "tok_W_q" in base:  # int8 weight-only engine (quant="int8")
+        from ..models.quant import _q_decode_ops
+
+        ops = _q_decode_ops(base, cfg)
+    else:
+        ops = _dt_decode_ops(base, cfg)
+    if lora is not None:  # multi-LoRA: per-slot adapter side-path
+        from ..models.lora import lora_decode_ops
+
+        ops = lora_decode_ops(ops, lora, cache["lora_ids"], cfg)
+    return ops
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
                        cfg: GPTConfig, n_tokens: int):
@@ -136,23 +171,9 @@ def decode_chunk_slots(params, cache, logits, key, temp, top_p, top_k,
     each slot routes its live token independently — idle slots' garbage
     tokens can steal nothing from other slots' expert capacity).
     """
-    from ..models.gpt import _decode_chunk_core, _dt_decode_ops
-    from ..models.moe import MoEGPTConfig, _moe_decode_ops
+    from ..models.gpt import _decode_chunk_core
 
-    if isinstance(cfg, MoEGPTConfig):
-        ops = _moe_decode_ops(params, cfg)
-    elif "tok_W_q" in params:  # int8 weight-only engine (quant="int8")
-        from ..models.quant import _q_decode_ops
-
-        ops = _q_decode_ops(params, cfg)
-    elif "_lora" in params:  # multi-LoRA engine: per-slot adapters
-        from ..models.lora import lora_decode_ops
-
-        base = {k: v for k, v in params.items() if k != "_lora"}
-        ops = lora_decode_ops(_dt_decode_ops(base, cfg), params["_lora"],
-                              cache["lora_ids"], cfg)
-    else:
-        ops = _dt_decode_ops(params, cfg)
+    ops = select_decode_ops(params, cfg, cache)
     temp = jnp.asarray(temp, jnp.float32)[:, None]  # (B, 1) vs (B, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
     top_k = jnp.asarray(top_k, jnp.int32)  # (B,); filter_logits broadcasts
@@ -205,6 +226,28 @@ def _extend_prefix(params, pk, pv, plen, suffix_ids, slen, cfg: GPTConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _prefill_lora(params, stacks, idx, ids, length, cfg: GPTConfig):
+    """Admission prefill through adapter ``idx`` WITHOUT a persistent
+    merged model: the stack row merges into dense weights inside this one
+    XLA invocation (transient), so engine HBM stays base + stacks
+    (``models.lora.lora_merge_stacks``)."""
+    from ..models.lora import lora_merge_stacks
+
+    return gpt_prefill(lora_merge_stacks(params, stacks, idx), ids, cfg,
+                       length=length)
+
+
+@partial(jax.jit, static_argnames=("cfg", "S"))
+def _extend_prefix_lora(params, stacks, idx, pk, pv, plen, suffix_ids, slen,
+                        cfg: GPTConfig, S: int):
+    """Adapter twin of ``_extend_prefix`` (same transient-merge story)."""
+    from ..models.lora import lora_merge_stacks
+
+    return _extend_prefix(lora_merge_stacks(params, stacks, idx), pk, pv,
+                          plen, suffix_ids, slen, cfg, S)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _admit_slot_ring(cache, logits, slot_k, slot_v, plen, slot_logits, b,
                      cfg: GPTConfig):
     """Ring-mode admission: compress a ctx-sized prefill (or prefix-
@@ -234,6 +277,21 @@ def _set_slot_lora(cache, b, lora_id):
         cache["lora_ids"], jnp.asarray(lora_id, jnp.int32)[None],
         (jnp.asarray(b, jnp.int32),))
     return dict(cache, lora_ids=ids)
+
+
+@jax.jit
+def _set_slot_spec(cache, b, hist_row, pending):
+    """Speculative-mode admission extras for slot ``b``: the on-device
+    token history (drafting source), the pending unprocessed token, and a
+    zeroed emitted count (serve/spec.py)."""
+    b = jnp.asarray(b, jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    hist = lax.dynamic_update_slice(cache["hist"], hist_row[None], (b, z))
+    pend = lax.dynamic_update_slice(
+        cache["pending"], jnp.asarray(pending, jnp.int32)[None], (b,))
+    emitted = lax.dynamic_update_slice(
+        cache["emitted"], jnp.zeros((1,), jnp.int32), (b,))
+    return dict(cache, hist=hist, pending=pend, emitted=emitted)
 
 
 @partial(jax.jit, static_argnames=())
@@ -273,7 +331,8 @@ class ServeEngine:
                  quant: str = "none", mesh=None, paged: bool = False,
                  page: int = 64, n_pages: Optional[int] = None,
                  paged_attn: str = "auto", max_loras: int = 0,
-                 lora_rank: int = 8):
+                 lora_rank: int = 8, speculative: int = 0,
+                 kv8: bool = False, schedule: str = "fifo"):
         from ..models.moe import MoEGPTConfig, moe_prefill
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
@@ -352,16 +411,35 @@ class ServeEngine:
         self._paged = bool(paged)
         self._allocator = None
         self._slot_pages: List[List[int]] = [[] for _ in range(n_slots)]
+        if kv8 and not self._paged:
+            raise ValueError("kv8 (int8 KV pages) requires paged=True")
+        # admission policy under page pressure (paged mode; elsewhere
+        # admission never fails so the policies coincide):
+        # - "fifo" (default): strict arrival order — one large queued
+        #   request stalls everything behind it, but nothing starves
+        #   (head-of-line blocking IS the no-starvation guarantee).
+        # - "best-fit": admit the first queued request whose page
+        #   reservation fits the current free pool — small requests flow
+        #   past a blocked large one (better utilization; the large
+        #   request can in principle wait unboundedly under a steady
+        #   stream of small ones).
+        if schedule not in ("fifo", "best-fit"):
+            raise ValueError("schedule must be 'fifo' or 'best-fit'")
+        self.schedule = schedule
         if self._paged:
-            if (self._ring or mesh is not None or quant not in ("", "none")
-                    or isinstance(cfg, _MoE)):
-                raise ValueError("paged KV supports the full-precision "
-                                 "dense GPT without --window/mesh")
+            # composes with int8 weight-only decode (quant="int8"),
+            # multi-LoRA (max_loras>0) and int8 KV pages (kv8) — the
+            # weight representation and the KV layout meet only at
+            # _decode_chunk_core's seams; ring/mesh/MoE stay excluded
+            if self._ring or mesh is not None or isinstance(cfg, _MoE):
+                raise ValueError("paged KV supports the dense GPT "
+                                 "without --window/mesh")
             from .paged import PageAllocator, init_paged_cache
 
             if n_pages is None:  # dense-equivalent capacity + trash page
                 n_pages = 1 + n_slots * (cfg.ctx_len // page)
-            self._cache = init_paged_cache(cfg, n_slots, n_pages, page)
+            self._cache = init_paged_cache(cfg, n_slots, n_pages, page,
+                                           kv8=kv8)
             self._page = page
             self._allocator = PageAllocator(n_pages)
             self._shared_held = 0  # pages pinned by registered prefixes
@@ -379,11 +457,16 @@ class ServeEngine:
             if paged_attn == "kernel" and page % 8:
                 raise ValueError("the paged-attention kernel needs "
                                  "page % 8 == 0")
+            if paged_attn == "kernel" and kv8:
+                raise ValueError("the Pallas paged kernels read plain "
+                                 "pools; kv8 serves via paged_attn="
+                                 "'gather'")
             self._paged_kernel = (
-                paged_attn == "kernel"
-                or (paged_attn == "auto" and page % 8 == 0
-                    and cfg.ctx_len >= 2048
-                    and jax.default_backend() == "tpu"))
+                not kv8
+                and (paged_attn == "kernel"
+                     or (paged_attn == "auto" and page % 8 == 0
+                         and cfg.ctx_len >= 2048
+                         and jax.default_backend() == "tpu")))
         else:
             rows = cfg.window if self._ring else cfg.ctx_len
             shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
@@ -401,10 +484,12 @@ class ServeEngine:
         self._max_loras = int(max_loras)
         self._n_loras = 0  # adapters registered so far
         if self._max_loras:
-            if (self._ring or self._paged or mesh is not None
+            # composes with paged KV (incl. kv8): the adapter side-path
+            # reads activations, never the cache layout
+            if (self._ring or mesh is not None
                     or quant not in ("", "none") or isinstance(cfg, _MoE)):
-                raise ValueError("multi-LoRA serving supports the plain "
-                                 "full-precision dense slot engine")
+                raise ValueError("multi-LoRA serving supports the "
+                                 "full-precision dense slot/paged engine")
             from ..models.lora import init_lora_stacks
 
             self._lora_stacks = init_lora_stacks(
@@ -412,10 +497,25 @@ class ServeEngine:
             self._cache["lora_ids"] = jnp.zeros((n_slots,), jnp.int32)
             self._decode_params = dict(self._decode_params,
                                        _lora=self._lora_stacks)
-            # id -> fully-merged params: admission prefills ONE request at
-            # a time, so the merged form (zero overhead) is usable there;
-            # decode must use the batched side-path instead
-            self._lora_merged: Dict[int, Any] = {}
+        # speculative decoding: per-slot prompt-lookup draft + block
+        # verify, composed WITH continuous batching (serve/spec.py). Each
+        # chunk runs rounds of (1 + n_draft)-token block forwards; slots
+        # accept variable prefixes and advance independently.
+        self._spec = int(speculative)
+        if self._spec:
+            if (self._ring or self._paged or mesh is not None
+                    or quant not in ("", "none") or self._max_loras
+                    or isinstance(cfg, _MoE)):
+                raise ValueError(
+                    "speculative serving supports the plain full-precision "
+                    "dense slot engine (no ring/paged/mesh/quant/lora)")
+            from .spec import spec_cache_fields
+
+            self._cache.update(spec_cache_fields(cfg, n_slots))
+            # rounds per dispatch: a chunk's token budget in the best case
+            self._spec_rounds = max(1, chunk // (self._spec + 1))
+            self._budget = np.zeros((n_slots,), np.int32)
+            self._valids: Dict[int, np.ndarray] = {}
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
         if mesh is not None:
             self._cache = jax.device_put(
@@ -493,9 +593,13 @@ class ServeEngine:
         # ONE compile for any prefix length: right-pad to the cap
         ids = np.zeros((1, limit), np.int32)
         ids[0, :plen] = np.asarray(tokens, np.int32)
-        prm = self._lora_merged[lora_id] if lora_id else self.params
-        logits, cache = self._prefill(prm, jnp.asarray(ids),
-                                      self.cfg, length=plen)
+        if lora_id:
+            logits, cache = _prefill_lora(self.params, self._lora_stacks,
+                                          lora_id, jnp.asarray(ids), plen,
+                                          self.cfg)
+        else:
+            logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                          self.cfg, length=plen)
         shared: List[int] = []
         if self._paged:
             # page sharing: the prefix's FULL pages are scattered into the
@@ -518,8 +622,9 @@ class ServeEngine:
                 self._cache = _scatter_pages(
                     self._cache, cache["k"], cache["v"], jnp.asarray(full))
         pid = next(self._prefix_ids)
+        # tokens (index 6) feed speculative-mode slot histories
         self._prefixes[pid] = (cache["k"], cache["v"], logits, plen, shared,
-                               lora_id)
+                               lora_id, list(tokens))
         return pid
 
     def register_lora(self, adapters, lcfg) -> int:
@@ -530,10 +635,12 @@ class ServeEngine:
         one fixed-shape decode chunk (the per-slot low-rank side-path,
         ``models/lora.py::lora_decode_ops``). The stacks are allocated at
         construction (``max_loras``), so registration writes rows and
-        never recompiles. Admission prefills through the fully-MERGED
-        weights (one request at a time — merging is free there).
+        never recompiles. Admission prefills through dense weights merged
+        from the stack row INSIDE the prefill jit (``_prefill_lora``) —
+        transient, so registering N adapters costs N stack rows of HBM,
+        never N model copies.
         """
-        from ..models.lora import lora_merge, stack_lora
+        from ..models.lora import stack_lora
 
         if not self._max_loras:
             raise ValueError(
@@ -546,19 +653,30 @@ class ServeEngine:
                                        idx)
         self._decode_params = dict(self._decode_params,
                                    _lora=self._lora_stacks)
-        self._lora_merged[idx] = lora_merge(self.params, adapters, lcfg)
         self._n_loras = idx
         return idx
 
     def submit(self, req: Request) -> int:
-        """Queue a request; returns its assigned request_id."""
+        """Queue a request; returns its assigned request_id.
+
+        Prompts of ANY length up to the ctx budget are admitted: prompts
+        longer than ``prefill_window`` are CHUNKED at admission — the
+        first window prefills, the rest block-extends window-at-a-time
+        through the prefix-extension forward (``_extend_prefix``), so no
+        new shapes compile and ``prefill_window`` is a chunking detail,
+        not a cap. (MoE engines keep the cap: the block-extend forward
+        has no expert routing.)
+        """
         plen = len(req.prompt)
         if plen == 0:
             raise ValueError("empty prompt")
-        if plen > self.prefill_window:
+        from ..models.moe import MoEGPTConfig as _MoE
+
+        if plen > self.prefill_window and isinstance(self.cfg, _MoE):
             raise ValueError(
                 f"prompt length {plen} exceeds prefill_window "
-                f"{self.prefill_window}")
+                f"{self.prefill_window} (chunked prefill needs the dense "
+                "block-extend forward; MoE prompts are capped)")
         if req.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
         pref_len = 0
@@ -588,6 +706,16 @@ class ServeEngine:
                     f"prefix ({pref_len}) + prompt ({plen}) exceeds "
                     f"ctx_len {self.cfg.ctx_len} (the prefill is bounded "
                     f"even in ring mode)")
+        elif self._spec:
+            # speculative rounds advance a slot by up to S = n_draft + 1
+            # rows past its budget gate, and the block write needs S rows
+            # of headroom — 2S of slack on top of the budget
+            S = self._spec + 1
+            if pref_len + plen + req.max_new_tokens + 2 * S > self.cfg.ctx_len:
+                raise ValueError(
+                    f"prefix ({pref_len}) + prompt ({plen}) + "
+                    f"max_new_tokens ({req.max_new_tokens}) + speculative "
+                    f"slack ({2 * S}) exceeds ctx_len {self.cfg.ctx_len}")
         else:
             reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
             if pref_len + plen + reserved > self.cfg.ctx_len:
@@ -648,28 +776,54 @@ class ServeEngine:
             scatter = full.copy()
             scatter[:len(shared)] = 0  # never rewrite shared pages
             scatter_ids = jnp.asarray(scatter)
-        ids = np.zeros((1, W), np.int32)
-        ids[0, :plen] = np.asarray(req.prompt, np.int32)
-        # async: the prefill/extend and the slot scatter are dispatched,
-        # never synced — the next decode chunk consumes them on-device
+        # async: the prefills/extends and the slot scatter are dispatched,
+        # never synced — the next decode chunk consumes them on-device.
+        # Adapter requests run through dense weights merged from the stack
+        # row inside each jit (transient — no per-adapter model copies);
+        # prefix requests start from the cached prefix KV; prompts longer
+        # than the window loop the SAME fixed-shape block-extend the
+        # prefix path uses, W tokens at a time (chunked prefill).
+        prompt = np.asarray(req.prompt, np.int32)
+        if self._spec:
+            # the last prompt token stays UNPROCESSED (the pending token
+            # of the first speculative round, exactly as the single-stream
+            # loop leaves prompt[-1] out of its prefill); admission logits
+            # are never sampled from in spec mode
+            pending_tok, prompt = int(prompt[-1]), prompt[:-1]
         if req.prefix_id is not None:
             pk, pv = self._prefixes[req.prefix_id][:2]
-            # the suffix rows' K/V must come from the SAME projections as
-            # the prefix's (adapter-merged when the prefix wears one)
-            prm = (self._lora_merged[req.lora_id] if req.lora_id
-                   else self.params)
-            logits, ek, ev = _extend_prefix(prm, pk, pv, pref_len,
-                                            jnp.asarray(ids), plen, cfg, W)
-            kv, total = (ek, ev), pref_len + plen
+            pos, rest, logits = pref_len, prompt, None
         else:
-            # adapter requests prefill through the fully-merged weights
-            # (single-request prefill batches nothing, so merging is the
-            # zero-overhead form); decode uses the batched side-path
-            prm = (self._lora_merged[req.lora_id] if req.lora_id
-                   else self.params)
-            logits, cache = self._prefill(prm, jnp.asarray(ids), cfg,
-                                          length=plen)
-            kv, total = (cache["k"], cache["v"]), plen
+            first = min(len(prompt), W)
+            ids = np.zeros((1, W), np.int32)
+            ids[0, :first] = prompt[:first]
+            if req.lora_id:
+                logits, cache = _prefill_lora(
+                    self.params, self._lora_stacks, req.lora_id,
+                    jnp.asarray(ids), first, cfg)
+            else:
+                logits, cache = self._prefill(self.params, jnp.asarray(ids),
+                                              cfg, length=first)
+            pk, pv = cache["k"], cache["v"]
+            pos, rest = first, prompt[first:]
+        for off in range(0, len(rest), W):
+            chunk = rest[off:off + W]
+            ids = np.zeros((1, W), np.int32)
+            ids[0, :len(chunk)] = chunk
+            if req.lora_id:
+                # suffix K/V must come from the SAME projections as the
+                # prefix's (adapter-merged when the request wears one)
+                logits, pk, pv = _extend_prefix_lora(
+                    self.params, self._lora_stacks, req.lora_id, pk, pv,
+                    pos, jnp.asarray(ids), len(chunk), cfg, W)
+            else:
+                logits, pk, pv = _extend_prefix(
+                    self.params, pk, pv, pos, jnp.asarray(ids), len(chunk),
+                    cfg, W)
+            pos += len(chunk)
+        kv, total = (pk, pv), pos
+        if logits is None:  # spec-mode prefix + 1-token prompt: nothing
+            logits = jnp.zeros((1, cfg.vocab_size), jnp.float32)
         if self._paged:
             from .paged import _admit_slot_paged
 
@@ -695,6 +849,19 @@ class ServeEngine:
         self._slot_req[slot] = req
         self._admit_ts[req.request_id] = time.perf_counter()
         self._count[slot] = 0
+        if self._spec:
+            # hist = prefix tokens + FULL prompt (incl. the pending one);
+            # drafting copies continuations of earlier n-gram occurrences
+            hist = np.zeros((cfg.ctx_len,), np.int32)
+            full_toks = np.concatenate(
+                [np.asarray(self._prefixes[req.prefix_id][6], np.int32)
+                 if req.prefix_id is not None else np.zeros(0, np.int32),
+                 np.asarray(req.prompt, np.int32)])
+            hist[:len(full_toks)] = full_toks
+            self._cache = _set_slot_spec(self._cache, slot,
+                                         jnp.asarray(hist), pending_tok)
+            self._budget[slot] = req.max_new_tokens
+            self._samp_dev = None  # budget vector rides with sampling
         if self._max_loras:
             # a reused slot must DROP its previous occupant's adapter
             self._cache = _set_slot_lora(self._cache, slot, req.lora_id)
@@ -735,9 +902,24 @@ class ServeEngine:
         except AttributeError:  # pragma: no cover - older jax arrays
             return False
 
+    def _chunk_rows(self, cid: int, slot: int) -> np.ndarray:
+        """One chunk's EMITTED tokens for ``slot`` as a flat 1-D array.
+
+        Plain chunks emit every sampled token ((B, chunk) rows). Spec
+        chunks are (B, rounds, S) with a per-(slot, round) valid count —
+        only the accepted prefix + resample of each round is real."""
+        arr = self._materialize(cid)
+        if not self._spec:
+            return arr[slot]
+        v = self._valids[cid][slot]  # (rounds,)
+        rows = arr[slot]             # (rounds, S)
+        if not v.sum():
+            return np.zeros((0,), np.int32)
+        return np.concatenate([rows[r, :n] for r, n in enumerate(v) if n])
+
     def _slot_tokens(self, slot: int) -> np.ndarray:
         cids = self._slot_chunks[slot]
-        return np.concatenate([self._materialize(c)[slot] for c in cids]) \
+        return np.concatenate([self._chunk_rows(c, slot) for c in cids]) \
             if cids else np.zeros((0,), np.int32)
 
     def _release_cids(self, cids: List[int]) -> None:
@@ -747,6 +929,8 @@ class ServeEngine:
                 del self._refs[cid]
                 self._store.pop(cid, None)
                 self._np.pop(cid, None)
+                if self._spec:
+                    self._valids.pop(cid, None)
 
     def _emit(self, req: Request, tokens: List[int], reason: str,
               finished_ts: float) -> None:
@@ -789,10 +973,63 @@ class ServeEngine:
             if not block and not all(self._ready(c) for c in cids):
                 still.append(ent)
                 continue
-            seq = np.concatenate([self._materialize(c)[row] for c in cids])
+            seq = np.concatenate([self._chunk_rows(c, row) for c in cids])
             self._emit(req, seq[:req.max_new_tokens].tolist(), "length", ts)
             self._release_cids(cids)
         self._pending_done = still
+
+    def _step_spec(self, key) -> bool:
+        """Advance every active slot by one SPECULATIVE chunk
+        (``spec_rounds`` draft+verify rounds in one dispatch).
+
+        Emitted lengths are data-dependent, so each chunk materializes the
+        tiny (B, rounds) valid array — one small blocking copy per chunk,
+        the structural price of speculative batching; the (B, rounds, S)
+        token array itself still copies async like plain chunks.
+        """
+        from .spec import decode_chunk_spec
+
+        toks, valid, self._cache = decode_chunk_spec(
+            self._decode_params, self._cache, key, *self._samp_dev,
+            self.cfg, self._spec_rounds, self._spec)
+        try:
+            toks.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax arrays
+            pass
+        v = np.asarray(valid)  # (B, rounds) int32 — THE per-chunk sync
+        active = [s for s in range(self.n_slots)
+                  if self._slot_req[s] is not None]
+        cid = next(self._chunk_ids)
+        self._store[cid] = toks
+        self._valids[cid] = v
+        self._refs[cid] = len(active)
+        for s in active:
+            self._slot_chunks[s].append(cid)
+            self._count[s] += int(v[s].sum())
+        self.stats["chunks"] += 1
+        self.stats["spec_rounds"] = (self.stats.get("spec_rounds", 0)
+                                     + self._spec_rounds)
+        self.stats["decode_tokens"] += int(v.sum())
+
+        for slot in active:
+            req = self._slot_req[slot]
+            budget = req.max_new_tokens
+            if req.stop_token >= 0:
+                seq = self._slot_tokens(slot)
+                new = seq[self._scanned[slot]:min(self._count[slot], budget)]
+                hits = np.nonzero(new == req.stop_token)[0]
+                if hits.size:
+                    end = self._scanned[slot] + int(hits[0]) + 1
+                    self._budget[slot] = 0
+                    self._samp_dev = None
+                    self._finish(slot, seq[:end].tolist(), "stop")
+                    continue
+                self._scanned[slot] = min(self._count[slot], budget)
+            if self._count[slot] >= budget:
+                self._budget[slot] = 0
+                self._samp_dev = None
+                self._retire(slot)  # tokens may still be in flight
+        return True
 
     def step(self) -> bool:
         """Admit queued requests into free slots, then advance every active
@@ -806,11 +1043,22 @@ class ServeEngine:
         self._drain_pending(block=False)
         for slot in range(self.n_slots):
             if self._slot_req[slot] is None and self._queue:
-                # FIFO admission: a paged admit can fail on page pressure —
-                # the request stays at the head and later slots wait too
-                if not self._admit(slot, self._queue[0]):
-                    break
-                self._queue.popleft()
+                if self.schedule == "fifo":
+                    # FIFO: a paged admit can fail on page pressure — the
+                    # request stays at the head and later slots wait too
+                    if not self._admit(slot, self._queue[0]):
+                        break
+                    self._queue.popleft()
+                else:
+                    # best-fit: admit the FIRST queued request that fits
+                    # the current free pool; a blocked large request no
+                    # longer stalls small ones behind it
+                    for i, req in enumerate(self._queue):
+                        if self._admit(slot, req):
+                            del self._queue[i]
+                            break
+                    else:
+                        break  # nothing fits until pages free up
         # retire/finish free pages immediately, so with every slot idle the
         # whole pool is free and submit()'s fits-the-pool check guarantees
         # the head request admits — an all-idle non-empty queue is a bug
@@ -823,6 +1071,10 @@ class ServeEngine:
             self._samp_dev = (jnp.asarray(self._temp),
                               jnp.asarray(self._top_p),
                               jnp.asarray(self._top_k))
+            if self._spec:
+                self._samp_dev += (jnp.asarray(self._budget),)
+        if self._spec:
+            return self._step_spec(k)
         if self._paged:
             import functools
 

@@ -52,9 +52,16 @@ __all__ = ["init_paged_cache", "decode_chunk_paged", "PageAllocator",
            "paged_attn_pallas", "paged_attn_pallas_dma"]
 
 
-def init_paged_cache(cfg: GPTConfig, n_slots: int, n_pages: int, page: int):
+def init_paged_cache(cfg: GPTConfig, n_slots: int, n_pages: int, page: int,
+                     kv8: bool = False):
     """Zeroed paged cache pytree. ``ctx_len`` must divide by ``page``;
-    page 0 is reserved as the trash page (see module docstring)."""
+    page 0 is reserved as the trash page (see module docstring).
+
+    ``kv8=True`` stores the pools int8 with a PER-ROW f32 scale (each
+    cached row quantized once, at write time, against its own max-abs —
+    the ``models.quant`` int8-KV scheme): pool bytes roughly halve vs
+    bf16 (quarter vs f32), so the same HBM holds ~2x the pages. Pools
+    become {"q": int8 (..., page, d), "s": f32 (..., page, 1)} dicts."""
     if cfg.ctx_len % page:
         raise ValueError(f"page size {page} must divide ctx_len "
                          f"{cfg.ctx_len}")
@@ -62,9 +69,16 @@ def init_paged_cache(cfg: GPTConfig, n_slots: int, n_pages: int, page: int):
         raise ValueError("need at least 2 pages (page 0 is the trash page)")
     dt = cfg.compute_dtype
     shape = (cfg.n_layers, n_pages, cfg.kv_heads, page, cfg.d_head)
+    if kv8:
+        def pool():
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.zeros(shape[:-1] + (1,), jnp.float32)}
+    else:
+        def pool():
+            return jnp.zeros(shape, dt)
     return {
-        "pool_k": jnp.zeros(shape, dt),
-        "pool_v": jnp.zeros(shape, dt),
+        "pool_k": pool(),
+        "pool_v": pool(),
         "table": jnp.zeros((n_slots, cfg.ctx_len // page), jnp.int32),
         "pos": jnp.zeros((n_slots,), jnp.int32),
     }
@@ -106,7 +120,21 @@ def _scatter_pages(cache, slot_k, slot_v, page_ids):
     ((ctx/page,) int32). Entries pointing at page 0 dump their rows into
     the trash page — used both for unreserved tails and for SHARED prefix
     pages an admission must not rewrite (their pool contents are already
-    the same values)."""
+    the same values). int8-KV pools quantize each row once here (the same
+    per-row rule decode writes use, so layout equality vs a dense int8-KV
+    cache is exact)."""
+    if isinstance(cache["pool_k"], dict):
+        from ..models.quant import _kv_row_quantize
+
+        page = cache["pool_k"]["q"].shape[3]
+
+        def put(pool, slot):
+            q, s = _kv_row_quantize(slot)
+            return {"q": pool["q"].at[:, page_ids].set(_pages_of(q, page)),
+                    "s": pool["s"].at[:, page_ids].set(_pages_of(s, page))}
+
+        return dict(cache, pool_k=put(cache["pool_k"], slot_k),
+                    pool_v=put(cache["pool_v"], slot_v))
     page = cache["pool_k"].shape[3]
     return dict(
         cache,
@@ -276,7 +304,7 @@ def paged_attn_pallas(q, pool_k, pool_v, mask, table, pos):
 
 def _paged_attn_dma_kernel(tbl_ref, pos_ref, q_ref, k_hbm, v_hbm, m_ref,
                            o_ref, kscr, vscr, sems, *, scale,
-                           n_pages_logical, hk, page, depth):
+                           n_pages_logical, hk, page, depth, fold):
     """Manual-DMA variant: one program per slot, deep-pipelined page DMAs.
 
     Two lessons from the chip drove this shape (BASELINE.md round 4):
@@ -299,6 +327,8 @@ def _paged_attn_dma_kernel(tbl_ref, pos_ref, q_ref, k_hbm, v_hbm, m_ref,
     b = pl.program_id(0)
     gp = q_ref.shape[2]
     d = q_ref.shape[3]
+    f = fold  # rows folded per DMA lane row (f*d == lane width >= 128)
+    rows = page // f  # folded rows per head per page
     # pages that can hold live rows for this slot (mask handles the
     # partial tail); idle slots' pos grows unbounded — clamp to the table
     n_live = jnp.minimum(pos_ref[b] // page + 1, n_pages_logical)
@@ -324,33 +354,58 @@ def _paged_attn_dma_kernel(tbl_ref, pos_ref, q_ref, k_hbm, v_hbm, m_ref,
         slot = i % depth
         dma(slot, i, 0).wait()
         dma(slot, i, 1).wait()
-        kall = kscr[slot]  # (hk*page, d)
+        kall = kscr[slot]  # (hk*page/f, f*d): f keys folded per lane row
         vall = vscr[slot]
         out = []
         for h in range(hk):  # static head loop: static scratch slices
-            m_prev, l_prev, acc = carry[h]
-            k = kall[h * page:(h + 1) * page]
-            v = vall[h * page:(h + 1) * page]
-            s = scale * lax.dot_general(
-                q_ref[0, h], k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (gp, page)
-            s = s + m_ref[0, h, i].astype(jnp.float32)
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
+            m_prev, l_prev, accs = carry[h]
+            k = kall[h * rows:(h + 1) * rows]  # (rows, f*d)
+            v = vall[h * rows:(h + 1) * rows]
+            q = q_ref[0, h]  # (gp, d)
+            # per fold residue j: keys t = r*f + j live in lane segment
+            # [j*d, (j+1)*d) of folded row r — a zero-padded query picks
+            # the segment out of the full-width contraction (no lane
+            # slicing; f=1 degenerates to the plain kernel)
+            mh = m_ref[0, h, i].astype(jnp.float32)  # (gp, f, rows)
+            ss = []
+            for j in range(f):
+                qj = (q if f == 1 else
+                      jnp.pad(q, ((0, 0), (j * d, (f - 1 - j) * d))))
+                s_j = scale * lax.dot_general(
+                    qj, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (gp, rows)
+                ss.append(s_j + mh[:, j])
+            m_new = m_prev
+            for s_j in ss:
+                m_new = jnp.maximum(m_new,
+                                    jnp.max(s_j, axis=-1, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
-                                        preferred_element_type=jnp.float32)
-            out.append((m_new, l_new, acc))
+            l_new = l_prev * alpha
+            new_accs = []
+            for s_j, acc in zip(ss, accs):
+                p = jnp.exp(s_j - m_new)
+                l_new = l_new + jnp.sum(p, axis=-1, keepdims=True)
+                new_accs.append(acc * alpha + jnp.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32))  # (gp, f*d)
+            out.append((m_new, l_new, tuple(new_accs)))
         return tuple(out)
 
     init = tuple((jnp.full((gp, 1), _NEG, jnp.float32),
                   jnp.zeros((gp, 1), jnp.float32),
-                  jnp.zeros((gp, d), jnp.float32)) for _ in range(hk))
+                  tuple(jnp.zeros((gp, f * d), jnp.float32)
+                        for _ in range(f)))
+                 for _ in range(hk))
     final = lax.fori_loop(0, n_live, body, init)
     for h in range(hk):
-        _, l_f, acc = final[h]
+        _, l_f, accs = final[h]
         denom = jnp.where(l_f == 0, 1.0, l_f)
+        # residue j's real output lives in its own lane segment (the
+        # other segments paired p_j with the WRONG keys' values): one
+        # static lane slice per residue, once per kernel
+        acc = accs[0][:, :d]
+        for j in range(1, f):
+            acc = acc + accs[j][:, j * d:(j + 1) * d]
         o_ref[0, h] = (acc / denom).astype(o_ref.dtype)
 
 
@@ -359,24 +414,37 @@ def paged_attn_pallas_dma(q, pool_k, pool_v, mask, table, pos,
     """Manual-DMA twin of ``paged_attn_pallas`` (same contract, plus the
     per-slot positions ``pos`` (B,) that bound each slot's page walk).
 
-    Requires d_head % 128 == 0: Mosaic lane-pads narrower trailing dims
-    in HBM memrefs and then rejects the sliced DMA (the grid kernel
-    handles d_head 64 instead).
+    Mosaic lane-pads trailing dims narrower than 128 in HBM memrefs and
+    then rejects the sliced DMA, so narrow heads FOLD ``f = 128 / d``
+    consecutive KV rows into one 128-lane row — a zero-copy reshape of
+    the flattened (n_pages, hk*page, d) pool. In-kernel, residue j's
+    scores come from a zero-padded query contracted over the full folded
+    width (segment j picks its keys; no lane slicing until the final
+    per-head extract). Requires 128 % d_head == 0 and f | page; other
+    shapes fall to the grid kernel.
     """
     B, H, _, d = q.shape
     n_pages, hk, page, _ = pool_k.shape
+    f = max(1, 128 // d) if d < 128 else 1
+    if (d * f) % 128 or page % f:
+        raise ValueError(
+            f"paged_attn_pallas_dma needs d_head dividing 128 with the "
+            f"fold factor dividing the page (d_head={d}, page={page})")
     g = H // hk
     Pmax = table.shape[1]
     ctx = Pmax * page
     gp = max(8, g)
     depth = max(2, min(depth, Pmax))
+    rows = page // f
     qg = q.reshape(B, hk, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
     m = jnp.broadcast_to(mask, (B, H, 1, ctx)).reshape(B, hk, g, ctx)
     if gp != g:
         m = jnp.pad(m, ((0, 0), (0, 0), (0, gp - g), (0, 0)), mode="edge")
-    m = m.reshape(B, hk, gp, Pmax, page).transpose(0, 1, 3, 2, 4)
+    # page-major, fold-residue-major mask: key t = r*f + j of page i sits
+    # at m[..., i, :, j, r] (the kernel reads (gp, f, rows) per page)
+    m = m.reshape(B, hk, gp, Pmax, rows, f).transpose(0, 1, 3, 2, 5, 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -385,26 +453,27 @@ def paged_attn_pallas_dma(q, pool_k, pool_v, mask, table, pos,
             pl.BlockSpec((1, hk, gp, d), lambda b, tbl, ps: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, hk, Pmax, gp, page),
-                         lambda b, tbl, ps: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, hk, Pmax, gp, f, rows),
+                         lambda b, tbl, ps: (b, 0, 0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, hk, gp, d),
                                lambda b, tbl, ps: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((depth, hk * page, d), pool_k.dtype),
-            pltpu.VMEM((depth, hk * page, d), pool_v.dtype),
+            pltpu.VMEM((depth, hk * rows, f * d), pool_k.dtype),
+            pltpu.VMEM((depth, hk * rows, f * d), pool_v.dtype),
             pltpu.SemaphoreType.DMA((depth, 2)),
         ],
     )
     out = pl.pallas_call(
         partial(_paged_attn_dma_kernel, scale=1.0 / math.sqrt(d),
-                n_pages_logical=Pmax, hk=hk, page=page, depth=depth),
+                n_pages_logical=Pmax, hk=hk, page=page, depth=depth,
+                fold=f),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, hk, gp, d), q.dtype),
         interpret=_interpret(),
     )(table, jnp.asarray(pos, jnp.int32), qg,
-      pool_k.reshape(n_pages, hk * page, d),
-      pool_v.reshape(n_pages, hk * page, d), m)
+      pool_k.reshape(n_pages, hk * rows, f * d),
+      pool_v.reshape(n_pages, hk * rows, f * d), m)
     return out[:, :, :g].reshape(B, H, 1, d)
 
 
@@ -421,30 +490,48 @@ def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
     (materializes the gathered KV per step — exact twin of the slot
     path's values, but ~3x its attention HBM traffic) to the Pallas
     kernel reading pages in place (``paged_attn_pallas``, slot-level
-    traffic; numerics differ from the einsum at float rounding only)."""
-    from ..models.gpt import _dt_decode_ops
+    traffic; numerics differ from the einsum at float rounding only).
 
-    ops = _dt_decode_ops(params, cfg)
+    Composes with the other weight representations through the shared
+    ``select_decode_ops`` seam: MoE is excluded (routing groups are fine,
+    but the engine keeps MoE on the slot cache), int8 weight-only and the
+    per-slot LoRA side-path just work (neither touches the KV layout).
+    int8-KV pools (``init_paged_cache(kv8=True)``) dequantize inside the
+    gather read; the Pallas kernels read plain pools only."""
+    from .engine import select_decode_ops
+
+    ops = select_decode_ops(params, cfg, cache)
     table = cache["table"]  # (B, Pmax)
     B = table.shape[0]
-    page = cache["pool_k"].shape[3]
+    kv8 = isinstance(cache["pool_k"], dict)
+    page = (cache["pool_k"]["q"] if kv8 else cache["pool_k"]).shape[3]
     ctx = cfg.ctx_len
     bidx = jnp.arange(B)
+    dt = cfg.compute_dtype
     temp = jnp.asarray(temp, jnp.float32)[:, None]
     top_p = jnp.asarray(top_p, jnp.float32)[:, None]
     top_k = jnp.asarray(top_k, jnp.int32)
 
     def gathered(pool):  # (n_pages, hk, page, d) -> (B, hk, ctx, d)
-        x = pool[table]  # (B, Pmax, hk, page, d)
+        if isinstance(pool, dict):  # int8 rows * per-row scale, fused
+            q, s = pool["q"][table], pool["s"][table]
+            x = (q.astype(jnp.float32) * s).astype(dt)
+        else:
+            x = pool[table]  # (B, Pmax, hk, page, d)
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape(B, x.shape[1], ctx, x.shape[-1])
 
+    if use_kernel and kv8:
+        raise ValueError("the Pallas paged kernels read plain pools; "
+                         "kv8 uses the gather path")
     if use_kernel:
-        # the deep-pipelined manual-DMA kernel saturates HBM but needs a
-        # 128-multiple head dim (Mosaic lane-pads narrower HBM slices);
-        # the auto-pipelined grid kernel covers the rest
-        kern = (paged_attn_pallas_dma if cfg.d_head % 128 == 0
-                else paged_attn_pallas)
+        # the deep-pipelined manual-DMA kernel saturates HBM; narrow
+        # heads (d_head dividing 128) ride it via row folding, the
+        # auto-pipelined grid kernel covers every other shape
+        d = cfg.d_head
+        dma_ok = (d % 128 == 0
+                  or (d < 128 and 128 % d == 0 and page % (128 // d) == 0))
+        kern = paged_attn_pallas_dma if dma_ok else paged_attn_pallas
 
         def paged_attn(q, pk_l, pv_l, mask, pos):
             return kern(q, pk_l, pv_l, mask, table, pos)
@@ -482,6 +569,18 @@ def decode_chunk_paged(params, cache, logits, key, temp, top_p, top_k,
                 new[:, :, 0, :].reshape(-1, d)).reshape(buf.shape)
 
         return put(pk_l, k), put(pv_l, v)
+
+    if kv8:
+        from ..models.quant import _kv_row_quantize
+
+        plain_write = write_paged
+
+        def write_paged(pk_l, pv_l, pos, k, v):  # noqa: F811
+            kq, ks = _kv_row_quantize(k)
+            vq, vs = _kv_row_quantize(v)
+            q_k, q_v = plain_write(pk_l["q"], pv_l["q"], pos, kq, vq)
+            s_k, s_v = plain_write(pk_l["s"], pv_l["s"], pos, ks, vs)
+            return ({"q": q_k, "s": s_k}, {"q": q_v, "s": s_v})
 
     ops = dict(ops, attn=paged_attn)
     toks, logits, pk, pv, pos = _decode_chunk_core(

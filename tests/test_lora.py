@@ -144,6 +144,34 @@ class TestMultiLoRAServing:
         }
         return {"layers": layers}, lcfg
 
+    def test_no_per_adapter_model_copies(self):
+        """Registering adapters must cost stack rows, not model copies:
+        engine-held HBM stays ~ base + stacks (round-4 verdict item 3 —
+        the old design kept a full merged model per adapter)."""
+        import jax as _jax
+
+        from linalg_tpu.serve import Request, ServeEngine
+
+        def live_bytes():
+            return sum(a.nbytes for a in _jax.live_arrays())
+
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, max_loras=3,
+                          lora_rank=4)
+        assert not hasattr(eng, "_lora_merged")
+        model_bytes = sum(a.nbytes for a in _jax.tree.leaves(PARAMS))
+        before = live_bytes()
+        regs = []
+        for seed in (1, 2, 3):
+            a, c = self._adapter(seed)
+            regs.append(eng.register_lora(a, c))
+        grown = live_bytes() - before
+        # three adapters of rank 4 are a few % of the model; a merged-copy
+        # design would grow by >= 3 model sizes
+        assert grown < model_bytes, (grown, model_bytes)
+        # and the registered adapters still serve correctly (smoke)
+        eng.submit(Request([1, 2, 3], 4, lora_id=regs[0]))
+        assert eng.run()[0].tokens
+
     def test_mixed_adapters_match_merged_engines(self):
         from linalg_tpu.serve import Request, ServeEngine
 
@@ -237,9 +265,12 @@ class TestMultiLoRAServing:
             eng2 = ServeEngine(PARAMS, CFG, chunk=4, max_loras=1,
                                lora_rank=4)
             eng2.register_lora(big, bigc)
-        with pytest.raises(ValueError, match="dense slot engine"):
-            ServeEngine(PARAMS, CFG, chunk=4, max_loras=1, paged=True,
-                        page=16)
+        # paged x multi-LoRA COMPOSES since round 5; ring still rejects
+        wcfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                         ctx_len=64, window=16, pos="rope")
+        with pytest.raises(ValueError, match="multi-LoRA"):
+            ServeEngine(init_gpt_params(wcfg, seed=0), wcfg, chunk=4,
+                        max_loras=1)
 
 
 class TestCLI:

@@ -230,14 +230,17 @@ class TestPagedKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-6)
 
-    @pytest.mark.parametrize("H,hk", [(2, 2), (4, 2), (8, 1), (4, 4)])
-    def test_dma_kernel_matches_gather_unit(self, H, hk):
-        # the deep-pipelined manual-DMA kernel (d_head % 128 == 0 only)
+    @pytest.mark.parametrize("H,hk,d", [
+        (2, 2, 128), (4, 2, 128), (8, 1, 128), (4, 4, 128),
+        # narrow heads ride the fold-f = 128/d path (round-4 verdict
+        # item 8: GQA d_head-64 shapes no longer fall to the grid kernel)
+        (4, 2, 64), (8, 1, 64), (4, 4, 64), (8, 2, 32)])
+    def test_dma_kernel_matches_gather_unit(self, H, hk, d):
         from linalg_tpu.models.gpt import _gqa_decode_attn
         from linalg_tpu.serve.paged import paged_attn_pallas_dma
 
-        rng = np.random.default_rng(H * 10 + hk)
-        B, d, page, Pmax, n_pages = 3, 128, 16, 4, 13
+        rng = np.random.default_rng(H * 10 + hk + d)
+        B, page, Pmax, n_pages = 3, 16, 4, 13
         ctx = page * Pmax
         q = jnp.asarray(rng.normal(size=(B, H, 1, d)), jnp.float32)
         pk = jnp.asarray(rng.normal(size=(n_pages, hk, page, d)),
@@ -349,8 +352,12 @@ class TestPagedValidation:
                             n_layers=2, ctx_len=64, n_experts=2)
         with pytest.raises(ValueError, match="paged"):
             ServeEngine(init_moe_params(mcfg, seed=0), mcfg, paged=True)
-        with pytest.raises(ValueError, match="paged"):
-            ServeEngine(PARAMS, CFG, paged=True, quant="int8")
+        # paged x quant COMPOSES since round 5; window/ring still rejects
+        wcfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                         ctx_len=64, window=16, pos="rope")
+        with pytest.raises(ValueError, match="paged|window"):
+            ServeEngine(init_gpt_params(wcfg, seed=0), wcfg, paged=True,
+                        page=16)
 
 
 class TestWriteLowerings:
@@ -415,3 +422,197 @@ class TestWriteLowerings:
         flat, dus = self._both(monkeypatch, run)
         for a, b in zip(flat, dus):
             np.testing.assert_array_equal(a, b)
+
+
+class TestPagedCompositions:
+    """Round-4 verdict item 2: paged KV composes with multi-LoRA, int8
+    weight-only decode, and int8 KV pages. The weight representation and
+    the KV layout meet only at _decode_chunk_core's (ops, write_fn) seams,
+    so each pair is pinned exactly against its layout-free twin."""
+
+    def _reqs(self, rng, ns=(6, 10, 8)):
+        return [Request(rng.integers(0, 31, rng.integers(3, 10)).tolist(),
+                        int(n)) for n in ns]
+
+    def test_paged_quant_matches_slot_quant(self):
+        rng = np.random.default_rng(10)
+        reqs = self._reqs(rng)
+        slot = serve(PARAMS, CFG, reqs, n_slots=2, chunk=4, top_k=1,
+                     quant="int8")
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                         paged=True, page=16, quant="int8")
+        for r in reqs:
+            eng.submit(r)
+        paged = sorted(eng.run(), key=lambda c: c.request_id)
+        assert [c.tokens for c in paged] == [c.tokens for c in slot]
+
+    def test_paged_multi_lora_matches_merged_oracle(self):
+        from linalg_tpu.models.gpt import gpt_decode_chunk, gpt_prefill
+        from linalg_tpu.models.lora import (LoRAConfig, init_lora_params,
+                                            lora_merge)
+
+        lcfg = LoRAConfig(rank=4)
+        ad = init_lora_params(PARAMS, lcfg, seed=1)
+        rng = np.random.default_rng(11)
+        ad["layers"] = {
+            k: (v if k.endswith("_A") else
+                jnp.asarray(rng.normal(0, 0.05, v.shape), jnp.float32))
+            for k, v in ad["layers"].items()}
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          paged=True, page=16, max_loras=2, lora_rank=4)
+        i1 = eng.register_lora(ad, lcfg)
+        prompt = rng.integers(0, 31, 8).tolist()
+        r0 = eng.submit(Request(prompt, 8))
+        r1 = eng.submit(Request(prompt, 8, lora_id=i1))
+        done = {c.request_id: c.tokens for c in eng.run()}
+
+        def greedy(params):
+            ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+            lg, cache = gpt_prefill(params, ids, CFG)
+            t, _, _ = gpt_decode_chunk(params, cache, lg,
+                                       jax.random.PRNGKey(0), CFG, 8,
+                                       1.0, 1, 0.0)
+            return np.asarray(t)[0].tolist()
+
+        assert done[r0] == greedy(PARAMS)
+        assert done[r1] == greedy(lora_merge(PARAMS, ad, lcfg))
+
+    def test_paged_lora_prefix_pages_shared(self):
+        """Adapter-worn prefixes share pages in paged mode too."""
+        from linalg_tpu.models.lora import LoRAConfig, init_lora_params
+
+        lcfg = LoRAConfig(rank=4)
+        ad = init_lora_params(PARAMS, lcfg, seed=2)
+        rng = np.random.default_rng(12)
+        ad["layers"] = {
+            k: (v if k.endswith("_A") else
+                jnp.asarray(rng.normal(0, 0.05, v.shape), jnp.float32))
+            for k, v in ad["layers"].items()}
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          paged=True, page=16, max_loras=1, lora_rank=4)
+        i1 = eng.register_lora(ad, lcfg)
+        prefix = rng.integers(0, 31, 20).tolist()
+        pid = eng.register_prefix(prefix, lora_id=i1)
+        suffix = rng.integers(0, 31, 5).tolist()
+        eng.submit(Request(suffix, 6, prefix_id=pid, lora_id=i1))
+        out = eng.run()
+        # oracle: un-paged multi-LoRA engine with the same prefix
+        ref = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          max_loras=1, lora_rank=4)
+        j1 = ref.register_lora(ad, lcfg)
+        qid = ref.register_prefix(prefix, lora_id=j1)
+        ref.submit(Request(suffix, 6, prefix_id=qid, lora_id=j1))
+        want = ref.run()
+        assert out[0].tokens == want[0].tokens
+
+    def test_kv8_matches_dense_int8_kv_exactly(self):
+        """paged kv8 == a dense-layout int8-KV decode built from
+        models.quant's pieces (same per-row quantization points, so the
+        layout is transparent at EXACT equality, not just "close")."""
+        from linalg_tpu.models.gpt import (_decode_chunk_core,
+                                           _dt_decode_ops, gpt_prefill)
+        from linalg_tpu.models.quant import (_kv8_attn, _kv8_write,
+                                             quantize_kv_cache)
+        from linalg_tpu.nn.cache import fkv_write_slots
+
+        rng = np.random.default_rng(13)
+        prompt = rng.integers(0, 31, 7).tolist()
+        eng = ServeEngine(PARAMS, CFG, n_slots=1, chunk=8, top_k=1,
+                          paged=True, page=16, kv8=True)
+        eng.submit(Request(prompt, 8))
+        got = eng.run()[0].tokens
+
+        # dense int8-KV twin: quantized prefill cache + kv8 write/attn
+        ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+        logits, cache = gpt_prefill(PARAMS, ids, CFG)
+        qc = quantize_kv_cache(cache)
+        ops = dict(_dt_decode_ops(PARAMS, CFG),
+                   attn=_kv8_attn(CFG.compute_dtype))
+        toks, *_ = _decode_chunk_core(
+            CFG, ops, logits, qc["k"], qc["v"],
+            jnp.asarray([len(prompt)], jnp.int32), jnp.zeros((), jnp.int32),
+            jax.random.PRNGKey(0), 8, jnp.ones((1, 1), jnp.float32),
+            jnp.ones((1,), jnp.int32), jnp.zeros((1, 1), jnp.float32),
+            _kv8_write(fkv_write_slots))
+        assert got == np.asarray(toks)[0].tolist()
+
+    def test_kv8_pool_bytes_halve(self):
+        from linalg_tpu.serve.paged import init_paged_cache
+
+        plain = init_paged_cache(CFG, 2, 9, 16)
+        q8 = init_paged_cache(CFG, 2, 9, 16, kv8=True)
+        nb = lambda t: sum(a.nbytes for a in jax.tree.leaves(t))
+        # f32 pools -> int8 + 1 f32 scale per d_head=16 row: ~0.31x
+        assert nb(q8["pool_k"]) < 0.5 * nb(plain["pool_k"])
+
+    def test_kv8_engine_serves_mixed_requests(self):
+        rng = np.random.default_rng(14)
+        reqs = self._reqs(rng, ns=(6, 12, 9, 7))
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          paged=True, page=16, kv8=True)
+        ids = [eng.submit(r) for r in reqs]
+        done = {c.request_id: c for c in eng.run()}
+        assert set(done) == set(ids)
+        slot = serve(PARAMS, CFG, reqs, n_slots=2, chunk=4, top_k=1)
+        flat = [(a, b) for c, s in zip(ids, slot)
+                for a, b in zip(done[c].tokens, s.tokens)]
+        agree = np.mean([a == b for a, b in flat])
+        assert agree > 0.8  # int8 KV is lossy but close at these scales
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="kv8"):
+            ServeEngine(PARAMS, CFG, kv8=True)  # needs paged
+        with pytest.raises(ValueError, match="kv8"):
+            ServeEngine(PARAMS, CFG, paged=True, page=16, kv8=True,
+                        paged_attn="kernel")
+
+
+class TestAdmissionSchedule:
+    """Round-4 verdict item 9: FIFO head-of-line blocking documented and
+    pinned; opt-in best-fit lets small requests flow past a blocked
+    large one."""
+
+    def _engine(self, schedule):
+        # pool of 5 usable pages (page=16, ctx=64): A takes 3, B needs 4
+        # (blocked behind A), C needs 1
+        return ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          paged=True, page=16, n_pages=6,
+                          schedule=schedule)
+
+    A = staticmethod(lambda: Request([1, 2, 3, 4, 5], 27))   # 3 pages
+    B = staticmethod(lambda: Request([1] * 10, 50))          # 4 pages
+    C = staticmethod(lambda: Request([2, 3, 4], 8))          # 1 page
+
+    def test_fifo_blocks_but_never_starves(self):
+        eng = self._engine("fifo")
+        ra = eng.submit(self.A())
+        rb = eng.submit(self.B())
+        rc = eng.submit(self.C())
+        eng.step()
+        # B cannot fit while A holds 3 of 5 pages; FIFO keeps C behind B
+        assert eng.n_active == 1 and eng.pending == 2
+        done = {c.request_id: c for c in eng.run()}
+        assert set(done) == {ra, rb, rc}  # everyone completes eventually
+
+    def test_best_fit_admits_small_past_blocked_large(self):
+        eng = self._engine("best-fit")
+        ra = eng.submit(self.A())
+        rb = eng.submit(self.B())
+        rc = eng.submit(self.C())
+        eng.step()
+        # C (1 page) flows past the blocked B into the second slot
+        assert eng.n_active == 2 and eng.pending == 1
+        active = {r.request_id for r in eng._slot_req if r is not None}
+        assert active == {ra, rc}
+        done = {c.request_id: c for c in eng.run()}
+        assert set(done) == {ra, rb, rc}
+        # and the tokens are unaffected by the schedule
+        ref = self._engine("fifo")
+        ids = [ref.submit(r()) for r in (self.A, self.B, self.C)]
+        want = {c.request_id: c.tokens for c in ref.run()}
+        for got_id, want_id in zip((ra, rb, rc), ids):
+            assert done[got_id].tokens == want[want_id]
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="schedule"):
+            ServeEngine(PARAMS, CFG, schedule="lifo")

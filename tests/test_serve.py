@@ -87,6 +87,18 @@ class TestEngineGreedyEquality:
                     n_slots=2, chunk=4, top_k=1)
         assert out[0].tokens == want
 
+    @pytest.mark.parametrize("ffn", ["swiglu", "geglu"])
+    def test_ffn_variants(self, ffn):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64, ffn=ffn)
+        params = init_gpt_params(cfg, seed=9)
+        rng = np.random.default_rng(1)
+        prompt = rng_prompt(rng, cfg)
+        want = greedy_single(params, cfg, prompt, 8)
+        out = serve(params, cfg, [Request(prompt, 8)],
+                    n_slots=2, chunk=4, top_k=1)
+        assert out[0].tokens == want
+
     def test_concurrent_requests_are_isolated(self):
         """Requests of different lengths decoding simultaneously in one
         batch each match their solo single-stream decode exactly."""
@@ -176,7 +188,9 @@ class TestEngineSemantics:
         eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8)
         with pytest.raises(ValueError, match="empty prompt"):
             eng.submit(Request([], 4))
-        with pytest.raises(ValueError, match="prefill_window"):
+        # since round 5 prompts past prefill_window admit via chunked
+        # prefill; only the ctx BUDGET rejects
+        with pytest.raises(ValueError, match="exceeds ctx_len"):
             eng.submit(Request(list(range(CFG.ctx_len)), 4))
         with pytest.raises(ValueError, match="exceeds ctx_len"):
             eng.submit(Request([1, 2, 3], CFG.ctx_len))
@@ -478,19 +492,21 @@ class TestPrefixCache:
         eng.submit(Request(suffix, 6, prefix_id=pid))
         assert eng.run()[0].tokens == want
 
-    def test_lifts_prompt_length_cap(self):
-        """prefix + suffix can exceed prefill_window (the plain-prompt cap);
-        only the SUFFIX must fit the window."""
+    def test_long_prompts_with_and_without_prefix(self):
+        """Prompts past prefill_window admit EITHER via a registered
+        prefix or (round 5) via chunked prefill — token-equal paths."""
         rng = np.random.default_rng(6)
         prefix = rng_prompt(rng, CFG, 30, 31)  # 30 tokens
         suffix = rng_prompt(rng, CFG, 6, 8)
-        eng = self._eng(prefill_window=16)  # full prompt would be rejected
-        with pytest.raises(ValueError, match="exceeds prefill_window"):
-            eng.submit(Request(prefix + suffix, 4))
+        eng = self._eng(prefill_window=16)
         want = greedy_single(PARAMS, CFG, prefix + suffix, 4)
+        # chunked prefill: the raw long prompt just admits now
+        rid_plain = eng.submit(Request(prefix + suffix, 4))
         pid = eng.register_prefix(prefix)
-        eng.submit(Request(suffix, 4, prefix_id=pid))
-        assert eng.run()[0].tokens == want
+        rid_pref = eng.submit(Request(suffix, 4, prefix_id=pid))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        assert done[rid_plain] == want
+        assert done[rid_pref] == want
 
     def test_mixed_prefix_and_plain_slots(self):
         """A prefix-cached request and a plain request decode side by side
@@ -636,3 +652,119 @@ class TestServeTP:
         ids = [stoi[c] for c in "hello there"]
         want = greedy_single(PARAMS, CFG, ids, 6)
         assert rows[0]["text"] == "".join(itos[t] for t in want)
+
+
+class TestChunkedPrefill:
+    """Prompts longer than prefill_window admit via chunked block-extends
+    (round-4 verdict item: the window is a chunking detail, not a cap)."""
+
+    CFG_L = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                      ctx_len=128)
+    P_L = init_gpt_params(CFG_L, seed=7)
+
+    def _greedy(self, prompt, n):
+        ids = jnp.asarray(np.asarray(prompt, np.int32)[None])
+        logits, cache = gpt_prefill(self.P_L, ids, self.CFG_L)
+        toks, _, _ = gpt_decode_chunk(self.P_L, cache, logits,
+                                      jax.random.PRNGKey(0), self.CFG_L,
+                                      n, 1.0, 1, 0.0)
+        return np.asarray(toks)[0].tolist()
+
+    def test_long_prompts_match_one_shot_prefill(self):
+        rng = np.random.default_rng(0)
+        eng = ServeEngine(self.P_L, self.CFG_L, n_slots=2, chunk=4,
+                          prefill_window=16, top_k=1)
+        W = eng.prefill_window
+        # boundary lengths: 1, exactly W, W+1, a multiple, and the largest
+        # admissible prompt (ctx - chunk-rounded budget)
+        for plen in (1, W, W + 1, 3 * W, self.CFG_L.ctx_len - 8):
+            prompt = rng.integers(0, 31, plen).tolist()
+            eng.submit(Request(prompt, 8))
+            out = eng.run()
+            assert out[-1].tokens == self._greedy(prompt, 8), plen
+
+    def test_mixed_long_and_short_requests(self):
+        rng = np.random.default_rng(1)
+        eng = ServeEngine(self.P_L, self.CFG_L, n_slots=3, chunk=4,
+                          prefill_window=16, top_k=1)
+        reqs = [Request(rng.integers(0, 31, n).tolist(), 6)
+                for n in (3, 40, 17, 90, 5)]
+        ids = [eng.submit(r) for r in reqs]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        for rid, r in zip(ids, reqs):
+            assert done[rid] == self._greedy(r.prompt, 6)
+
+    def test_budget_still_enforced(self):
+        eng = ServeEngine(self.P_L, self.CFG_L, n_slots=2, chunk=4,
+                          prefill_window=16)
+        with pytest.raises(ValueError, match="ctx_len"):
+            eng.submit(Request(list(range(1, 126)), 8))  # 125+8 > 128
+
+    def test_moe_keeps_the_cap(self):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                            n_layers=2, ctx_len=128, n_experts=2)
+        eng = ServeEngine(init_moe_params(mcfg, seed=0), mcfg, n_slots=2,
+                          chunk=4, prefill_window=16)
+        with pytest.raises(ValueError, match="prefill_window"):
+            eng.submit(Request(list(range(1, 20)), 4))
+
+    def test_prefix_plus_long_suffix(self):
+        rng = np.random.default_rng(2)
+        eng = ServeEngine(self.P_L, self.CFG_L, n_slots=2, chunk=4,
+                          prefill_window=16, top_k=1)
+        prefix = rng.integers(0, 31, 21).tolist()
+        suffix = rng.integers(0, 31, 37).tolist()  # > 2 windows
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(suffix, 8, prefix_id=pid))
+        out = eng.run()
+        assert out[0].tokens == self._greedy(prefix + suffix, 8)
+
+
+class TestChunkedPrefillModes:
+    """Chunked prefill composes with ring, tp-mesh and paged engines
+    (token equality vs the one-shot single-stream oracle)."""
+
+    def _greedy(self, params, cfg, prompt, n):
+        return greedy_single(params, cfg, prompt, n)
+
+    def test_ring_mode(self):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64, window=16, pos="rope")
+        params = init_gpt_params(cfg, seed=7)
+        rng = np.random.default_rng(0)
+        prompt = rng.integers(0, 31, 40).tolist()
+        eng = ServeEngine(params, cfg, n_slots=2, chunk=4,
+                          prefill_window=16, top_k=1)
+        assert eng._ring
+        eng.submit(Request(prompt, 8))
+        assert eng.run()[0].tokens == self._greedy(params, cfg, prompt, 8)
+
+    def test_tp_mesh(self):
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64)
+        params = init_gpt_params(cfg, seed=7)
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(1, 2),
+                    ("dp", "tp"))
+        rng = np.random.default_rng(1)
+        prompt = rng.integers(0, 31, 40).tolist()
+        eng = ServeEngine(params, cfg, n_slots=2, chunk=4,
+                          prefill_window=16, top_k=1, mesh=mesh)
+        eng.submit(Request(prompt, 8))
+        assert eng.run()[0].tokens == self._greedy(params, cfg, prompt, 8)
+
+    def test_paged_mode(self):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=64)
+        params = init_gpt_params(cfg, seed=7)
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(0, 31, 40).tolist()
+        eng = ServeEngine(params, cfg, n_slots=2, chunk=4,
+                          prefill_window=16, top_k=1, paged=True, page=16)
+        eng.submit(Request(prompt, 8))
+        assert eng.run()[0].tokens == self._greedy(params, cfg, prompt, 8)

@@ -1,0 +1,245 @@
+"""Speculative decoding inside the continuous-batching engine
+(linalg_tpu/serve/spec.py).
+
+Correctness claims:
+
+1. GREEDY BIT-EQUALITY — ``ServeEngine(speculative=K)`` emits exactly the
+   plain engine's greedy tokens for every K, under mixed concurrent
+   requests, staggered admission, prefixes, chunked prefill and stop
+   tokens (the plain engine is itself pinned to single-stream decode by
+   tests/test_serve.py).
+2. DISTRIBUTION EXACTNESS — the first emitted token's Monte-Carlo law
+   equals the filtered target softmax regardless of what was drafted
+   (point-mass rejection sampling, per slot).
+3. BOOKKEEPING — per-(slot, round) valid counts reconstruct each
+   request's stream; budgets and positions stay inside the reservation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from linalg_tpu.models.gpt import (
+    GPTConfig,
+    gpt_prefill,
+    filter_logits,
+    init_gpt_params,
+)
+from linalg_tpu.serve import Request, ServeEngine
+
+CFG = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                ctx_len=128)
+PARAMS = init_gpt_params(CFG, seed=7)
+
+
+def run_engine(reqs, params=PARAMS, cfg=CFG, **kw):
+    eng = ServeEngine(params, cfg, n_slots=3, chunk=8, top_k=1, **kw)
+    ids = [eng.submit(r) for r in reqs]
+    done = {c.request_id: c for c in eng.run()}
+    return [done[i] for i in ids], eng
+
+
+def rng_reqs(rng, n_list, **kw):
+    return [Request(rng.integers(0, 31, rng.integers(3, 12)).tolist(),
+                    int(n), **kw) for n in n_list]
+
+
+class TestGreedyBitEquality:
+    @pytest.mark.parametrize("K", [1, 3, 5])
+    def test_mixed_requests(self, K):
+        rng = np.random.default_rng(0)
+        reqs = rng_reqs(rng, (5, 12, 7, 20, 9))
+        plain, _ = run_engine(reqs)
+        spec, eng = run_engine(reqs, speculative=K)
+        assert [c.tokens for c in spec] == [c.tokens for c in plain]
+        assert all(c.finish_reason == "length" for c in spec)
+        # speculative must do fewer verify rounds than tokens emitted on
+        # repetitive char-ish data... at minimum, never more than emitted
+        assert eng.stats["spec_rounds"] <= sum(len(c.tokens) for c in spec)
+
+    @pytest.mark.parametrize("pos", ["rope", "alibi"])
+    def test_positional_modes(self, pos):
+        cfg = GPTConfig(vocab_size=31, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=128, pos=pos)
+        params = init_gpt_params(cfg, seed=9)
+        rng = np.random.default_rng(1)
+        reqs = rng_reqs(rng, (6, 14, 9))
+        plain, _ = run_engine(reqs, params, cfg)
+        spec, _ = run_engine(reqs, params, cfg, speculative=3)
+        assert [c.tokens for c in spec] == [c.tokens for c in plain]
+
+    def test_repetitive_prompts_accept_drafts(self):
+        """On a repeating pattern, prompt-lookup drafts hit and rounds
+        drop well below the emitted token count."""
+        prompt = [1, 2, 3, 4] * 6
+        reqs = [Request(prompt, 24)]
+        plain, _ = run_engine(reqs)
+        spec, eng = run_engine(reqs, speculative=4)
+        assert spec[0].tokens == plain[0].tokens
+        assert eng.stats["spec_rounds"] < len(spec[0].tokens)
+
+    def test_single_token_prompt(self):
+        reqs = [Request([3], 10)]
+        plain, _ = run_engine(reqs)
+        spec, _ = run_engine(reqs, speculative=2)
+        assert spec[0].tokens == plain[0].tokens
+
+    def test_stop_token(self):
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(0, 31, 8).tolist()
+        full, _ = run_engine([Request(prompt, 24)])
+        stop = full[0].tokens[5]
+        want = full[0].tokens[:full[0].tokens.index(stop) + 1]
+        spec, _ = run_engine([Request(prompt, 24, stop_token=stop)],
+                             speculative=3)
+        assert spec[0].finish_reason == "stop"
+        assert spec[0].tokens == want
+
+    def test_prefix_and_chunked_prefill(self):
+        rng = np.random.default_rng(3)
+        prefix = rng.integers(0, 31, 20).tolist()
+        long_prompt = rng.integers(0, 31, 40).tolist()  # > prefill_window
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1,
+                          prefill_window=16, speculative=3)
+        pid = eng.register_prefix(prefix)
+        r1 = eng.submit(Request(long_prompt, 8))
+        r2 = eng.submit(Request(long_prompt[:5], 8, prefix_id=pid))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        plain = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1,
+                            prefill_window=16)
+        pid_p = plain.register_prefix(prefix)
+        p1 = plain.submit(Request(long_prompt, 8))
+        p2 = plain.submit(Request(long_prompt[:5], 8, prefix_id=pid_p))
+        want = {c.request_id: c.tokens for c in plain.run()}
+        assert done[r1] == want[p1]
+        assert done[r2] == want[p2]
+
+    def test_staggered_admission(self):
+        rng = np.random.default_rng(4)
+        reqs = rng_reqs(rng, (4, 9, 5, 13, 6, 8))  # 6 reqs, 3 slots
+        plain, _ = run_engine(reqs)
+        spec, eng = run_engine(reqs, speculative=2)
+        assert [c.tokens for c in spec] == [c.tokens for c in plain]
+        assert eng.n_active == 0 and eng.pending == 0
+
+
+class TestDistributionExactness:
+    def test_first_token_marginal_is_target(self):
+        """Monte Carlo over the batched round: the first emitted token of
+        every slot follows softmax(filtered target logits) regardless of
+        the drafts (exact point-mass rejection sampling)."""
+        from linalg_tpu.serve.spec import decode_chunk_spec, \
+            spec_cache_fields
+
+        cfg = GPTConfig(vocab_size=11, d_model=32, n_heads=2, n_layers=2,
+                        ctx_len=32)
+        params = init_gpt_params(cfg, seed=1)
+        prompt = np.asarray([1, 2, 3, 1, 2], np.int32)
+        # spec-mode admission state: prefill prompt[:-1], pending = last
+        _, cache1 = gpt_prefill(params, jnp.asarray(prompt[None, :-1]), cfg)
+        B = 2
+        cache = {
+            "k": jnp.repeat(cache1["k"], B, axis=1),
+            "v": jnp.repeat(cache1["v"], B, axis=1),
+            "pos": jnp.full((B,), len(prompt) - 1, jnp.int32),
+        }
+        cache.update(spec_cache_fields(cfg, B))
+        hist = np.zeros((B, cfg.ctx_len), np.int32)
+        hist[:, :len(prompt)] = prompt
+        cache.update(hist=jnp.asarray(hist),
+                     pending=jnp.full((B,), prompt[-1], jnp.int32))
+        temp = jnp.ones((B,), jnp.float32)
+        zeros = jnp.zeros((B,), jnp.float32)
+        budget = jnp.full((B,), 8, jnp.int32)
+
+        def first_tok(key):
+            toks, valid, _ = decode_chunk_spec(
+                params, cache, key, temp, zeros,
+                jnp.zeros((B,), jnp.int32), budget, cfg, 1, 2)
+            return toks[:, 0, 0]  # first emitted token per slot
+
+        N = 4000
+        draws = jax.lax.map(first_tok,
+                            jax.random.split(jax.random.PRNGKey(0), N))
+        # target: softmax of the model's next-token logits after prompt
+        lg, _ = gpt_prefill(params, jnp.asarray(prompt[None]), cfg)
+        target = np.asarray(jax.nn.softmax(filter_logits(lg[0], 1.0, 0,
+                                                         0.0)))
+        for b in range(B):
+            emp = np.bincount(np.asarray(draws)[:, b],
+                              minlength=11) / N
+            np.testing.assert_allclose(emp, target, atol=0.03)
+
+
+class TestBookkeeping:
+    def test_validation(self):
+        from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
+
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(PARAMS, CFG, speculative=2, paged=True)
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(PARAMS, CFG, speculative=2, quant="int8")
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(PARAMS, CFG, speculative=2, max_loras=2)
+        mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
+                            n_layers=2, ctx_len=64, n_experts=2)
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(init_moe_params(mcfg, seed=0), mcfg, speculative=2)
+
+    def test_budget_reservation(self):
+        eng = ServeEngine(PARAMS, CFG, speculative=3)  # S=4, slack 8
+        with pytest.raises(ValueError, match="slack"):
+            eng.submit(Request([1, 2, 3], CFG.ctx_len - 3 - 7))
+        eng.submit(Request([1, 2, 3], CFG.ctx_len - 3 - 8))  # fits
+
+    def test_positions_stay_reserved(self):
+        """Device positions never run past plen + budget + 2S."""
+        rng = np.random.default_rng(5)
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1,
+                          speculative=3)
+        prompt = rng.integers(0, 31, 10).tolist()
+        eng.submit(Request(prompt, 30))
+        eng.run()
+        S = 4
+        assert int(np.asarray(eng._cache["pos"]).max()) <= 10 + 30 + 2 * S
+
+    def test_exact_token_counts(self):
+        rng = np.random.default_rng(6)
+        reqs = rng_reqs(rng, (5, 17, 11))
+        out, _ = run_engine(reqs, speculative=3)
+        for c, r in zip(out, reqs):
+            assert len(c.tokens) == r.max_new_tokens
+
+
+class TestSpecCLI:
+    def test_serve_cli_speculative_matches_plain(self, tmp_path, capsys):
+        import json
+
+        from linalg_tpu.apps.gpt import build_parser, serve_cli
+        from linalg_tpu.train.trainer import train
+
+        args = build_parser().parse_args([
+            "--train", "--steps", "12", "--eval_every", "6",
+            "--batch_size", "4", "--ctx_len", "64", "--d_model", "32",
+            "--heads", "2", "--layers", "1",
+            "--ckpt_dir", str(tmp_path), "--lr_model", "1e-3"])
+        train(args)
+        (tmp_path / "prompts.txt").write_text("the one\nand the other\n",
+                                              encoding="utf-8")
+
+        def run(extra, out):
+            a = build_parser().parse_args([
+                "--serve", "--ckpt_dir", str(tmp_path),
+                "--prompts", str(tmp_path / "prompts.txt"),
+                "--out", str(tmp_path / out),
+                "--gen_tokens", "10", "--n_slots", "2", "--chunk", "8",
+                "--top_k", "1"] + extra)
+            serve_cli(a)
+            return [json.loads(ln) for ln in
+                    (tmp_path / out).read_text().splitlines()]
+
+        spec = run(["--speculative", "3"], "spec.jsonl")
+        plain = run([], "plain.jsonl")
+        capsys.readouterr()
+        assert [r["text"] for r in spec] == [r["text"] for r in plain]
