@@ -28,6 +28,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
+# Tiering (round-4 verdict item 10): the full suite is the round gate
+# (~45-70 min); the local iteration loop is `pytest -m "not slow"`
+# (~8-10 min on an idle host). Modules land here when they cost >~3 min
+# under the pinned x64/8-device config (compile-heavy Pallas interpret
+# runs, multi-device shard_map/pipeline compiles, walkthrough scripts,
+# engine integration suites) — measured per-module wall times, round 5.
+SLOW_MODULES = {
+    "test_alibi", "test_examples", "test_flash", "test_fsdp", "test_gqa",
+    "test_lora", "test_models", "test_moe_pipeline", "test_paged",
+    "test_parallel", "test_qr_pallas", "test_quant", "test_serve",
+    "test_spec_serve", "test_speculative", "test_trainer", "test_window",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Drop compiled executables between test modules.
