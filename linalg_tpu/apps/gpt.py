@@ -297,11 +297,13 @@ def serve_cli(args) -> None:
         paged = False
     kv8 = paged and bool(getattr(args, "kv8", False))
     spec = int(getattr(args, "speculative", 0) or 0)
-    if spec and (paged or quant != "none" or mesh is not None or ring
-                 or isinstance(cfg, MoEGPTConfig)
-                 or getattr(args, "lora_dir", "")):
-        print("(--speculative serving supports the plain full-precision "
-              "dense slot engine; serving without speculation)")
+    if spec and (quant != "none" or mesh is not None or ring
+                 or isinstance(cfg, MoEGPTConfig) or kv8
+                 or getattr(args, "lora_dir", "")
+                 or (paged and getattr(args, "paged_attn", "auto")
+                     == "kernel")):
+        print("(--speculative serving supports the full-precision dense "
+              "slot/paged(gather) engine; serving without speculation)")
         spec = 0
     eng = ServeEngine(params, cfg, n_slots=args.n_slots, chunk=args.chunk,
                       top_k=args.top_k, seed=args.seed, quant=quant,

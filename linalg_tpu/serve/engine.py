@@ -461,11 +461,14 @@ class ServeEngine:
                 raise ValueError("the Pallas paged kernels read plain "
                                  "pools; kv8 serves via paged_attn="
                                  "'gather'")
+            # auto never picks the kernel for a speculative engine (the
+            # spec chunk reads via the gather); explicit "kernel" +
+            # speculative raises below
             self._paged_kernel = (
                 not kv8
                 and (paged_attn == "kernel"
-                     or (paged_attn == "auto" and page % 8 == 0
-                         and cfg.ctx_len >= 2048
+                     or (paged_attn == "auto" and not speculative
+                         and page % 8 == 0 and cfg.ctx_len >= 2048
                          and jax.default_backend() == "tpu")))
         else:
             rows = cfg.window if self._ring else cfg.ctx_len
@@ -503,12 +506,17 @@ class ServeEngine:
         # accept variable prefixes and advance independently.
         self._spec = int(speculative)
         if self._spec:
-            if (self._ring or self._paged or mesh is not None
+            # composes with the paged pool (spec chunk block-scatters
+            # through the table and reads via the gather; kernel/kv8
+            # paged reads stay excluded)
+            if (self._ring or mesh is not None
                     or quant not in ("", "none") or self._max_loras
-                    or isinstance(cfg, _MoE)):
+                    or isinstance(cfg, _MoE) or kv8
+                    or (self._paged and self._paged_kernel)):
                 raise ValueError(
-                    "speculative serving supports the plain full-precision "
-                    "dense slot engine (no ring/paged/mesh/quant/lora)")
+                    "speculative serving supports the full-precision "
+                    "dense slot or paged(gather) engine "
+                    "(no ring/mesh/quant/lora/kv8)")
             from .spec import spec_cache_fields
 
             self._cache.update(spec_cache_fields(cfg, n_slots))
@@ -706,23 +714,16 @@ class ServeEngine:
                     f"prefix ({pref_len}) + prompt ({plen}) exceeds "
                     f"ctx_len {self.cfg.ctx_len} (the prefill is bounded "
                     f"even in ring mode)")
-        elif self._spec:
-            # speculative rounds advance a slot by up to S = n_draft + 1
-            # rows past its budget gate, and the block write needs S rows
-            # of headroom — 2S of slack on top of the budget
-            S = self._spec + 1
-            if pref_len + plen + req.max_new_tokens + 2 * S > self.cfg.ctx_len:
-                raise ValueError(
-                    f"prefix ({pref_len}) + prompt ({plen}) + "
-                    f"max_new_tokens ({req.max_new_tokens}) + speculative "
-                    f"slack ({2 * S}) exceeds ctx_len {self.cfg.ctx_len}")
         else:
-            reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
+            reserved = self._reserved(req)
             if pref_len + plen + reserved > self.cfg.ctx_len:
+                how = (f"max_new_tokens + 2(n_draft+1) speculative slack"
+                       if self._spec else
+                       f"max_new_tokens rounded up to the {self.chunk}-"
+                       f"token chunk")
                 raise ValueError(
                     f"prefix ({pref_len}) + prompt ({plen}) + reserved "
-                    f"decode budget ({reserved} = max_new_tokens rounded "
-                    f"up to the {self.chunk}-token chunk) exceeds ctx_len "
+                    f"decode budget ({reserved} = {how}) exceeds ctx_len "
                     f"{self.cfg.ctx_len}")
             if self._paged:
                 need = -(-(pref_len + plen + reserved) // self._page)
@@ -751,6 +752,15 @@ class ServeEngine:
     def pending(self) -> int:
         return len(self._queue)
 
+    def _reserved(self, req: Request) -> int:
+        """Decode-budget cache rows an admission must reserve: speculative
+        rounds advance up to S = n_draft+1 rows past the budget gate and
+        the block write needs S rows of headroom (2S slack); plain chunks
+        round the budget up to the chunk size."""
+        if self._spec:
+            return req.max_new_tokens + 2 * (self._spec + 1)
+        return -(-req.max_new_tokens // self.chunk) * self.chunk
+
     def _admit(self, slot: int, req: Request) -> bool:
         cfg, W = self.cfg, self.prefill_window
         plen = len(req.prompt)
@@ -760,10 +770,10 @@ class ServeEngine:
             pref_len, shared = self._prefixes[req.prefix_id][3:5]
         if self._paged:
             # admission control by memory: reserve every page the request
-            # can touch (prompt + chunk-rounded decode budget) MINUS the
+            # can touch (prompt + decode-budget reservation) MINUS the
             # prefix's shared full pages, which every admission reads in
             # place; if the pool can't cover it the request stays queued
-            reserved = -(-req.max_new_tokens // self.chunk) * self.chunk
+            reserved = self._reserved(req)
             need = -(-(pref_len + plen + reserved) // self._page)
             npriv = need - len(shared)
             if npriv > self._allocator.n_free:

@@ -78,7 +78,7 @@ def spec_cache_fields(cfg: GPTConfig, n_slots: int):
 
 
 def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
-                      S: int):
+                      S: int, write_fn=None, read_fn=None):
     """One (B, S) block forward at PER-SLOT positions ``pos`` (B,).
 
     The batched twin of ``models.speculative.gpt_decode_block``: slot b's
@@ -87,7 +87,16 @@ def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
     j <= pos_b + r. Returns (logits (B, S, V), K, V). Positions are the
     caller's responsibility to keep in range (the engine's budget gate);
     the write clamps like a DUS for idle slots.
+
+    ``write_fn``/``read_fn`` re-seat the cache layout: the paged spec
+    engine passes a page-table block scatter and a table-gather view
+    (pool pages in, (B, hk, ctx, d) out) — defaults are the dense slot
+    layout (fkv_write_slots / identity).
     """
+    if write_fn is None:
+        write_fn = fkv_write_slots
+    if read_fn is None:
+        read_fn = lambda x: x
     layers, tokW, head_b, pe = params_dt
     dt = cfg.compute_dtype
     B = tokens.shape[0]
@@ -131,9 +140,9 @@ def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
         if rope is not None:
             q = rope_rotate(q, rope[0], rope[1])
             k = rope_rotate(k, rope[0], rope[1])
-        k_l, v_l = fkv_write_slots(k_l, v_l, pos, k.astype(k_l.dtype),
-                                   v.astype(v_l.dtype))
-        a = _unheads(_gqa_decode_attn(q, k_l, v_l, mask)) @ lp["Wo"]
+        k_l, v_l = write_fn(k_l, v_l, pos, k.astype(dt), v.astype(dt))
+        a = _unheads(_gqa_decode_attn(q, read_fn(k_l), read_fn(v_l),
+                                      mask)) @ lp["Wo"]
         h1 = h_in + a
         f = _ffn_dense(lp, layer_norm(h1, lp["ln2_g"], lp["ln2_b"]),
                        cfg.ffn)
@@ -165,6 +174,41 @@ def decode_chunk_spec(params, cache, key, temp, top_p, top_k, budget,
     S = n_draft + 1
     B = cache["pos"].shape[0]
     dt = cfg.compute_dtype
+    paged = "table" in cache  # paged spec engine: pool + per-slot tables
+    if paged:
+        table = cache["table"]  # (B, Pmax) — loop-invariant in a chunk
+        page = cache["pool_k"].shape[3]
+        ctx = cfg.ctx_len
+        bidx_p = jnp.arange(B)
+        offs_p = jnp.arange(S)
+
+        def write_fn(pk_l, pv_l, pos, k, v):
+            # S rows per slot scattered at (page, row) addresses through
+            # the table — the flat single-leading-index form of
+            # serve/paged.py::write_paged generalized to a block
+            p = jnp.minimum(pos[:, None] + offs_p[None, :], ctx - 1)
+            pidx = table[bidx_p[:, None], p // page]          # (B, S)
+            row = p % page
+            n_pg, hk, pg, d = pk_l.shape
+            ridx = ((pidx[:, None, :] * hk
+                     + jnp.arange(hk)[None, :, None]) * pg
+                    + row[:, None, :]).reshape(-1)            # (B*hk*S,)
+
+            def put(buf, new):  # new: (B, hk, S, d)
+                flat = buf.reshape(n_pg * hk * pg, d)
+                return flat.at[ridx].set(
+                    new.reshape(-1, d)).reshape(buf.shape)
+
+            return put(pk_l, k), put(pv_l, v)
+
+        def read_fn(pool):  # (n_pages, hk, page, d) -> (B, hk, ctx, d)
+            x = jnp.swapaxes(pool[table], 1, 2)
+            return x.reshape(B, x.shape[1], ctx, x.shape[-1])
+
+        kbuf0, vbuf0 = cache["pool_k"], cache["pool_v"]
+    else:
+        write_fn = read_fn = None
+        kbuf0, vbuf0 = cache["k"], cache["v"]
     layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
     tokW = params["tok_W"].astype(dt)
     head_b = params["head_b"].astype(dt)
@@ -191,7 +235,7 @@ def decode_chunk_spec(params, cache, key, temp, top_p, top_k, budget,
             hist, pos + 1, S - 1)  # (B, S-1)
         block = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B,S)
         logits, kbuf, vbuf = _block_step_slots(
-            params_dt, cfg, kbuf, vbuf, pos, block, S)
+            params_dt, cfg, kbuf, vbuf, pos, block, S, write_fn, read_fn)
         z = filter_logits(logits, temp, top_k, top_p)  # (B, S, V)
         probs = jax.nn.softmax(z, axis=-1)
 
@@ -236,10 +280,11 @@ def decode_chunk_spec(params, cache, key, temp, top_p, top_k, budget,
     keys = jax.random.split(key, n_rounds)
     (K, V, pos, hist, pending, emitted), (toks, valid) = lax.scan(
         round_body,
-        (cache["k"], cache["v"], cache["pos"], cache["hist"],
-         cache["pending"], cache["emitted"]),
+        (kbuf0, vbuf0, cache["pos"], cache["hist"], cache["pending"],
+         cache["emitted"]),
         keys)
-    cache = dict(cache, k=K, v=V, pos=pos, hist=hist, pending=pending,
-                 emitted=emitted)
+    kv = ({"pool_k": K, "pool_v": V} if paged else {"k": K, "v": V})
+    cache = dict(cache, pos=pos, hist=hist, pending=pending,
+                 emitted=emitted, **kv)
     # scan stacks on the leading axis: (rounds, B, S) -> (B, rounds, S)
     return toks.transpose(1, 0, 2), valid.T, cache

@@ -176,8 +176,8 @@ class TestBookkeeping:
     def test_validation(self):
         from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
 
-        with pytest.raises(ValueError, match="speculative"):
-            ServeEngine(PARAMS, CFG, speculative=2, paged=True)
+        # spec x paged(gather) COMPOSES (TestSpecPaged); quant still
+        # rejects
         with pytest.raises(ValueError, match="speculative"):
             ServeEngine(PARAMS, CFG, speculative=2, quant="int8")
         with pytest.raises(ValueError, match="speculative"):
@@ -243,3 +243,50 @@ class TestSpecCLI:
         plain = run([], "plain.jsonl")
         capsys.readouterr()
         assert [r["text"] for r in spec] == [r["text"] for r in plain]
+
+
+class TestSpecPaged:
+    """speculative x paged composition: the spec chunk block-scatters
+    through the page table and reads via the gather — tokens bit-equal
+    to the plain engine (greedy), pages still queue under pressure."""
+
+    def test_matches_plain_engine(self):
+        rng = np.random.default_rng(8)
+        reqs = rng_reqs(rng, (5, 12, 7, 20))
+        plain, _ = run_engine(reqs)
+        spec, eng = run_engine(reqs, speculative=3, paged=True, page=16)
+        assert [c.tokens for c in spec] == [c.tokens for c in plain]
+        assert eng._paged and eng._spec
+
+    def test_page_pressure_queues_and_completes(self):
+        rng = np.random.default_rng(9)
+        reqs = rng_reqs(rng, (5, 12, 7, 20))
+        plain, _ = run_engine(reqs)
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1,
+                          speculative=3, paged=True, page=16, n_pages=7)
+        ids = [eng.submit(r) for r in reqs]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        assert [done[i] for i in ids] == [c.tokens for c in plain]
+
+    def test_prefix_pages_shared(self):
+        rng = np.random.default_rng(10)
+        prefix = rng.integers(0, 31, 32).tolist()
+        suffix = rng.integers(0, 31, 5).tolist()
+        spec = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1,
+                           speculative=2, paged=True, page=16)
+        pid = spec.submit  # noqa: just to keep flake quiet
+        pid = spec.register_prefix(prefix)
+        spec.submit(Request(suffix, 8, prefix_id=pid))
+        got = spec.run()[0].tokens
+        ref = ServeEngine(PARAMS, CFG, n_slots=2, chunk=8, top_k=1)
+        qid = ref.register_prefix(prefix)
+        ref.submit(Request(suffix, 8, prefix_id=qid))
+        assert got == ref.run()[0].tokens
+
+    def test_kernel_and_kv8_rejected(self):
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(PARAMS, CFG, speculative=2, paged=True, page=16,
+                        paged_attn="kernel")
+        with pytest.raises(ValueError, match="speculative"):
+            ServeEngine(PARAMS, CFG, speculative=2, paged=True, page=16,
+                        kv8=True)
