@@ -487,12 +487,14 @@ class ServeEngine:
         self._max_loras = int(max_loras)
         self._n_loras = 0  # adapters registered so far
         if self._max_loras:
-            # composes with paged KV (incl. kv8): the adapter side-path
-            # reads activations, never the cache layout
-            if (self._ring or mesh is not None
-                    or quant not in ("", "none") or isinstance(cfg, _MoE)):
+            # composes with paged KV (incl. kv8) — the adapter side-path
+            # reads activations, never the cache layout — and with int8
+            # weight-only decode: the base matvecs read int8 while the
+            # low-rank side-path stays full precision (admission prefill
+            # is fp either way), the standard serving split
+            if self._ring or mesh is not None or isinstance(cfg, _MoE):
                 raise ValueError("multi-LoRA serving supports the "
-                                 "full-precision dense slot/paged engine")
+                                 "dense slot/paged engine (no ring/mesh)")
             from ..models.lora import init_lora_stacks
 
             self._lora_stacks = init_lora_stacks(

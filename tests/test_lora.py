@@ -332,3 +332,36 @@ class TestCLI:
              "--ckpt_dir", str(tmp_path / "none")])
         with pytest.raises(ValueError, match="single-device"):
             train(args)
+
+
+class TestQuantMultiLoRA:
+    """quant x multi-LoRA: int8 base matvecs + full-precision low-rank
+    side-path (the standard serving split; round-5 composition)."""
+
+    def _adapter(self):
+        lcfg = LoRAConfig(rank=4)
+        ad = init_lora_params(PARAMS, lcfg, seed=1)
+        rng = np.random.default_rng(100)
+        ad["layers"] = {
+            k: (v if k.endswith("_A") else
+                jnp.asarray(rng.normal(0, 0.1, v.shape), jnp.float32))
+            for k, v in ad["layers"].items()}
+        return ad, lcfg
+
+    def test_base_slot_equals_plain_quant_engine(self):
+        from linalg_tpu.serve import Request, ServeEngine
+
+        ad, lcfg = self._adapter()
+        rng = np.random.default_rng(101)
+        prompt = rng.integers(0, 31, 8).tolist()
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          quant="int8", max_loras=1, lora_rank=4)
+        lid = eng.register_lora(ad, lcfg)
+        r0 = eng.submit(Request(prompt, 10))
+        r1 = eng.submit(Request(prompt, 10, lora_id=lid))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        ref = ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1,
+                          quant="int8")
+        ref.submit(Request(prompt, 10))
+        assert done[r0] == ref.run()[0].tokens  # base slot: exact
+        assert done[r1] != done[r0]  # the adapter changes the stream
