@@ -405,6 +405,11 @@ def serve_cli(args) -> None:
           f"= {n_tok / max(wall, 1e-9):.0f} tok/s useful; "
           f"slots={args.n_slots} chunk={args.chunk} "
           f"prefills={eng.stats['prefills']}]")
+    if spec:
+        rounds = max(eng.stats.get("spec_rounds", 0), 1)
+        print(f"[speculative K={spec}: {rounds} verify rounds, "
+              f"{eng.stats['emitted_tokens'] / rounds:.2f} tok/round "
+              f"(ceiling {spec + 1})]")
     if done:
         import numpy as _np2
 
