@@ -489,6 +489,58 @@ def bench_prefix():
           rates["prefix"], "tok/s", rates["prefix"] / rates["plain"])
 
 
+def bench_page_cache():
+    """Automatic page-level prefix caching (no registration).
+
+    The bench_prefix workload WITHOUT register_prefix: R requests share
+    a long system prompt, submitted as FULL prompts. page_cache=True
+    pools the first request's prompt pages under content-addressed keys
+    and every later admission reuses them (gather + tail extend), vs the
+    same paged engine re-prefilling every full prompt. The delta is the
+    shared prefill work: identical tokens both ways (exactness pinned by
+    TestPageCache).
+    """
+    import time as _t
+
+    from linalg_tpu.models.gpt import GPTConfig, init_gpt_params
+    from linalg_tpu.serve.engine import Request, ServeEngine
+
+    cfg = GPTConfig(vocab_size=65, d_model=512, n_heads=8, n_layers=8,
+                    ctx_len=2048, dtype="bfloat16")
+    params = init_gpt_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    prefix = rng.integers(0, 65, size=(1900,)).tolist()
+    R, N = 48, 8
+    sufs = [rng.integers(0, 65, size=(int(n),)).tolist()
+            for n in rng.integers(4, 24, size=(R,))]
+
+    def run(pc):
+        eng = ServeEngine(params, cfg, n_slots=8, chunk=8, top_k=1,
+                          prefill_window=256, paged=True, page=128,
+                          page_cache=pc)
+        for s in sufs:
+            eng.submit(Request(prefix + s, N))
+        tot = sum(len(c.tokens) for c in eng.run())
+        return tot, eng.stats["page_cache_hits"]
+
+    run(True); run(False)  # compile
+    rates, hits = {}, 0
+    for name, pc in (("cached", True), ("cold", False)):
+        ts = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            tot, h = run(pc)
+            ts.append(tot / (_t.perf_counter() - t0))
+        rates[name] = float(np.median(ts))
+        if pc:
+            hits = h
+    _emit(f"automatic page cache: {R} full prompts sharing a 1900-token "
+          f"prefix, {N} new tokens each, d512/8L ctx2048 bf16 paged "
+          f"({hits} page hits; vs page_cache=False {rates['cold']:.0f} "
+          f"tok/s)", rates["cached"], "tok/s",
+          rates["cached"] / rates["cold"])
+
+
 def bench_paged():
     """Paged KV cache: compute transparency + the memory/queueing tradeoff.
 
@@ -1107,6 +1159,7 @@ SECTIONS = {
     "quant": bench_quant,
     "gqa": bench_gqa,
     "prefix": bench_prefix,
+    "page_cache": bench_page_cache,
     "stream": bench_stream,
     "qr": bench_qr,
 }
@@ -1128,7 +1181,7 @@ def main():
         for name in ("attention", "train", "train_big", "moe", "sampler",
                      "serve", "spec_serve", "admission", "paged",
                      "paged_ab", "lora", "speculative", "quant", "gqa",
-                     "prefix", "stream", "qr"):
+                     "prefix", "page_cache", "stream", "qr"):
             SECTIONS[name]()
     else:
         bench_qr()

@@ -158,6 +158,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--out", type=str, default="",
                     help="serve mode: write completions as JSON lines to "
                          "this file instead of stdout")
+    ap.add_argument("--page_cache", action="store_true",
+                    help="serve mode (with --paged): automatic prefix "
+                         "caching — retired requests leave their full "
+                         "prompt pages in the pool under content-"
+                         "addressed keys; admissions reuse the longest "
+                         "cached block run (refcounted, LRU-evicted "
+                         "under page pressure)")
+    ap.add_argument("--auto_prefix", action="store_true",
+                    help="serve mode: submit full prompts and let the "
+                         "engine transparently reuse the longest "
+                         "registered prefix (ServeEngine(auto_prefix"
+                         "=True)); with --prefix_file, prompts are "
+                         "submitted as prefix+line with no explicit "
+                         "prefix_id")
     ap.add_argument("--prefix_file", type=str, default="",
                     help="serve mode: file whose text is a shared prompt "
                          "PREFIX (e.g. a system prompt) prepended to every "
@@ -297,9 +311,10 @@ def serve_cli(args) -> None:
         paged = False
     kv8 = paged and bool(getattr(args, "kv8", False))
     spec = int(getattr(args, "speculative", 0) or 0)
+    # (--lora_dir adapters were merged into params at load, so they do
+    # NOT constrain speculation — only the engine-level exclusions do)
     if spec and (quant != "none" or mesh is not None or ring
                  or isinstance(cfg, MoEGPTConfig) or kv8
-                 or getattr(args, "lora_dir", "")
                  or (paged and getattr(args, "paged_attn", "auto")
                      == "kernel")):
         print("(--speculative serving supports the full-precision dense "
@@ -311,7 +326,9 @@ def serve_cli(args) -> None:
                       n_pages=(args.n_pages or None),
                       paged_attn=getattr(args, "paged_attn", "auto"),
                       speculative=spec, kv8=kv8,
-                      schedule=getattr(args, "schedule", "fifo"))
+                      schedule=getattr(args, "schedule", "fifo"),
+                      auto_prefix=getattr(args, "auto_prefix", False),
+                      page_cache=getattr(args, "page_cache", False))
     # the engine reserves ceil(gen/chunk)*chunk cache rows per request
     # (speculative: gen + 2*(draft block) rows); cap gen so one prompt
     # token always fits, then truncate each prompt to leave the full
@@ -371,11 +388,18 @@ def serve_cli(args) -> None:
     for i, ids in enumerate(prompts):
         if ids is None:
             continue
+        auto = getattr(args, "auto_prefix", False)
+        if auto and pid is not None:
+            # exercise the submit-time matcher: full prompt, no id —
+            # the engine rewrites it to (prefix_id, suffix) itself
+            ids, use_pid = list(pref_ids) + list(ids), None
+        else:
+            use_pid = pid
         rid = eng.submit(Request(
             prompt=ids, max_new_tokens=gen,
             temperature=args.temperature, top_p=args.top_p,
             top_k=args.top_k if args.top_k > 0 else None,
-            prefix_id=pid))
+            prefix_id=use_pid))
         rid_to_line[rid] = i
     done = {rid_to_line[c.request_id]: c for c in eng.run()}
     wall = _time.perf_counter() - t0
@@ -410,6 +434,9 @@ def serve_cli(args) -> None:
         print(f"[speculative K={spec}: {rounds} verify rounds, "
               f"{eng.stats['emitted_tokens'] / rounds:.2f} tok/round "
               f"(ceiling {spec + 1})]")
+    if getattr(args, "page_cache", False):
+        print(f"[page cache: {eng.stats['page_cache_hits']} page hits, "
+              f"{eng.stats['page_cache_evicted']} evicted]")
     if done:
         import numpy as _np2
 

@@ -29,7 +29,9 @@ Design (TPU-first):
   up to the ctx budget.
 - ``speculative=K`` composes speculative decoding WITH continuous
   batching: chunks become per-slot draft+verify rounds (serve/spec.py),
-  greedy tokens stay bit-equal to the plain engine.
+  greedy tokens stay bit-equal to the plain engine. The verify block
+  runs ``select_decode_ops``'s dict, so it also composes with
+  multi-LoRA (per-slot adapters keep drafting/verifying per slot).
 - ``paged=True`` composes with multi-LoRA, int8 weight-only decode, and
   int8 KV pages (``kv8=True``) — see the PARITY.md feature matrix.
 - Sampling parameters ride as traced per-slot vectors (temperature, top_p,
@@ -323,6 +325,19 @@ class ServeEngine:
 
     or incrementally: ``submit()`` any time, ``step()`` to advance one
     decode chunk (admitting queued requests into free slots first).
+
+    Prefix reuse, from explicit to fully automatic:
+
+    - ``register_prefix(tokens)`` + ``Request(prefix_id=...)`` — the
+      caller names the shared prefix per request;
+    - ``auto_prefix=True`` — ``submit()`` matches full prompts against
+      the registered prefixes itself (longest proper prefix, per
+      adapter);
+    - ``page_cache=True`` (paged engines) — no registration at all:
+      retired requests leave their full prompt pages in the pool under
+      content-addressed chain keys; admissions reuse the longest cached
+      block run, refcounted while in use, refs-0 entries evicted LRU
+      under page pressure (vLLM-style automatic prefix caching).
     """
 
     def __init__(self, params, cfg: GPTConfig, n_slots: int = 8,
@@ -332,8 +347,15 @@ class ServeEngine:
                  page: int = 64, n_pages: Optional[int] = None,
                  paged_attn: str = "auto", max_loras: int = 0,
                  lora_rank: int = 8, speculative: int = 0,
-                 kv8: bool = False, schedule: str = "fifo"):
+                 kv8: bool = False, schedule: str = "fifo",
+                 auto_prefix: bool = False, page_cache: bool = False):
         from ..models.moe import MoEGPTConfig, moe_prefill
+
+        # auto_prefix: submit() transparently reuses the longest
+        # registered prefix (same adapter) that is a proper prefix of the
+        # prompt — register_prefix becomes a cache the caller never has
+        # to address per-request (_match_prefix below)
+        self._auto_prefix = bool(auto_prefix)
 
         self._prefill = (moe_prefill if isinstance(cfg, MoEGPTConfig)
                          else gpt_prefill)
@@ -443,6 +465,27 @@ class ServeEngine:
             self._page = page
             self._allocator = PageAllocator(n_pages)
             self._shared_held = 0  # pages pinned by registered prefixes
+            # automatic (content-addressed) prefix caching: retired
+            # requests leave their full prompt pages in the pool under a
+            # per-adapter chain hash; admissions reuse the longest cached
+            # block run and prefill only the tail. Refcounted while in
+            # use; refs-0 entries evict LRU under page pressure.
+            self._page_cache = bool(page_cache)
+            if self._page_cache:
+                if kv8:
+                    raise ValueError(
+                        "page_cache requires kv8=False: reused pages "
+                        "would be DEQUANTIZED into the extend forward, "
+                        "so warm admissions would drift off the cold "
+                        "path's exact tokens")
+                from collections import OrderedDict
+
+                # key -> [page_id, refs]; insertion order is the LRU
+                # order (move_to_end on every hit)
+                self._pcache: "OrderedDict[tuple, list]" = OrderedDict()
+                # per-slot admission bookkeeping: (hit keys to decref,
+                # [(key, page_id)] insert candidates at retire)
+                self._slot_pc: List = [None] * n_slots
             # attention read: Pallas in-place page kernel vs XLA
             # table-gather. The gather materializes the gathered KV per
             # step (~3x attention HBM traffic — 0.95x of slot chunk
@@ -471,6 +514,10 @@ class ServeEngine:
                          and page % 8 == 0 and cfg.ctx_len >= 2048
                          and jax.default_backend() == "tpu")))
         else:
+            if page_cache:
+                raise ValueError("page_cache requires paged=True (the "
+                                 "cache lives in the page pool)")
+            self._page_cache = False
             rows = cfg.window if self._ring else cfg.ctx_len
             shape = (cfg.n_layers, n_slots, cfg.kv_heads, rows, cfg.d_head)
             self._cache = {
@@ -510,15 +557,26 @@ class ServeEngine:
         if self._spec:
             # composes with the paged pool (spec chunk block-scatters
             # through the table and reads via the gather; kernel/kv8
-            # paged reads stay excluded)
+            # paged reads stay excluded) AND with multi-LoRA (the verify
+            # block runs the same per-slot side-path ops the plain chunk
+            # scans with). int8 weights stay excluded for a NUMERIC
+            # reason, not a plumbing one: the plain quant engine computes
+            # every prompt row once, in the f32 admission prefill, while
+            # a speculative round would recompute the pending prompt
+            # token through the int8 decode ops — the ~1% quantization
+            # seam lands inside the comparison, so token equality vs the
+            # plain engine (the exactness contract every other
+            # composition is pinned by) is structurally unguaranteed.
             if (self._ring or mesh is not None
-                    or quant not in ("", "none") or self._max_loras
+                    or quant not in ("", "none")
                     or isinstance(cfg, _MoE) or kv8
                     or (self._paged and self._paged_kernel)):
                 raise ValueError(
                     "speculative serving supports the full-precision "
-                    "dense slot or paged(gather) engine "
-                    "(no ring/mesh/quant/lora/kv8)")
+                    "dense slot or paged(gather) engine, with or "
+                    "without multi-LoRA (no ring/mesh/quant/kv8: quant "
+                    "would recompute the pending prompt token through "
+                    "int8 ops that admission prefilled in f32)")
             from .spec import spec_cache_fields
 
             self._cache.update(spec_cache_fields(cfg, n_slots))
@@ -564,7 +622,8 @@ class ServeEngine:
         self._admit_ts: Dict[int, float] = {}
         self.completions: List[Completion] = []
         self.stats = {"chunks": 0, "decode_tokens": 0, "emitted_tokens": 0,
-                      "prefills": 0, "syncs": 0}
+                      "prefills": 0, "syncs": 0, "page_cache_hits": 0,
+                      "page_cache_evicted": 0}
 
     # -- submission ---------------------------------------------------------
 
@@ -637,6 +696,62 @@ class ServeEngine:
                                lora_id, list(tokens))
         return pid
 
+    def _match_prefix(self, prompt, lora_id: int):
+        """Longest registered prefix (same adapter) that is a PROPER
+        prefix of ``prompt`` — the ``auto_prefix=True`` submit-time
+        match. Proper because admission needs >= 1 suffix token (and in
+        speculative mode the suffix supplies the pending token). Linear
+        scan: prefixes are registered explicitly and few; the per-entry
+        compare is O(prefix length) numpy equality."""
+        best = None
+        plen = len(prompt)
+        for pid, entry in self._prefixes.items():
+            toks, plid = entry[6], entry[5]
+            n = len(toks)
+            if (plid != lora_id or not 0 < n < plen
+                    or (best is not None and n <= best[1])):
+                continue
+            if list(prompt[:n]) == list(toks):
+                best = (pid, n)
+        return best
+
+    # -- automatic page cache (content-addressed pooled prompt pages) ---
+
+    def _pc_chain(self, tokens, lora_id: int) -> List[bytes]:
+        """Chain keys of the FULL ``page``-sized blocks of ``tokens``.
+
+        Key i is a running sha1 over the adapter id and blocks 0..i, so a
+        key hit implies the ENTIRE token prefix up to that block matches
+        — and, because pooled KV rows are a deterministic function of the
+        token prefix (prefill/extend at fixed absolute positions), that
+        the cached pages hold exactly the rows a cold prefill would
+        write. vLLM's hash-block automatic prefix caching, on this
+        engine's page pool."""
+        import hashlib
+
+        h = hashlib.sha1(str(int(lora_id)).encode())
+        arr = np.asarray(tokens, np.int32)
+        keys = []
+        for i in range(len(arr) // self._page):
+            h.update(arr[i * self._page:(i + 1) * self._page].tobytes())
+            keys.append(h.digest())
+        return keys
+
+    def _pc_evict(self, need: int) -> None:
+        """Release up to ``need`` pages from refs-0 cache entries, oldest
+        hit first (OrderedDict order; hits move_to_end)."""
+        freed = 0
+        for key in list(self._pcache):
+            if freed >= need:
+                break
+            page, refs = self._pcache[key]
+            if refs:
+                continue
+            del self._pcache[key]
+            self._allocator.release([page])
+            self.stats["page_cache_evicted"] += 1
+            freed += 1
+
     def register_lora(self, adapters, lcfg) -> int:
         """Register a LoRA adapter for per-request serving.
 
@@ -680,6 +795,13 @@ class ServeEngine:
         plen = len(req.prompt)
         if plen == 0:
             raise ValueError("empty prompt")
+        if self._auto_prefix and req.prefix_id is None:
+            hit = self._match_prefix(req.prompt, req.lora_id)
+            if hit is not None:
+                pid, n = hit
+                req = dataclasses.replace(
+                    req, prefix_id=pid, prompt=list(req.prompt[n:]))
+                plen = len(req.prompt)
         from ..models.moe import MoEGPTConfig as _MoE
 
         if plen > self.prefill_window and isinstance(self.cfg, _MoE):
@@ -770,14 +892,41 @@ class ServeEngine:
         pref_len, shared = 0, []
         if req.prefix_id is not None:
             pref_len, shared = self._prefixes[req.prefix_id][3:5]
+        # automatic page cache: the longest run of cached full blocks of
+        # the PREFILL token sequence (spec mode leaves the pending token
+        # out) joins the table as shared pages — exactly the registered-
+        # prefix mechanics, but keyed by content. Non-spec admissions cap
+        # the run one block short of the prompt so >= 1 token remains to
+        # produce the first sampling logits.
+        pc_hits, pc_keys = [], None
+        if (self._paged and self._page_cache and req.prefix_id is None):
+            pf_len = plen - 1 if self._spec else plen
+            pc_keys = self._pc_chain(req.prompt[:pf_len], req.lora_id)
+            cap = (pf_len if self._spec else pf_len - 1) // self._page
+            for key in pc_keys[:cap]:
+                ent = self._pcache.get(key)
+                if ent is None:
+                    break
+                pc_hits.append((key, ent))
         if self._paged:
             # admission control by memory: reserve every page the request
             # can touch (prompt + decode-budget reservation) MINUS the
-            # prefix's shared full pages, which every admission reads in
-            # place; if the pool can't cover it the request stays queued
+            # prefix's shared full pages (or cached prompt pages), which
+            # every admission reads in place; if the pool can't cover it
+            # the request stays queued
+            if pc_hits:
+                shared = [ent[0] for _, ent in pc_hits]
             reserved = self._reserved(req)
             need = -(-(pref_len + plen + reserved) // self._page)
             npriv = need - len(shared)
+            if npriv > self._allocator.n_free and self._page_cache:
+                # refs-0 cached pages are reclaimable capacity: protect
+                # this request's own hits, then evict LRU
+                for _, ent in pc_hits:
+                    ent[1] += 1
+                self._pc_evict(npriv - self._allocator.n_free)
+                for _, ent in pc_hits:
+                    ent[1] -= 1
             if npriv > self._allocator.n_free:
                 return False
             pages = self._allocator.alloc(npriv)
@@ -788,6 +937,10 @@ class ServeEngine:
             scatter = full.copy()
             scatter[:len(shared)] = 0  # never rewrite shared pages
             scatter_ids = jnp.asarray(scatter)
+            if pc_hits:
+                # gather ids for the dense prefix view: hit pages only
+                pc_gather = full.copy()
+                pc_gather[len(pc_hits):] = 0
         # async: the prefills/extends and the slot scatter are dispatched,
         # never synced — the next decode chunk consumes them on-device.
         # Adapter requests run through dense weights merged from the stack
@@ -805,6 +958,16 @@ class ServeEngine:
         if req.prefix_id is not None:
             pk, pv = self._prefixes[req.prefix_id][:2]
             pos, rest, logits = pref_len, prompt, None
+        elif pc_hits:
+            # cached prompt pages: gather them into a dense prefix view
+            # and block-extend only the uncached tail (the registered-
+            # prefix flow, content-addressed)
+            from .paged import _gather_prefix_pages
+
+            pk, pv = _gather_prefix_pages(self._cache,
+                                          jnp.asarray(pc_gather))
+            pos = len(pc_hits) * self._page
+            rest, logits = prompt[pos:], None
         else:
             first = min(len(prompt), W)
             ids = np.zeros((1, W), np.int32)
@@ -877,6 +1040,17 @@ class ServeEngine:
         if self._max_loras:
             # a reused slot must DROP its previous occupant's adapter
             self._cache = _set_slot_lora(self._cache, slot, req.lora_id)
+        if self._page_cache and pc_keys is not None:
+            # pin the hits for the slot's lifetime; record which PRIVATE
+            # pages hold full prompt blocks (insert candidates at retire:
+            # logical block j >= len(hits) lives in pages[j - len(hits)])
+            for key, ent in pc_hits:
+                ent[1] += 1
+                self._pcache.move_to_end(key)
+            ins = [(pc_keys[j], pages[j - len(pc_hits)])
+                   for j in range(len(pc_hits), len(pc_keys))]
+            self._slot_pc[slot] = ([k for k, _ in pc_hits], ins)
+            self.stats["page_cache_hits"] += len(pc_hits)
         self._scanned[slot] = 0
         assert not self._slot_chunks[slot]
         self.stats["prefills"] += 1
@@ -884,12 +1058,30 @@ class ServeEngine:
 
     def _free_pages(self, slot: int) -> None:
         """Paged retire: return the slot's pages to the pool and point its
-        table row at the trash page so idle decode can't touch them."""
+        table row at the trash page so idle decode can't touch them.
+
+        Page-cache engines first unpin the admission's cache hits and
+        TRANSFER the slot's full-prompt-block pages into the content
+        cache (refs 0 — reclaimable, reusable) instead of releasing
+        them; a duplicate key (a concurrent identical request retired
+        first) releases normally."""
         if self._paged and self._slot_pages[slot]:
             from .paged import _reset_table_row
 
             self._cache = _reset_table_row(self._cache, slot)
-            self._allocator.release(self._slot_pages[slot])
+            pages = self._slot_pages[slot]
+            if self._page_cache and self._slot_pc[slot] is not None:
+                hit_keys, ins = self._slot_pc[slot]
+                self._slot_pc[slot] = None
+                for k in hit_keys:
+                    self._pcache[k][1] -= 1
+                kept = set()
+                for key, page in ins:
+                    if key not in self._pcache:
+                        self._pcache[key] = [page, 0]
+                        kept.add(page)
+                pages = [p for p in pages if p not in kept]
+            self._allocator.release(pages)
             self._slot_pages[slot] = []
 
     # -- async token store ----------------------------------------------

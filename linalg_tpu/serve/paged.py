@@ -180,6 +180,27 @@ def _reset_table_row(cache, b):
     return dict(cache, table=table)
 
 
+@jax.jit
+def _gather_prefix_pages(cache, page_ids):
+    """Inverse of ``_scatter_pages``: materialize the pool pages at
+    ``page_ids`` ((ctx/page,) int32; tail entries 0 = trash) as dense
+    (L, 1, hk, ctx, d) prefix KV buffers, ready for the block-extend
+    forward. The engine's automatic page cache admits a request whose
+    prompt starts with already-pooled pages by gathering them here and
+    extending only the uncached tail — rows past the cached length come
+    from the trash page (garbage) and are masked by the extend's
+    causal/position discipline exactly as a dense prefix buffer's
+    unwritten tail is. Full-precision pools only (a kv8 gather would
+    dequantize, and the re-derived suffix would drift off the cold
+    path's exact tokens — the engine rejects the combination)."""
+    def get(pool):  # (L, n_pages, hk, page, d) -> (L, 1, hk, ctx, d)
+        x = pool[:, page_ids]  # (L, P, hk, page, d)
+        L, P, hk, pg, d = x.shape
+        return jnp.swapaxes(x, 1, 2).reshape(L, hk, P * pg, d)[:, None]
+
+    return get(cache["pool_k"]), get(cache["pool_v"])
+
+
 # ---------------------------------------------------------------------------
 # Pallas paged attention: read pages IN PLACE via scalar-prefetch block maps
 # ---------------------------------------------------------------------------

@@ -33,6 +33,12 @@ slot's peak cache row to plen + budget + 2S — the reservation
 IDENTICALLY to the plain engine's sampler (exact point-mass rejection
 sampling; greedy output is bit-equal — pinned by tests/test_spec_serve).
 
+The verify block consumes the engine's ``select_decode_ops`` dict (the
+same weight-representation seam the plain decode chunk scans with), so
+speculative batching composes with the per-slot multi-LoRA side-path —
+and with the paged pool via ``write_fn``/``read_fn`` (layout and weight
+representation never touch each other).
+
 Reference: extends /root/reference/gpt.py:518-546's sampler semantics;
 per-slot verification follows Leviathan et al. 2023 specialized to the
 deterministic drafter, as models/speculative.py does for one stream.
@@ -48,7 +54,6 @@ from jax import lax
 
 from ..models.gpt import (
     GPTConfig,
-    _ffn_dense,
     _gqa_decode_attn,
     _heads,
     _unheads,
@@ -56,12 +61,7 @@ from ..models.gpt import (
 )
 from ..models.speculative import _draft_lookup
 from ..nn.cache import fkv_write_slots
-from ..nn.functional import (
-    layer_norm,
-    rope_rotate,
-    rope_tables,
-    sinusoidal_encoding,
-)
+from ..nn.functional import rope_rotate, rope_tables
 
 __all__ = ["decode_chunk_spec", "spec_cache_fields"]
 
@@ -77,7 +77,7 @@ def spec_cache_fields(cfg: GPTConfig, n_slots: int):
     }
 
 
-def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
+def _block_step_slots(ops, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
                       S: int, write_fn=None, read_fn=None):
     """One (B, S) block forward at PER-SLOT positions ``pos`` (B,).
 
@@ -88,6 +88,14 @@ def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
     caller's responsibility to keep in range (the engine's budget gate);
     the write clamps like a DUS for idle slots.
 
+    ``ops`` is the engine's weight-representation dispatch
+    (``serve.engine.select_decode_ops`` — the same dict the plain decode
+    chunk scans with), which is what lets speculative batching compose
+    with the per-slot multi-LoRA side-path: every callback is
+    shape-polymorphic in the token axis, so the (B, 1, D) decode forms
+    apply unchanged at (B, S, D). The one-token ``embed``/``pe``
+    callbacks ((B,) -> (B, 1, D)) are vmapped over the S block axis.
+
     ``write_fn``/``read_fn`` re-seat the cache layout: the paged spec
     engine passes a page-table block scatter and a table-gather view
     (pool pages in, (B, hk, ctx, d) out) — defaults are the dense slot
@@ -97,24 +105,23 @@ def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
         write_fn = fkv_write_slots
     if read_fn is None:
         read_fn = lambda x: x
-    layers, tokW, head_b, pe = params_dt
     dt = cfg.compute_dtype
+    D = cfg.d_model
+    KD = cfg.kv_heads * cfg.d_head
     B = tokens.shape[0]
     offs = jnp.arange(S, dtype=jnp.int32)
     rel = pos[:, None] + offs[None, :]  # (B, S) absolute positions
 
+    h = jnp.squeeze(
+        jax.vmap(ops["embed"], in_axes=1, out_axes=2)(tokens), axis=1)
     rope = None
     if cfg.pos == "rope":
-        h = tokW[tokens]
         c, s_ = rope_tables(cfg.d_head, rel)  # (B, S, d/2)
-        rope = (c[:, None], s_[:, None])  # (B, 1, S, d/2)
-    elif cfg.pos == "alibi":
-        h = tokW[tokens]
-    else:
-        h = tokW[tokens] + pe[jnp.minimum(rel, cfg.ctx_len - 1)]
+        rope = (c[:, None].astype(dt), s_[:, None].astype(dt))
+    elif cfg.pos != "alibi":
+        h = h + jnp.squeeze(
+            jax.vmap(ops["pe"], in_axes=1, out_axes=2)(rel), axis=1)
     h = h.astype(dt)
-    if rope is not None:
-        rope = (rope[0].astype(dt), rope[1].astype(dt))
 
     t_ids = jnp.arange(cfg.ctx_len)
     # row r of slot b attends to cache rows j <= pos_b + r
@@ -132,25 +139,24 @@ def _block_step_slots(params_dt, cfg: GPTConfig, kbuf, vbuf, pos, tokens,
 
     def body(carry, xs):
         h_in = carry
-        lp, k_l, v_l = xs
-        xn = layer_norm(h_in, lp["ln1_g"], lp["ln1_b"])
-        q = _heads(xn @ lp["Wq"], cfg.n_heads)
-        k = _heads(xn @ lp["Wk"], cfg.kv_heads)
-        v = _heads(xn @ lp["Wv"], cfg.kv_heads)
+        lw, k_l, v_l = xs
+        xn = ops["ln1"](lw, h_in)
+        qkv = ops["qkv"](lw, xn)
+        q = _heads(qkv[..., :D], cfg.n_heads)
+        k = _heads(qkv[..., D:D + KD], cfg.kv_heads)
+        v = _heads(qkv[..., D + KD:], cfg.kv_heads)
         if rope is not None:
             q = rope_rotate(q, rope[0], rope[1])
             k = rope_rotate(k, rope[0], rope[1])
         k_l, v_l = write_fn(k_l, v_l, pos, k.astype(dt), v.astype(dt))
-        a = _unheads(_gqa_decode_attn(q, read_fn(k_l), read_fn(v_l),
-                                      mask)) @ lp["Wo"]
+        a = ops["out"](lw, _unheads(
+            _gqa_decode_attn(q, read_fn(k_l), read_fn(v_l), mask)))
         h1 = h_in + a
-        f = _ffn_dense(lp, layer_norm(h1, lp["ln2_g"], lp["ln2_b"]),
-                       cfg.ffn)
+        f = ops["ffn"](lw, ops["ln2"](lw, h1))
         return h1 + f, (k_l, v_l)
 
-    h, (K, V) = lax.scan(body, h, (layers, kbuf, vbuf))
-    logits = (h @ tokW.T + head_b).astype(jnp.float32)
-    return logits, K, V
+    h, (K, V) = lax.scan(body, h, (ops["lws"], kbuf, vbuf))
+    return ops["head"](h), K, V
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_rounds", "n_draft"))
@@ -209,14 +215,9 @@ def decode_chunk_spec(params, cache, key, temp, top_p, top_k, budget,
     else:
         write_fn = read_fn = None
         kbuf0, vbuf0 = cache["k"], cache["v"]
-    layers = jax.tree.map(lambda w: w.astype(dt), params["layers"])
-    tokW = params["tok_W"].astype(dt)
-    head_b = params["head_b"].astype(dt)
-    pe = None
-    if cfg.pos not in ("rope", "alibi"):
-        pe = (params["pos_W"] if cfg.pos == "learned"
-              else sinusoidal_encoding(cfg.ctx_len, cfg.d_model)).astype(dt)
-    params_dt = (layers, tokW, head_b, pe)
+    from .engine import select_decode_ops
+
+    ops = select_decode_ops(params, cfg, cache)
 
     temp = jnp.asarray(temp, jnp.float32)[:, None, None]  # vs (B, S, V)
     top_p = jnp.asarray(top_p, jnp.float32)[:, None, None]
@@ -235,7 +236,7 @@ def decode_chunk_spec(params, cache, key, temp, top_p, top_k, budget,
             hist, pos + 1, S - 1)  # (B, S-1)
         block = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B,S)
         logits, kbuf, vbuf = _block_step_slots(
-            params_dt, cfg, kbuf, vbuf, pos, block, S, write_fn, read_fn)
+            ops, cfg, kbuf, vbuf, pos, block, S, write_fn, read_fn)
         z = filter_logits(logits, temp, top_k, top_p)  # (B, S, V)
         probs = jax.nn.softmax(z, axis=-1)
 

@@ -343,6 +343,39 @@ class TestPagedCLI:
         capsys.readouterr()
         assert [r["text"] for r in paged] == [r["text"] for r in slot]
 
+    def test_serve_cli_page_cache(self, tmp_path, capsys):
+        """--page_cache plumbs through and stays token-equal to slot."""
+        import json
+
+        from linalg_tpu.apps.gpt import build_parser, serve_cli
+        from linalg_tpu.train.checkpoint import save_ckpt
+
+        chars = "abcdefghijklmnopqrstuvwxyz .,!?"
+        stoi = {c: i for i, c in enumerate(chars)}
+        itos = {i: c for i, c in enumerate(chars)}
+        save_ckpt(tmp_path, PARAMS, CFG, stoi, itos)
+        # identical prompts: the second admission reuses the first's
+        # retired pages (n_slots=1 serializes them)
+        (tmp_path / "prompts.txt").write_text(
+            "hello world, here!\nhello world, here!\n", encoding="utf-8")
+
+        def run(extra, out):
+            args = build_parser().parse_args([
+                "--serve", "--ckpt_dir", str(tmp_path),
+                "--prompts", str(tmp_path / "prompts.txt"),
+                "--out", str(tmp_path / out),
+                "--gen_tokens", "6", "--n_slots", "1", "--chunk", "4",
+                "--top_k", "1"] + extra)
+            serve_cli(args)
+            return [json.loads(ln) for ln in
+                    (tmp_path / out).read_text().splitlines()]
+
+        pc = run(["--paged", "--page", "8", "--page_cache"], "pc.jsonl")
+        slot = run([], "slot.jsonl")
+        msgs = capsys.readouterr().out
+        assert [r["text"] for r in pc] == [r["text"] for r in slot]
+        assert "[page cache: 2 page hits" in msgs
+
 
 class TestPagedValidation:
     def test_rejects_unsupported_modes(self):
@@ -616,3 +649,151 @@ class TestAdmissionSchedule:
     def test_validation(self):
         with pytest.raises(ValueError, match="schedule"):
             ServeEngine(PARAMS, CFG, schedule="lifo")
+
+
+class TestPageCache:
+    """Automatic (content-addressed) prefix caching: retired requests
+    leave their full prompt pages in the pool keyed by a per-adapter
+    chain hash; admissions reuse the longest cached block run and
+    prefill only the tail. Warm tokens must be EXACTLY the cold
+    engine's (pooled rows are a deterministic function of the token
+    prefix), refs pin in-use pages, refs-0 entries evict LRU under
+    pressure."""
+
+    def _eng(self, **kw):
+        kw.setdefault("n_slots", 2)
+        kw.setdefault("chunk", 4)
+        kw.setdefault("top_k", 1)
+        kw.setdefault("page", 8)
+        return ServeEngine(PARAMS, CFG, paged=True, page_cache=True, **kw)
+
+    def test_warm_repeat_exact_and_hits(self):
+        rng = np.random.default_rng(30)
+        prompt = rng_prompt(rng, CFG, 20, 21)  # 20 tokens = 2 full pages
+        cold = slot_tokens([Request(prompt, 8)], n_slots=2, chunk=4,
+                           top_k=1)
+        eng = self._eng()
+        r1 = eng.submit(Request(prompt, 8))
+        t1 = {c.request_id: c.tokens for c in eng.run()}[r1]
+        assert eng.stats["page_cache_hits"] == 0  # cold
+        r2 = eng.submit(Request(prompt, 8))
+        t2 = {c.request_id: c.tokens for c in eng.run()}[r2]
+        want = next(iter(cold.values()))[0]
+        assert t1 == want and t2 == want
+        assert eng.stats["page_cache_hits"] == 2  # both full pages reused
+
+    def test_shared_block_prefix_partial_hit(self):
+        rng = np.random.default_rng(31)
+        head = rng_prompt(rng, CFG, 16, 17)  # 2 full pages
+        a = head + rng_prompt(rng, CFG, 5, 8)
+        b = head + rng_prompt(rng, CFG, 5, 8)
+        cold = slot_tokens([Request(a, 6), Request(b, 6)], n_slots=2,
+                           chunk=4, top_k=1)
+        eng = self._eng(n_slots=1)  # serialize: a retires before b admits
+        ra = eng.submit(Request(a, 6))
+        rb = eng.submit(Request(b, 6))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        assert done[ra] == cold[ra][0]
+        assert done[rb] == cold[rb][0]
+        assert eng.stats["page_cache_hits"] == 2  # b reused head's pages
+
+    def test_eviction_under_pressure(self):
+        """A pool too small for two requests' pages evicts the refs-0
+        cached pages of the first to admit the second — and stays
+        exact."""
+        rng = np.random.default_rng(32)
+        a = rng_prompt(rng, CFG, 20, 21)
+        b = rng_prompt(rng, CFG, 20, 21)
+        cold = slot_tokens([Request(a, 8), Request(b, 8)], n_slots=2,
+                           chunk=4, top_k=1)
+        # per request: 20 prompt + 8 decode = 28 rows -> 4 pages of 8;
+        # 5 usable pages hold b's 4 only after evicting one of a's 2
+        # cached (refs-0) blocks
+        eng = self._eng(n_slots=1, n_pages=6)
+        ra = eng.submit(Request(a, 8))
+        done = {c.request_id: c.tokens for c in eng.run()}
+        rb = eng.submit(Request(b, 8))
+        done.update({c.request_id: c.tokens for c in eng.run()})
+        assert done[ra] == cold[ra][0] and done[rb] == cold[rb][0]
+        assert eng.stats["page_cache_evicted"] > 0
+        # and a re-run of `a` now misses (its pages were evicted for b)
+
+    def test_adapter_keys_are_separate(self):
+        from linalg_tpu.models.lora import LoRAConfig, init_lora_params
+
+        lcfg = LoRAConfig(rank=2, alpha=4.0)
+        lora = init_lora_params(PARAMS, lcfg, seed=3)
+        rng = np.random.default_rng(33)
+        lb = {k: (jnp.asarray(rng.normal(0, 0.05, v.shape), jnp.float32)
+                  if k.endswith("_B") else v)
+              for k, v in lora["layers"].items()}
+        rng2 = np.random.default_rng(34)
+        prompt = rng_prompt(rng2, CFG, 20, 21)
+        eng = self._eng(max_loras=1, lora_rank=2)
+        lid = eng.register_lora({"layers": lb}, lcfg)
+        r1 = eng.submit(Request(prompt, 6))          # base model
+        eng.run()
+        r2 = eng.submit(Request(prompt, 6, lora_id=lid))  # adapter
+        eng.run()
+        # same tokens, different adapter -> different chain keys, no hit
+        assert eng.stats["page_cache_hits"] == 0
+        r3 = eng.submit(Request(prompt, 6, lora_id=lid))
+        eng.run()
+        assert eng.stats["page_cache_hits"] == 2  # adapter's own pages
+
+    def test_speculative_page_cache_exact(self):
+        rng = np.random.default_rng(35)
+        prompt = (rng_prompt(rng, CFG, 10, 11) * 3)[:24]  # 3 full pages
+        plain = self._eng()
+        r0 = plain.submit(Request(prompt, 8))
+        want = {c.request_id: c.tokens for c in plain.run()}[r0]
+        eng = self._eng(speculative=2)
+        r1 = eng.submit(Request(prompt, 8))
+        t1 = {c.request_id: c.tokens for c in eng.run()}[r1]
+        r2 = eng.submit(Request(prompt, 8))
+        t2 = {c.request_id: c.tokens for c in eng.run()}[r2]
+        assert t1 == want and t2 == want
+        assert eng.stats["page_cache_hits"] >= 2
+
+    def test_concurrent_identical_prompts_dedup_insert(self):
+        """Two identical requests in flight together: both compute their
+        pages privately (no retire yet), and the SECOND retire finds the
+        keys taken — its duplicate pages release instead of leaking."""
+        rng = np.random.default_rng(36)
+        # 17 tokens: 2 full pages + a 1-token tail (a 16-token prompt
+        # would cap warm matching at ONE block — the last full block is
+        # excluded so >= 1 token remains to produce admission logits)
+        prompt = rng_prompt(rng, CFG, 17, 18)
+        cold = slot_tokens([Request(prompt, 6)] * 2, n_slots=2, chunk=4,
+                           top_k=1)
+        eng = self._eng(n_slots=2)
+        ids = [eng.submit(Request(prompt, 6)) for _ in range(2)]
+        done = {c.request_id: c.tokens for c in eng.run()}
+        for rid in ids:
+            assert done[rid] == cold[rid][0]
+        free0 = eng._allocator.n_free
+        # cache holds ONE copy of the 2 blocks; a warm run hits both
+        r3 = eng.submit(Request(prompt, 6))
+        done3 = {c.request_id: c.tokens for c in eng.run()}
+        assert done3[r3] == cold[ids[0]][0]
+        assert eng.stats["page_cache_hits"] == 2
+        assert eng._allocator.n_free == free0  # no leak
+
+    def test_explicit_prefix_requests_bypass_page_cache(self):
+        rng = np.random.default_rng(37)
+        prefix = rng_prompt(rng, CFG, 16, 17)
+        tail = rng_prompt(rng, CFG, 4, 6)
+        eng = self._eng()
+        pid = eng.register_prefix(prefix)
+        eng.submit(Request(tail, 6, prefix_id=pid))
+        eng.run()
+        eng.submit(Request(tail, 6, prefix_id=pid))
+        eng.run()
+        assert eng.stats["page_cache_hits"] == 0  # prefix path, no pc
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="paged"):
+            ServeEngine(PARAMS, CFG, page_cache=True)
+        with pytest.raises(ValueError, match="kv8"):
+            ServeEngine(PARAMS, CFG, paged=True, page=8, kv8=True,
+                        page_cache=True)

@@ -451,6 +451,29 @@ class TestServeCLI:
             want = greedy_single(PARAMS, CFG, ids, 6)
             assert row["text"] == "".join(itos[t] for t in want)
 
+    def test_serve_cli_auto_prefix(self, tmp_path, capsys):
+        """--auto_prefix: prompts submit as prefix+line with NO explicit
+        prefix_id; the engine's submit-time matcher splits them. Output
+        must equal the explicit --prefix_file path's."""
+        import json
+
+        from linalg_tpu.apps.gpt import serve_cli
+
+        stoi, itos = self._ckpt(tmp_path)
+        prefix_text = "the quick brown fox jumps"
+        (tmp_path / "sys.txt").write_text(prefix_text, encoding="utf-8")
+        (tmp_path / "prompts.txt").write_text(" over\n lazy\n",
+                                              encoding="utf-8")
+        serve_cli(self._serve_args(tmp_path, auto_prefix=True,
+                                   prefix_file=str(tmp_path / "sys.txt")))
+        rows = [json.loads(ln) for ln in
+                (tmp_path / "out.jsonl").read_text().splitlines()]
+        assert len(rows) == 2
+        for row, suffix in zip(rows, (" over", " lazy")):
+            ids = [stoi[c] for c in (prefix_text + suffix)]
+            want = greedy_single(PARAMS, CFG, ids, 6)
+            assert row["text"] == "".join(itos[t] for t in want)
+
 
 class TestPrefixCache:
     """Prefix caching: register a shared prompt prefix once, admit requests
@@ -768,3 +791,83 @@ class TestChunkedPrefillModes:
                           prefill_window=16, top_k=1, paged=True, page=16)
         eng.submit(Request(prompt, 8))
         assert eng.run()[0].tokens == self._greedy(params, cfg, prompt, 8)
+
+
+class TestAutoPrefix:
+    """auto_prefix=True: submit() transparently reuses the longest
+    registered prefix that properly prefixes the prompt (same adapter),
+    so register_prefix acts as a cache the caller never addresses
+    per-request. Token equality with the explicit-prefix_id path (which
+    TestPrefixCache pins to full-prompt prefills)."""
+
+    def _eng(self, **kw):
+        return ServeEngine(PARAMS, CFG, n_slots=2, chunk=4, top_k=1, **kw)
+
+    def test_matches_explicit_and_full(self):
+        rng = np.random.default_rng(21)
+        prefix = rng_prompt(rng, CFG, 10, 14)
+        suffix = rng_prompt(rng, CFG, 3, 6)
+        want = greedy_single(PARAMS, CFG, prefix + suffix, 8)
+
+        eng = self._eng(auto_prefix=True)
+        eng.register_prefix(prefix)
+        eng.submit(Request(prefix + suffix, 8))  # FULL prompt, no id
+        assert eng.run()[0].tokens == want
+        # the admission really did reuse the prefix: only the suffix
+        # was prefilled (stats count one prefill either way; pin via
+        # prompt_len bookkeeping of the completion)
+        eng2 = self._eng(auto_prefix=True)
+        pid = eng2.register_prefix(prefix)
+        eng2.submit(Request(prefix + suffix, 8))
+        c = eng2.run()[0]
+        assert c.prompt_len == len(suffix)  # suffix-only admission
+
+    def test_longest_of_nested_prefixes_wins(self):
+        rng = np.random.default_rng(22)
+        p1 = rng_prompt(rng, CFG, 6, 8)
+        p2 = p1 + rng_prompt(rng, CFG, 6, 8)  # nests p1
+        tail = rng_prompt(rng, CFG, 3, 5)
+        want = greedy_single(PARAMS, CFG, p2 + tail, 8)
+        eng = self._eng(auto_prefix=True)
+        eng.register_prefix(p1)
+        eng.register_prefix(p2)
+        eng.submit(Request(p2 + tail, 8))
+        c = eng.run()[0]
+        assert c.tokens == want
+        assert c.prompt_len == len(tail)  # matched p2, not p1
+
+    def test_exact_prefix_prompt_needs_proper_suffix(self):
+        """A prompt EQUAL to a registered prefix matches nothing (a
+        proper suffix must remain for admission) and still serves."""
+        rng = np.random.default_rng(23)
+        prefix = rng_prompt(rng, CFG, 8, 10)
+        want = greedy_single(PARAMS, CFG, prefix, 6)
+        eng = self._eng(auto_prefix=True)
+        eng.register_prefix(prefix)
+        eng.submit(Request(prefix, 6))
+        c = eng.run()[0]
+        assert c.tokens == want and c.prompt_len == len(prefix)
+
+    def test_adapter_mismatch_never_matches(self):
+        from linalg_tpu.models.lora import LoRAConfig, init_lora_params
+
+        lcfg = LoRAConfig(rank=2, alpha=4.0)
+        lora = init_lora_params(PARAMS, lcfg, seed=1)
+        rng = np.random.default_rng(24)
+        prefix = rng_prompt(rng, CFG, 8, 10)
+        tail = rng_prompt(rng, CFG, 3, 5)
+        eng = self._eng(auto_prefix=True, max_loras=1, lora_rank=2)
+        lid = eng.register_lora(lora, lcfg)
+        eng.register_prefix(prefix)  # base-model prefix (lora_id=0)
+        eng.submit(Request(prefix + tail, 6, lora_id=lid))
+        c = eng.run()[0]
+        assert c.prompt_len == len(prefix) + len(tail)  # no reuse
+
+    def test_off_by_default(self):
+        rng = np.random.default_rng(25)
+        prefix = rng_prompt(rng, CFG, 8, 10)
+        tail = rng_prompt(rng, CFG, 3, 5)
+        eng = self._eng()
+        eng.register_prefix(prefix)
+        eng.submit(Request(prefix + tail, 6))
+        assert eng.run()[0].prompt_len == len(prefix) + len(tail)

@@ -176,12 +176,12 @@ class TestBookkeeping:
     def test_validation(self):
         from linalg_tpu.models.moe import MoEGPTConfig, init_moe_params
 
-        # spec x paged(gather) COMPOSES (TestSpecPaged); quant still
-        # rejects
+        # spec x paged(gather) COMPOSES (TestSpecPaged) and so does
+        # spec x multi-LoRA (TestSpecLoRA); quant still rejects — the
+        # pending prompt token would be recomputed through int8 ops that
+        # admission prefilled in f32 (see the engine's rationale)
         with pytest.raises(ValueError, match="speculative"):
             ServeEngine(PARAMS, CFG, speculative=2, quant="int8")
-        with pytest.raises(ValueError, match="speculative"):
-            ServeEngine(PARAMS, CFG, speculative=2, max_loras=2)
         mcfg = MoEGPTConfig(vocab_size=31, d_model=32, n_heads=2,
                             n_layers=2, ctx_len=64, n_experts=2)
         with pytest.raises(ValueError, match="speculative"):
@@ -290,3 +290,64 @@ class TestSpecPaged:
         with pytest.raises(ValueError, match="speculative"):
             ServeEngine(PARAMS, CFG, speculative=2, paged=True, page=16,
                         kv8=True)
+
+
+class TestSpecLoRA:
+    """speculative x multi-LoRA composition: the verify block runs the
+    SAME per-slot side-path ops the plain chunk scans with
+    (serve.engine.select_decode_ops through spec._block_step_slots), so
+    greedy tokens stay exactly equal to the plain multi-LoRA engine —
+    which tests/test_lora.py pins to per-adapter merged engines."""
+
+    def _adapter(self, seed, rank=4, alpha=8.0):
+        from linalg_tpu.models.lora import LoRAConfig, init_lora_params
+
+        lcfg = LoRAConfig(rank=rank, alpha=alpha)
+        lora = init_lora_params(PARAMS, lcfg, seed=seed)
+        rng = np.random.default_rng(seed + 100)
+        layers = {
+            k: (jnp.asarray(rng.normal(0, 0.05, v.shape), jnp.float32)
+                if k.endswith("_B") else v)
+            for k, v in lora["layers"].items()
+        }
+        return {"layers": layers}, lcfg
+
+    def _run(self, reqs, **kw):
+        eng = ServeEngine(PARAMS, CFG, n_slots=3, chunk=8, top_k=1,
+                          max_loras=2, lora_rank=4, **kw)
+        for s in (1, 2):
+            eng.register_lora(*self._adapter(s))
+        ids = [eng.submit(Request(p, n, lora_id=l)) for p, n, l in reqs]
+        done = {c.request_id: c for c in eng.run()}
+        return [done[i].tokens for i in ids]
+
+    @pytest.mark.parametrize("K", [1, 3])
+    def test_mixed_adapters_match_plain_engine(self, K):
+        rng = np.random.default_rng(4)
+        reqs = [(rng.integers(0, 31, rng.integers(3, 12)).tolist(),
+                 int(n), l) for n, l in ((7, 0), (12, 1), (9, 2), (15, 1))]
+        assert self._run(reqs, speculative=K) == self._run(reqs)
+
+    def test_base_slots_unaffected_by_adapters(self):
+        """lora_id=0 requests in a spec engine with registered adapters
+        emit exactly the no-LoRA spec engine's tokens."""
+        rng = np.random.default_rng(5)
+        reqs = rng_reqs(rng, (8, 14))
+        base, _ = run_engine(reqs, speculative=3)
+        got = self._run([(r.prompt, r.max_new_tokens, 0) for r in reqs],
+                        speculative=3)
+        assert got == [c.tokens for c in base]
+
+    def test_paged_lora_spec(self):
+        """Triple composition: page-table KV + per-slot adapters +
+        speculative rounds, equal to the plain paged multi-LoRA engine."""
+        rng = np.random.default_rng(6)
+        reqs = [(rng.integers(0, 31, rng.integers(3, 10)).tolist(),
+                 int(n), l) for n, l in ((6, 1), (10, 2), (8, 0))]
+        plain = self._run(reqs, paged=True, page=16)
+        spec = self._run(reqs, paged=True, page=16, speculative=2)
+        assert spec == plain
+
+    def test_quant_spec_still_rejected(self):
+        with pytest.raises(ValueError, match="int8"):
+            ServeEngine(PARAMS, CFG, speculative=2, quant="int8")

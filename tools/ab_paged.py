@@ -9,9 +9,10 @@ the paged indirection costs the decode hot loop:
 - gather: paged pool + XLA table-gather attention (materializes the
           gathered KV per step: read + write + re-read)
 - kernel: paged pool + Pallas attention reading pages in place
-          (grid kernel, or the deep-pipelined DMA kernel when
-          d_head % 128 == 0 — decode_chunk_paged picks exactly as the
-          engine does)
+          (the deep-pipelined DMA kernel — d_head >= 128 natively,
+          narrow heads via 128-lane row folding — with the grid kernel
+          as fallback; decode_chunk_paged picks exactly as the engine
+          does)
 
 Representative chip numbers live in BASELINE.md (round 4). Usage:
     python tools/ab_paged.py [--ctx 4096] [--page 256] [--long]
@@ -101,7 +102,7 @@ def main():
                   n_layers=8, ctx_len=4096, dtype="bfloat16"),
         page=256, B=8)
     if args.long:
-        # d_head 64: the grid kernel (DMA kernel needs d_head % 128 == 0)
+        # d_head 64: the DMA kernel folds 2 KV rows per 128-lane DMA row
         run(GPTConfig(vocab_size=65, d_model=512, n_heads=8, n_kv_heads=2,
                       n_layers=8, ctx_len=4096, dtype="bfloat16"),
             page=256, B=8)
