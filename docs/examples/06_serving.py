@@ -217,4 +217,20 @@ plain_pool = ServeEngine(params, cfg, n_slots=2, chunk=4, paged=True,
 ratio = nb(kv8_eng._cache["pool_k"]) / nb(plain_pool)
 print(f"paged kv8 pool bytes = {ratio:.2f}x of the f32 pool ✓")
 
+# --- 8. automatic prefix reuse ------------------------------------------------
+# page_cache=True: no registration at all — a retired request's full
+# prompt pages stay pooled under content-addressed chain keys, and any
+# later admission whose prompt starts with the same blocks reuses them
+# (gather + tail extend). Warm tokens EXACTLY equal the cold path's.
+pc_eng = ServeEngine(params, cfg, n_slots=2, chunk=4, top_k=1,
+                     paged=True, page=8, page_cache=True)
+shared = rng.integers(0, 31, (20,)).tolist()  # 2 full pages + tail
+r1 = pc_eng.submit(Request(shared, 6))
+t1 = pc_eng.run()[0].tokens
+r2 = pc_eng.submit(Request(shared, 6))
+t2 = pc_eng.run()[0].tokens
+assert t1 == t2 and pc_eng.stats["page_cache_hits"] == 2
+print("automatic page cache: warm repeat reused 2 pooled pages, "
+      "tokens exact ✓")
+
 print("all checks passed")

@@ -215,7 +215,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("auto", "kernel", "gather"),
                     help="paged mode attention read: Pallas in-place page "
                          "kernel vs XLA table-gather (auto = kernel on "
-                         "TPU)")
+                         "TPU from ctx 2048 at d_head %% 128 == 0)")
     return ap
 
 

@@ -494,7 +494,8 @@ class ServeEngine:
             # HALF-full, ahead as caches fill), but pays ~35 us of
             # dispatch per layer-step, which LOSES at short contexts
             # where the gather traffic is trivial (BASELINE.md round 4).
-            # auto = kernel on TPU from ctx 2048 up, gather otherwise.
+            # auto = kernel on TPU from ctx 2048 up at d_head % 128 == 0,
+            # gather otherwise.
             if paged_attn not in ("auto", "kernel", "gather"):
                 raise ValueError("paged_attn must be auto|kernel|gather")
             if paged_attn == "kernel" and page % 8:
@@ -507,11 +508,18 @@ class ServeEngine:
             # auto never picks the kernel for a speculative engine (the
             # spec chunk reads via the gather); explicit "kernel" +
             # speculative raises below
+            # auto picks the DMA kernel only for d_head % 128 == 0:
+            # narrow heads ride it via row folding, but the fold measured
+            # 0.81x of slot at hk2/d64/ctx4096 vs the gather's 0.95x
+            # (round-5 ab_paged --long) — folding halves the page count
+            # per DMA but pays fold-residue masked scores; explicit
+            # paged_attn="kernel" still forces it
             self._paged_kernel = (
                 not kv8
                 and (paged_attn == "kernel"
                      or (paged_attn == "auto" and not speculative
                          and page % 8 == 0 and cfg.ctx_len >= 2048
+                         and cfg.d_head % 128 == 0
                          and jax.default_backend() == "tpu")))
         else:
             if page_cache:
@@ -584,6 +592,9 @@ class ServeEngine:
             self._spec_rounds = max(1, chunk // (self._spec + 1))
             self._budget = np.zeros((n_slots,), np.int32)
             self._valids: Dict[int, np.ndarray] = {}
+            # (cid, device valid array, active slots) in dispatch order,
+            # drained lazily — see _drain_spec
+            self._spec_pending: List = []
         self._logits = jnp.full((n_slots, cfg.vocab_size), -1e9, jnp.float32)
         if mesh is not None:
             self._cache = jax.device_put(
@@ -1174,7 +1185,10 @@ class ServeEngine:
         still = []
         for ent in self._pending_done:
             req, cids, row, ts = ent
-            if not block and not all(self._ready(c) for c in cids):
+            if not block and not all(
+                    self._ready(c)
+                    and (not self._spec or c in self._valids)
+                    for c in cids):
                 still.append(ent)
                 continue
             seq = np.concatenate([self._chunk_rows(c, row) for c in cids])
@@ -1186,10 +1200,19 @@ class ServeEngine:
         """Advance every active slot by one SPECULATIVE chunk
         (``spec_rounds`` draft+verify rounds in one dispatch).
 
-        Emitted lengths are data-dependent, so each chunk materializes the
-        tiny (B, rounds) valid array — one small blocking copy per chunk,
-        the structural price of speculative batching; the (B, rounds, S)
-        token array itself still copies async like plain chunks.
+        Emitted lengths are data-dependent — the host needs each chunk's
+        tiny (B, rounds) valid array to advance counts. Blocking on it
+        per chunk costs a full ~40 ms tunnel round trip that the plain
+        engine never pays (measured 4x engine slowdown DESPITE 22
+        tok/round drafting), so valids copy ASYNC like tokens and drain
+        lazily in dispatch order (``_drain_spec``): counts lag by the
+        copies in flight, retirement happens a chunk or two late, and
+        the device-side budget gate makes the lag safe — a finished
+        slot's extra rounds emit zero valid tokens at its frozen
+        position. A stop-token request still forces the eager per-chunk
+        drain (its tokens must be SEEN to stop), exactly like the plain
+        engine's eager path; the ``sync_every`` depth valve bounds
+        wasted lag rounds.
         """
         from .spec import decode_chunk_spec
 
@@ -1198,42 +1221,79 @@ class ServeEngine:
             self.cfg, self._spec_rounds, self._spec)
         try:
             toks.copy_to_host_async()
+            valid.copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax arrays
             pass
-        v = np.asarray(valid)  # (B, rounds) int32 — THE per-chunk sync
         active = [s for s in range(self.n_slots)
                   if self._slot_req[s] is not None]
         cid = next(self._chunk_ids)
         self._store[cid] = toks
-        self._valids[cid] = v
         self._refs[cid] = len(active)
         for s in active:
             self._slot_chunks[s].append(cid)
-            self._count[s] += int(v[s].sum())
+        self._spec_pending.append((cid, valid, active))
         self.stats["chunks"] += 1
         self.stats["spec_rounds"] = (self.stats.get("spec_rounds", 0)
                                      + self._spec_rounds)
-        self.stats["decode_tokens"] += int(v.sum())
+        stopper = any(self._slot_req[s] is not None
+                      and self._slot_req[s].stop_token >= 0
+                      for s in range(self.n_slots))
+        # purely lazy below the sync_every valve: a measured head_block
+        # variant (force the oldest copy once ~4 chunks were in flight)
+        # halved engine throughput on the chip — the host dispatches far
+        # ahead of the device, so even a 4-chunk-old copy usually means
+        # waiting out device compute + the ~40 ms tunnel round trip.
+        # Wasted tail rounds are the cheaper currency; sync_every bounds
+        # them.
+        self._drain_spec(
+            block=stopper or len(self._spec_pending) >= self.sync_every)
+        return True
 
-        for slot in active:
-            req = self._slot_req[slot]
-            budget = req.max_new_tokens
-            if req.stop_token >= 0:
-                seq = self._slot_tokens(slot)
-                new = seq[self._scanned[slot]:min(self._count[slot], budget)]
-                hits = np.nonzero(new == req.stop_token)[0]
-                if hits.size:
-                    end = self._scanned[slot] + int(hits[0]) + 1
+    def _drain_spec(self, block: bool) -> None:
+        """Process pending (chunk, valid) pairs in dispatch order: advance
+        per-slot counts, scan stop tokens, retire completed budgets.
+        Without ``block``, stops at the first valid copy still in
+        flight. ``_spec_lazy_min`` (test seam, default 0) keeps at least
+        that many chunks undrained in non-block mode — CPU executes
+        synchronously, so without it the lag paths that the TPU's truly
+        async copies exercise would never run under pytest."""
+        while self._spec_pending:
+            cid, valid, active = self._spec_pending[0]
+            if not block:
+                if len(self._spec_pending) <= getattr(
+                        self, "_spec_lazy_min", 0):
+                    break
+                try:
+                    if not valid.is_ready():
+                        break
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+            v = np.asarray(valid)  # (B, rounds) int32
+            self._spec_pending.pop(0)
+            self._valids[cid] = v
+            self.stats["decode_tokens"] += int(v.sum())
+            for slot in active:
+                self._count[slot] += int(v[slot].sum())
+                req = self._slot_req[slot]
+                if req is None:
+                    continue  # slot already finished (stop-token path)
+                budget = req.max_new_tokens
+                if req.stop_token >= 0:
+                    seq = self._slot_tokens(slot)
+                    new = seq[self._scanned[slot]:min(self._count[slot],
+                                                      budget)]
+                    hits = np.nonzero(new == req.stop_token)[0]
+                    if hits.size:
+                        end = self._scanned[slot] + int(hits[0]) + 1
+                        self._budget[slot] = 0
+                        self._samp_dev = None
+                        self._finish(slot, seq[:end].tolist(), "stop")
+                        continue
+                    self._scanned[slot] = min(self._count[slot], budget)
+                if self._count[slot] >= budget:
                     self._budget[slot] = 0
                     self._samp_dev = None
-                    self._finish(slot, seq[:end].tolist(), "stop")
-                    continue
-                self._scanned[slot] = min(self._count[slot], budget)
-            if self._count[slot] >= budget:
-                self._budget[slot] = 0
-                self._samp_dev = None
-                self._retire(slot)  # tokens may still be in flight
-        return True
+                    self._retire(slot)  # tokens may still be in flight
 
     def step(self) -> bool:
         """Admit queued requests into free slots, then advance every active
@@ -1244,6 +1304,9 @@ class ServeEngine:
         being active (its new tokens must be scanned every chunk), or the
         ``sync_every`` dispatch-depth safety valve.
         """
+        if self._spec:
+            # surface lag-retired slots before admission looks for room
+            self._drain_spec(block=False)
         self._drain_pending(block=False)
         for slot in range(self.n_slots):
             if self._slot_req[slot] is None and self._queue:
@@ -1272,11 +1335,19 @@ class ServeEngine:
             return False
         self._key, k = jax.random.split(self._key)
         if self._samp_dev is None:
-            self._samp_dev = (jnp.asarray(self._temp),
-                              jnp.asarray(self._top_p),
-                              jnp.asarray(self._top_k))
+            # jnp.array COPIES (jnp.asarray on the CPU backend aliases
+            # the numpy buffer zero-copy!) — the engine mutates
+            # _temp/_top_p/_top_k/_budget in place at admission and
+            # retire, and with async dispatch an enqueued-but-unexecuted
+            # chunk would otherwise read the RETROACTIVELY-mutated
+            # vector (measured: a lag-retired slot's budget[s]=0 write
+            # froze the NEXT occupant's in-flight chunks at 15/55
+            # tokens, and the stale occupant's chunks ran ungated)
+            self._samp_dev = (jnp.array(self._temp),
+                              jnp.array(self._top_p),
+                              jnp.array(self._top_k))
             if self._spec:
-                self._samp_dev += (jnp.asarray(self._budget),)
+                self._samp_dev += (jnp.array(self._budget),)
         if self._spec:
             return self._step_spec(k)
         if self._paged:
@@ -1338,6 +1409,8 @@ class ServeEngine:
         start = len(self.completions)
         while self.step():
             pass
+        if self._spec:
+            self._drain_spec(block=True)
         self._drain_pending(block=True)
         return self.completions[start:]
 

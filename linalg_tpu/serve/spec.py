@@ -20,10 +20,13 @@ repetitive), run ONE (B, S) block forward at per-slot positions, accept
 the longest prefix of drafts under the slot's own temperature/top-k/top-p
 filtered target distribution, resample on first rejection. Slots advance
 by DIFFERENT amounts; a per-(slot, round) ``valid`` count rides back to
-the host, which is the one structural cost vs the plain engine: emitted
-lengths are data-dependent, so every chunk materializes the tiny
-(B, rounds) int32 valid array (one ~40 us device->host copy) where the
-plain engine could stay fully async. Tokens themselves still copy async.
+the host so it can track counts and retire completed budgets. Both the
+tokens AND the valid counts copy device->host ASYNC: the engine drains
+valid copies lazily in dispatch order (``ServeEngine._drain_spec``) —
+blocking on the tiny array per chunk costs a full host round trip
+(~40 ms through this runtime's tunnel; measured 4x engine slowdown),
+while lazy draining only delays retirement by the copies in flight,
+which the device-side budget gate makes safe.
 
 Budget gating runs ON DEVICE: a slot whose emitted count reached its
 budget stops advancing (rounds still execute at fixed shape; its writes
@@ -38,6 +41,15 @@ same weight-representation seam the plain decode chunk scans with), so
 speculative batching composes with the per-slot multi-LoRA side-path —
 and with the paged pool via ``write_fn``/``read_fn`` (layout and weight
 representation never touch each other).
+
+Precision note (TPU): greedy bit-equality with the plain engine holds
+exactly on CPU and on TPU under ``jax.default_matmul_precision
+("highest")``. At the TPU's DEFAULT bf16-truncated matmul precision,
+the (B, S) verify block and the (B, 1) decode step accumulate
+differently (different tilings of mathematically equal contractions),
+so an UNTRAINED model's near-tie argmaxes can flip (measured: 2 flips
+in ~250 tokens, deterministic, lengths exact) — the property every
+speculative verifier has; both streams follow the same sampler law.
 
 Reference: extends /root/reference/gpt.py:518-546's sampler semantics;
 per-slot verification follows Leviathan et al. 2023 specialized to the

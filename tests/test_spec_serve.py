@@ -54,9 +54,13 @@ class TestGreedyBitEquality:
         spec, eng = run_engine(reqs, speculative=K)
         assert [c.tokens for c in spec] == [c.tokens for c in plain]
         assert all(c.finish_reason == "length" for c in spec)
-        # speculative must do fewer verify rounds than tokens emitted on
-        # repetitive char-ish data... at minimum, never more than emitted
-        assert eng.stats["spec_rounds"] <= sum(len(c.tokens) for c in spec)
+        # rounds are bounded by dispatched chunks; the async valid drain
+        # can add a few WASTED tail rounds per slot (host learns about
+        # completed budgets a few chunks late — see _drain_spec), so the
+        # drafting-efficiency claim (rounds < emitted) is pinned on the
+        # repetitive-prompt test, not this mixed workload
+        assert eng.stats["spec_rounds"] == (eng.stats["chunks"]
+                                            * eng._spec_rounds)
 
     @pytest.mark.parametrize("pos", ["rope", "alibi"])
     def test_positional_modes(self, pos):
@@ -351,3 +355,66 @@ class TestSpecLoRA:
     def test_quant_spec_still_rejected(self):
         with pytest.raises(ValueError, match="int8"):
             ServeEngine(PARAMS, CFG, speculative=2, quant="int8")
+
+
+class TestLazyValidDrain:
+    """The async valid-drain path (ServeEngine._drain_spec): CPU executes
+    synchronously, so these tests FORCE the lag the TPU's truly-async
+    copies produce via the _spec_lazy_min test seam (keep >= N chunks
+    undrained). Regression pin for the samp-vector aliasing bug: the
+    engine mutates _temp/_top_p/_top_k/_budget numpy arrays in place at
+    admission/retire, and jnp.asarray on CPU aliases the buffer
+    zero-copy — enqueued-but-unexecuted chunks then read the
+    retroactively-mutated vector (observed: a lag-retire's budget[s]=0
+    froze the next occupant's in-flight chunks at 15/55 tokens). step()
+    now builds _samp_dev with copying jnp.array."""
+
+    @pytest.mark.parametrize("lag", [2, 8, 16])
+    def test_lagged_drain_matches_plain(self, lag):
+        rng = np.random.default_rng(40)
+        reqs = [Request(rng.integers(0, 31, int(n)).tolist(), int(m))
+                for n, m in zip(rng.integers(4, 30, 7),
+                                rng.integers(8, 60, 7))]
+
+        def run(**kw):
+            eng = ServeEngine(PARAMS, CFG, n_slots=4, chunk=12, top_k=1,
+                              **kw)
+            eng._spec_lazy_min = lag
+            ids = [eng.submit(r) for r in reqs]
+            done = {c.request_id: c for c in eng.run()}
+            return [done[i] for i in ids]
+
+        plain = run()
+        spec = run(speculative=3)
+        assert [c.tokens for c in spec] == [c.tokens for c in plain]
+        assert all(c.finish_reason == "length" for c in spec)
+
+    def test_lagged_slot_reuse_budgets_exact(self):
+        """Short-budget requests retire and their slots readmit while
+        older chunks are still undrained — every request must still get
+        EXACTLY its budget."""
+        rng = np.random.default_rng(41)
+        reqs = [Request(rng.integers(0, 31, 6).tolist(), int(m))
+                for m in (5, 30, 7, 25, 6, 20, 8, 15)]
+        eng = ServeEngine(PARAMS, CFG, n_slots=2, chunk=12, top_k=1,
+                          speculative=3)
+        eng._spec_lazy_min = 6
+        ids = [eng.submit(r) for r in reqs]
+        done = {c.request_id: c for c in eng.run()}
+        got = [len(done[i].tokens) for i in ids]
+        assert got == [r.max_new_tokens for r in reqs], got
+
+    def test_lagged_stop_token_still_eager(self):
+        rng = np.random.default_rng(42)
+        prompt = rng.integers(0, 31, 8).tolist()
+        full, _ = run_engine([Request(prompt, 20)])
+        stop = int(full[0].tokens[4])
+        reqs = [Request(prompt, 20, stop_token=stop)]
+        plain, _ = run_engine(reqs)
+        eng = ServeEngine(PARAMS, CFG, n_slots=3, chunk=8, top_k=1,
+                          speculative=3)
+        eng._spec_lazy_min = 8  # ignored while a stopper is active
+        eng.submit(reqs[0])
+        lagged = eng.run()[0]
+        assert lagged.tokens == plain[0].tokens
+        assert lagged.finish_reason == plain[0].finish_reason == "stop"
