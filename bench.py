@@ -813,7 +813,10 @@ def bench_train_big():
     from linalg_tpu.train.optim import adamw_init
     from linalg_tpu.train.trainer import make_device_train_step
 
-    B = 32
+    # B=24 from the tools/ab_train_big.py sweep (chip, 3 sessions):
+    # B16 194.8k / B24 197.2k / B32 189.8k tok/s, B48 ResourceExhausted
+    # — B24 is the throughput knee (~70% MFU)
+    B = 24
     cfg = GPTConfig(vocab_size=65, d_model=1024, n_heads=8, n_layers=8,
                     ctx_len=1024, dtype="bfloat16")
     params = init_gpt_params(cfg, seed=0)

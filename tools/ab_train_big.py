@@ -6,8 +6,13 @@ clock drift hits every variant equally. Reports step ms / tok/s / MFU per
 B at d1024/8L/ctx1024 bf16 against the 197 TFLOP/s v5e bf16 peak —
 picks the config bench_train_big should publish.
 
+Measured (chip, three sessions, stable to ±0.7 ms): B16 84.2 ms /
+B24 124.7 / B32 172.7 — 194.8k / 197.2k / 189.8k tok/s; B48 dies
+ResourceExhausted (model + moments + activations exceed the v5e HBM).
+B24 is the knee and the config bench_train_big publishes.
+
 Usage:
-    python tools/ab_train_big.py [--batches 16,32,48,64] [--steps 40]
+    python tools/ab_train_big.py [--batches 16,24,32] [--steps 40]
 """
 
 import argparse
@@ -22,7 +27,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--batches", type=str, default="16,32,48,64")
+    ap.add_argument("--batches", type=str, default="16,24,32")
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
